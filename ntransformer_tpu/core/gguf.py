@@ -115,7 +115,7 @@ class GGUFReader:
                 # Vectorized read of numeric arrays (vocab scores, token types)
                 dt = np.dtype(self._SCALAR_NP[et]).newbyteorder("<")
                 nbytes = dt.itemsize * n
-                arr = np.frombuffer(self._buf, dtype=dt, count=n, offset=self._pos)
+                arr = np.frombuffer(self._buf, dtype=dt, count=n, offset=self._pos).copy()
                 self._pos += nbytes
                 return arr
             return [self._read_value(elem_type) for _ in range(n)]
@@ -189,8 +189,13 @@ class GGUFReader:
         return name in self.tensors
 
     def close(self):
-        self._buf.release()
-        self._mm.close()
+        # Zero-copy tensor views may still reference the mapping; in that case
+        # leave it to be unmapped when the last view is garbage-collected.
+        try:
+            self._buf.release()
+            self._mm.close()
+        except BufferError:
+            pass
         self._file.close()
 
     def __enter__(self):
