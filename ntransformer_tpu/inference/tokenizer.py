@@ -1,0 +1,197 @@
+"""Dual-mode BPE tokenizer built from GGUF vocab metadata.
+
+Capability parity with the reference tokenizer (src/inference/tokenizer.cpp):
+auto-detects GPT-2 byte-level BPE (Llama 3) vs SentencePiece (Llama 1/2) by
+the presence of the GPT-2-encoded space token 'Ġ' (tokenizer.cpp:76-85),
+greedy longest-match seeding + score-driven merges (tokenizer.cpp:101-217),
+byte-fallback tokens, and control-token-dropping decode.
+
+Beyond the reference: when `tokenizer.ggml.merges` is present (standard for
+Llama-3 GGUFs), merges are rank-driven — matching upstream BPE exactly rather
+than approximating with scores.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+# llama.cpp token types
+TOKEN_TYPE_NORMAL = 1
+TOKEN_TYPE_UNKNOWN = 2
+TOKEN_TYPE_CONTROL = 3
+TOKEN_TYPE_USER_DEFINED = 4
+TOKEN_TYPE_UNUSED = 5
+TOKEN_TYPE_BYTE = 6
+
+_SP_SPACE = "▁"  # ▁
+
+
+@lru_cache(maxsize=1)
+def gpt2_byte_to_unicode() -> dict[int, str]:
+    """GPT-2 bytes→unicode table: printable ranges map to themselves, the
+    rest to U+0100.. (tokenizer.cpp:14-50)."""
+    identity = (list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256)))
+    table = {}
+    n = 0
+    for b in range(256):
+        if b in identity:
+            table[b] = chr(b)
+        else:
+            table[b] = chr(256 + n)
+            n += 1
+    return table
+
+
+@lru_cache(maxsize=1)
+def gpt2_unicode_to_byte() -> dict[str, int]:
+    return {v: k for k, v in gpt2_byte_to_unicode().items()}
+
+
+class Tokenizer:
+    """BPE tokenizer over a GGUF vocab."""
+
+    def __init__(self, tokens: list[str], scores=None, token_types=None,
+                 merges: list[str] | None = None, bos_id: int = 1, eos_id: int = 2):
+        self.tokens = list(tokens)
+        self.scores = (np.asarray(scores, dtype=np.float32)
+                       if scores is not None and len(scores) else None)
+        self.token_types = (np.asarray(token_types, dtype=np.int32)
+                            if token_types is not None and len(token_types) else None)
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
+        # Detect encoding: Llama 3 vocab contains 'Ġ' (GPT-2-encoded space)
+        self.use_gpt2 = gpt2_byte_to_unicode()[0x20] in self.token_to_id
+        # Rank-driven merges when available (lower rank = higher priority)
+        self.merge_rank: dict[tuple[str, str], int] = {}
+        if merges:
+            for rank, m in enumerate(merges):
+                left, _, right = m.partition(" ")
+                self.merge_rank[(left, right)] = rank
+        self.max_token_chars = max((len(t) for t in self.tokens), default=1)
+
+    @classmethod
+    def from_gguf_metadata(cls, md: dict) -> "Tokenizer":
+        tokens = md.get("tokenizer.ggml.tokens")
+        if tokens is None:
+            raise ValueError("GGUF has no tokenizer.ggml.tokens vocabulary")
+        return cls(
+            tokens=tokens,
+            scores=md.get("tokenizer.ggml.scores"),
+            token_types=md.get("tokenizer.ggml.token_type"),
+            merges=md.get("tokenizer.ggml.merges"),
+            bos_id=int(md.get("tokenizer.ggml.bos_token_id", 1)),
+            eos_id=int(md.get("tokenizer.ggml.eos_token_id", 2)),
+        )
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tokens)
+
+    # --- encode ---------------------------------------------------------------
+    def _to_internal(self, text: str) -> str:
+        if self.use_gpt2:
+            b2u = gpt2_byte_to_unicode()
+            return "".join(b2u[b] for b in text.encode("utf-8"))
+        return text.replace(" ", _SP_SPACE)
+
+    def _byte_fallback_id(self, ch: str) -> int:
+        if self.use_gpt2:
+            tid = self.token_to_id.get(ch)
+            if tid is not None:
+                return tid
+        # SentencePiece byte token <0xXX>
+        for b in ch.encode("utf-8"):
+            name = f"<0x{b:02X}>"
+            tid = self.token_to_id.get(name)
+            if tid is not None:
+                return tid
+        return 0
+
+    def encode(self, text: str, add_bos: bool = True) -> list[int]:
+        out = [self.bos_id] if add_bos else []
+        if not text:
+            return out
+        enc = self._to_internal(text)
+        # Greedy longest-match seeding (tokenizer.cpp:121-166)
+        parts: list[str] = []
+        pos = 0
+        n = len(enc)
+        cap = min(self.max_token_chars, 64)
+        while pos < n:
+            for ln in range(min(cap, n - pos), 0, -1):
+                if enc[pos:pos + ln] in self.token_to_id:
+                    parts.append(enc[pos:pos + ln])
+                    pos += ln
+                    break
+            else:
+                parts.append(enc[pos])
+                pos += 1
+
+        # Merge loop: rank-driven if merges exist, else score-driven
+        if self.merge_rank:
+            def merge_key(a: str, b: str):
+                r = self.merge_rank.get((a, b))
+                return (-r) if r is not None else None
+        else:
+            def merge_key(a: str, b: str):
+                tid = self.token_to_id.get(a + b)
+                if tid is None:
+                    return None
+                if self.scores is not None and tid < len(self.scores):
+                    return float(self.scores[tid])
+                return 0.0
+
+        while len(parts) > 1:
+            best, best_i = None, -1
+            for i in range(len(parts) - 1):
+                k = merge_key(parts[i], parts[i + 1])
+                if k is not None and (best is None or k > best):
+                    best, best_i = k, i
+            if best_i < 0:
+                break
+            parts[best_i: best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+
+        for p in parts:
+            tid = self.token_to_id.get(p)
+            out.append(tid if tid is not None else self._byte_fallback_id(p))
+        return out
+
+    # --- decode ---------------------------------------------------------------
+    def decode_token(self, token_id: int) -> str:
+        """Decode one token; control/unused tokens decode to '' (tokenizer.cpp:240-246)."""
+        if token_id < 0 or token_id >= len(self.tokens):
+            return ""
+        if self.token_types is not None and token_id < len(self.token_types):
+            if self.token_types[token_id] in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_UNUSED):
+                return ""
+        tok = self.tokens[token_id]
+        if self.use_gpt2:
+            u2b = gpt2_unicode_to_byte()
+            raw = bytes(u2b[c] if c in u2b else ord(c) & 0xFF for c in tok)
+            return raw.decode("utf-8", errors="replace")
+        if len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">"):
+            try:
+                return chr(int(tok[3:5], 16))
+            except ValueError:
+                pass
+        return tok.replace(_SP_SPACE, " ")
+
+    def decode(self, token_ids) -> str:
+        if self.use_gpt2:
+            # Decode byte stream jointly so multi-byte UTF-8 split across
+            # tokens survives (the reference decodes per-token and can split
+            # code points; this is strictly better).
+            u2b = gpt2_unicode_to_byte()
+            raw = bytearray()
+            for tid in token_ids:
+                if tid < 0 or tid >= len(self.tokens):
+                    continue
+                if self.token_types is not None and tid < len(self.token_types):
+                    if self.token_types[tid] in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_UNUSED):
+                        continue
+                for c in self.tokens[tid]:
+                    raw.append(u2b[c] if c in u2b else ord(c) & 0xFF)
+            return raw.decode("utf-8", errors="replace")
+        return "".join(self.decode_token(t) for t in token_ids)

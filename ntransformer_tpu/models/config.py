@@ -1,0 +1,87 @@
+"""Model configuration parsed from GGUF metadata (ref: src/model/config.h/.cpp).
+
+The engine has no hardcoded model zoo: like the reference, the architecture
+(Llama family: RMSNorm + RoPE + GQA + SwiGLU) is parameterized entirely by
+the GGUF file's metadata keys (config.cpp:18-50).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ModelConfig:
+    architecture: str = "llama"
+    model_name: str = "unknown"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    head_dim: int = 128
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_interleaved: bool = False  # GPT-NeoX style vs Llama pairs
+    max_seq_len: int = 4096
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    metadata: dict = field(default_factory=dict)
+
+    @property
+    def group_size(self) -> int:
+        """Query heads per KV head (GQA group), ref config.h:49."""
+        return self.n_heads // self.n_kv_heads
+
+    @property
+    def is_gqa(self) -> bool:
+        return self.n_kv_heads < self.n_heads
+
+    @classmethod
+    def from_gguf_metadata(cls, md: dict, max_seq_len: int | None = None) -> "ModelConfig":
+        arch = str(md.get("general.architecture", "llama"))
+        p = arch + "."
+
+        def get(key, default):
+            v = md.get(key, default)
+            return type(default)(v) if v is not None else default
+
+        cfg = cls(
+            architecture=arch,
+            model_name=str(md.get("general.name", "unknown")),
+            vocab_size=get(p + "vocab_size", 0),
+            hidden_size=get(p + "embedding_length", 4096),
+            intermediate_size=get(p + "feed_forward_length", 11008),
+            n_layers=get(p + "block_count", 32),
+            n_heads=get(p + "attention.head_count", 32),
+            norm_eps=get(p + "attention.layer_norm_rms_epsilon", 1e-5),
+            rope_theta=get(p + "rope.freq_base", 10000.0),
+            max_seq_len=get(p + "context_length", 4096),
+            bos_token_id=get("tokenizer.ggml.bos_token_id", 1),
+            eos_token_id=get("tokenizer.ggml.eos_token_id", 2),
+            metadata=md,
+        )
+        cfg.n_kv_heads = get(p + "attention.head_count_kv", cfg.n_heads)
+        cfg.head_dim = get(p + "attention.key_length",
+                           cfg.hidden_size // cfg.n_heads)
+        if cfg.vocab_size == 0:
+            toks = md.get("tokenizer.ggml.tokens")
+            cfg.vocab_size = len(toks) if toks is not None else 32000
+        if max_seq_len is not None:
+            # cap like --ctx-size (transformer.cpp:70-74)
+            cfg.max_seq_len = min(cfg.max_seq_len, max_seq_len)
+        return cfg
+
+    def describe(self) -> str:
+        return (
+            f"=== Model Config ===\n"
+            f"Architecture: {self.architecture}  Name: {self.model_name}\n"
+            f"Vocab: {self.vocab_size}, Hidden: {self.hidden_size}, "
+            f"Intermediate: {self.intermediate_size}\n"
+            f"Layers: {self.n_layers}, Heads: {self.n_heads}, "
+            f"KV Heads: {self.n_kv_heads}, Head dim: {self.head_dim}\n"
+            f"Max seq: {self.max_seq_len}, Norm eps: {self.norm_eps:g}\n"
+            f"RoPE theta: {self.rope_theta:.1f}, "
+            f"GQA: {'yes' if self.is_gqa else 'no'} (group={self.group_size})\n"
+            f"BOS: {self.bos_token_id}, EOS: {self.eos_token_id}"
+        )
