@@ -1,0 +1,159 @@
+"""Synthesize Llama-family GGUF files with random weights.
+
+Used by tests (tiny models) and bench.py (full-size models with random
+weights — decode timing is weight-value-independent). The reference had no
+such tool; its tests required real model files.
+
+Usage:
+    python tools/make_test_gguf.py out.gguf --preset tiny --dtype q8_0
+    python tools/make_test_gguf.py out.gguf --preset 8b --dtype q4_k_m
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from ntransformer_tpu.core import DType, GGUFWriter, quantize  # noqa: E402
+from ntransformer_tpu.core.dtypes import GGUFValueType  # noqa: E402
+
+PRESETS = {
+    # (vocab, hidden, inter, layers, heads, kv_heads, ctx)
+    "tiny": dict(vocab=512, hidden=256, inter=512, layers=4, heads=4,
+                 kv_heads=2, ctx=512, rope_theta=10000.0),
+    "micro": dict(vocab=256, hidden=128, inter=256, layers=2, heads=2,
+                  kv_heads=1, ctx=256, rope_theta=10000.0),
+    "1b": dict(vocab=128256, hidden=2048, inter=8192, layers=16, heads=32,
+               kv_heads=8, ctx=4096, rope_theta=500000.0),
+    "3b": dict(vocab=128256, hidden=3072, inter=8192, layers=28, heads=24,
+               kv_heads=8, ctx=4096, rope_theta=500000.0),
+    "8b": dict(vocab=128256, hidden=4096, inter=14336, layers=32, heads=32,
+               kv_heads=8, ctx=4096, rope_theta=500000.0),
+    "70b": dict(vocab=128256, hidden=8192, inter=28672, layers=80, heads=64,
+                kv_heads=8, ctx=4096, rope_theta=500000.0),
+}
+
+# Q4_K_M per-tensor dtype policy (mirrors llama.cpp: most tensors Q4_K,
+# ffn_down and embeddings Q6_K — the reference notes files mix Q4_K/Q5_K/Q6_K)
+def q4_k_m_policy(tensor_name: str) -> DType:
+    if "ffn_down" in tensor_name or "token_embd" in tensor_name or "output." in tensor_name:
+        return DType.Q6_K
+    return DType.Q4_K
+
+
+def make_vocab(n: int, gpt2: bool = False):
+    """Build a small synthetic vocab. SP-style with ▁-prefixed words and byte
+    fallback tokens, or GPT-2-style with Ġ-prefixed words."""
+    space = "Ġ" if gpt2 else "▁"
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]
+    scores = [0.0, 0.0, 0.0]
+    if not gpt2:
+        for b in range(256):
+            tokens.append(f"<0x{b:02X}>")
+            types.append(6)
+            scores.append(0.0)
+    words = ["the", "cap", "ital", "of", "france", "is", "paris", "hello",
+             "world", "capital", "a", "b", "c", "t", "h", "e", "o", "f",
+             "i", "s", "p", "r", "n", "l", "d", "w", "u", "m", "g", "y"]
+    for w in words:
+        for pre in ("", space):
+            if len(tokens) >= n:
+                break
+            tokens.append(pre + w)
+            types.append(1)
+            scores.append(-float(len(tokens)))  # longer-added = lower score
+    i = 0
+    while len(tokens) < n:
+        tokens.append(f"tok{i}")
+        types.append(1)
+        scores.append(-1000.0 - i)
+        i += 1
+    return tokens[:n], scores[:n], types[:n]
+
+
+def write_model(path: str, preset: str, dtype: str, seed: int = 0,
+                gpt2_vocab: bool = False, scale: float = 0.02):
+    p = PRESETS[preset]
+    rng = np.random.default_rng(seed)
+    head_dim = p["hidden"] // p["heads"]
+    kv_dim = p["kv_heads"] * head_dim
+
+    w = GGUFWriter(path)
+    w.add_meta("general.architecture", "llama")
+    w.add_meta("general.name", f"synthetic-{preset}")
+    w.add_meta("llama.vocab_size", p["vocab"])
+    w.add_meta("llama.embedding_length", p["hidden"])
+    w.add_meta("llama.feed_forward_length", p["inter"])
+    w.add_meta("llama.block_count", p["layers"])
+    w.add_meta("llama.attention.head_count", p["heads"])
+    w.add_meta("llama.attention.head_count_kv", p["kv_heads"])
+    w.add_meta("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_meta("llama.rope.freq_base", float(p["rope_theta"]))
+    w.add_meta("llama.context_length", p["ctx"])
+    tokens, scores, types = make_vocab(min(p["vocab"], 4096), gpt2=gpt2_vocab)
+    # vocab arrays may be shorter than vocab_size for synthetic models
+    w.add_meta("tokenizer.ggml.tokens", tokens,
+               vtype=GGUFValueType.ARRAY, elem_type=GGUFValueType.STRING)
+    w.add_meta("tokenizer.ggml.scores", scores,
+               vtype=GGUFValueType.ARRAY, elem_type=GGUFValueType.FLOAT32)
+    w.add_meta("tokenizer.ggml.token_type", types,
+               vtype=GGUFValueType.ARRAY, elem_type=GGUFValueType.INT32)
+    w.add_meta("tokenizer.ggml.bos_token_id", 1)
+    w.add_meta("tokenizer.ggml.eos_token_id", 2)
+
+    if dtype == "q4_k_m":
+        policy = q4_k_m_policy
+    else:
+        fixed = DType(dtype)
+        def policy(_name, _dt=fixed):
+            return _dt
+
+    def emit(name: str, rows: int, cols: int, dt: DType | None = None,
+             std: float = scale):
+        dt = dt or policy(name)
+        # random bytes for the quantized payload would break golden decode
+        # paths (NaN f16 scales), so quantize small random weights instead.
+        x = (rng.standard_normal((rows, cols)) * std).astype(np.float32)
+        if dt in (DType.F32,):
+            w.add_tensor(name, x)
+        else:
+            w.add_tensor(name, raw=quantize(x, dt), shape=(rows, cols), dtype=dt)
+
+    emit("token_embd.weight", p["vocab"], p["hidden"])
+    for i in range(p["layers"]):
+        pre = f"blk.{i}."
+        w.add_tensor(pre + "attn_norm.weight", np.ones(p["hidden"], np.float32))
+        emit(pre + "attn_q.weight", p["hidden"], p["hidden"])
+        emit(pre + "attn_k.weight", kv_dim, p["hidden"])
+        emit(pre + "attn_v.weight", kv_dim, p["hidden"])
+        emit(pre + "attn_output.weight", p["hidden"], p["hidden"])
+        w.add_tensor(pre + "ffn_norm.weight", np.ones(p["hidden"], np.float32))
+        emit(pre + "ffn_gate.weight", p["inter"], p["hidden"])
+        emit(pre + "ffn_up.weight", p["inter"], p["hidden"])
+        emit(pre + "ffn_down.weight", p["hidden"], p["inter"])
+    w.add_tensor("output_norm.weight", np.ones(p["hidden"], np.float32))
+    emit("output.weight", p["vocab"], p["hidden"])
+    w.write()
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--preset", default="tiny", choices=sorted(PRESETS))
+    ap.add_argument("--dtype", default="q8_0",
+                    choices=["f32", "f16", "q8_0", "q4_0", "q4_k", "q5_k",
+                             "q6_k", "q4_k_m"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gpt2-vocab", action="store_true")
+    args = ap.parse_args()
+    write_model(args.out, args.preset, args.dtype, args.seed, args.gpt2_vocab)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
