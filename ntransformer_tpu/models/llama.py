@@ -1,0 +1,195 @@
+"""Llama-family model: functional forward passes over quantized weights.
+
+TPU-native redesign of the reference's model layer (src/model/transformer.cpp,
+attention.cpp, ffn.cpp): weights are pytrees of QLinear planes, resident
+layers are stacked and driven by lax.scan (one compilation regardless of
+depth), the KV cache is a functional donated buffer, and per-layer cosine
+similarities for layer-skip calibration fall out of the scan for free
+(ref: transformer.cpp:46-53 calibration).
+
+Forward variants (capability parity with transformer.h:31-147):
+  forward            — resident forward, last-position or all-position logits
+                       (all-position = forward_verify, transformer.cpp:1028)
+  forward with layer_sel — arbitrary layer subset: implements both the
+                       layer-skip schedule and forward_draft (tier-A prefix
+                       draft, transformer.cpp:1067) via index gather.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import apply_rope, attention_jnp, rms_norm, rope_table, swiglu
+from ..ops.linear import QLinear, embed_lookup, qmatmul
+
+
+@dataclass(frozen=True)
+class Arch:
+    """Static architecture facts (hashable; safe as a jit static arg)."""
+
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    hidden_size: int
+    intermediate_size: int
+    vocab_size: int
+    norm_eps: float
+    rope_theta: float
+    rope_interleaved: bool
+    max_seq_len: int
+
+    @classmethod
+    def from_config(cls, cfg) -> "Arch":
+        return cls(
+            n_layers=cfg.n_layers, n_heads=cfg.n_heads,
+            n_kv_heads=cfg.n_kv_heads, head_dim=cfg.head_dim,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            vocab_size=cfg.vocab_size, norm_eps=cfg.norm_eps,
+            rope_theta=cfg.rope_theta,
+            rope_interleaved=cfg.rope_interleaved,
+            max_seq_len=cfg.max_seq_len,
+        )
+
+
+def _register(cls):
+    fields = cls.__dataclass_fields__
+    names = tuple(fields)
+
+    def flatten(obj):
+        return tuple(getattr(obj, nm) for nm in names), None
+
+    def unflatten(_, children):
+        return cls(*children)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_register
+@dataclass
+class LayerWeights:
+    """One transformer block's weights (the 7 matrices + 2 norms;
+    ref streamer.cu:257-260 packs the same 7)."""
+
+    attn_norm: jnp.ndarray
+    wq: QLinear
+    wk: QLinear
+    wv: QLinear
+    wo: QLinear
+    ffn_norm: jnp.ndarray
+    w_gate: QLinear
+    w_up: QLinear
+    w_down: QLinear
+
+
+@_register
+@dataclass
+class KVCache:
+    k: jnp.ndarray  # [L, S, Hkv, D]
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, arch: Arch, dtype=jnp.bfloat16, n_layers: int | None = None):
+        shape = (n_layers if n_layers is not None else arch.n_layers,
+                 arch.max_seq_len, arch.n_kv_heads, arch.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+@_register
+@dataclass
+class ModelWeights:
+    embed: QLinear            # token_embd, transposed planes [H, V]
+    layers: LayerWeights      # stacked: every leaf has leading [L]
+    output_norm: jnp.ndarray
+    lm_head: QLinear          # output.weight, or embed when tied
+    rope_cos: jnp.ndarray     # [max_seq, D/2]
+    rope_sin: jnp.ndarray
+
+
+def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t):
+    """One transformer block. x [T, H] f32; kv [S, Hkv, D]; pos scalar."""
+    T = x.shape[0]
+    Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
+    h = rms_norm(x, lw.attn_norm, arch.norm_eps).astype(jnp.bfloat16)
+    q = qmatmul(h, lw.wq).reshape(T, Hq, D)
+    k = qmatmul(h, lw.wk).reshape(T, Hkv, D)
+    v = qmatmul(h, lw.wv).reshape(T, Hkv, D)
+    q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
+    k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k.astype(kv_k.dtype), (pos, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v.astype(kv_v.dtype), (pos, 0, 0))
+    att = attention_jnp(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
+    x = x + qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo)
+    hf = rms_norm(x, lw.ffn_norm, arch.norm_eps).astype(jnp.bfloat16)
+    g = qmatmul(hf, lw.w_gate)
+    u = qmatmul(hf, lw.w_up)
+    x = x + qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down)
+    return x, kv_k, kv_v
+
+
+@partial(jax.jit, static_argnames=("arch", "all_logits", "with_cosine"),
+         donate_argnames=("kv",))
+def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
+            tokens: jnp.ndarray, pos, layer_sel: jnp.ndarray | None = None,
+            all_logits: bool = False, with_cosine: bool = False):
+    """Forward pass over a (subset of) the layer stack.
+
+    tokens [T] int32; pos scalar int32 (write offset into the KV cache).
+    layer_sel [Ls] int32 — indices of layers to run, in order. None = all.
+    Returns (logits [T or 1, V] f32, new KVCache, cos [L] f32 or None).
+
+    layer_sel implements the reference's layer-skip schedule rebuild
+    (transformer.cpp:831-835) and forward_draft's tier-A prefix
+    (transformer.cpp:1067-1125) with a weight/KV gather instead of control
+    flow — the gathered scan recompiles nothing.
+    """
+    T = tokens.shape[0]
+    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32)
+    d2 = arch.head_dim // 2
+    cos_t = jax.lax.dynamic_slice(weights.rope_cos, (pos, 0), (T, d2))
+    sin_t = jax.lax.dynamic_slice(weights.rope_sin, (pos, 0), (T, d2))
+
+    layers = weights.layers
+    kv_k, kv_v = kv.k, kv.v
+    if layer_sel is not None:
+        layers = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), layers)
+        kv_k = jnp.take(kv_k, layer_sel, axis=0)
+        kv_v = jnp.take(kv_v, layer_sel, axis=0)
+
+    def body(carry, inp):
+        x = carry
+        lw, kk, vv = inp
+        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t)
+        cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
+        return x2, (kk, vv, cos)
+
+    x, (new_k, new_v, cosines) = jax.lax.scan(body, x, (layers, kv_k, kv_v))
+
+    if layer_sel is not None:
+        new_k = kv.k.at[layer_sel].set(new_k)
+        new_v = kv.v.at[layer_sel].set(new_v)
+
+    x = rms_norm(x, weights.output_norm, arch.norm_eps)
+    sel = x if all_logits else x[-1:]
+    logits = qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
+    return logits, KVCache(new_k, new_v), (cosines if with_cosine else None)
+
+
+def _cosine(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cosine similarity of flattened hiddens (ref: elementwise.cu:47-84,
+    drives layer-skip calibration and early-exit)."""
+    af = a.astype(jnp.float32).ravel()
+    bf = b.astype(jnp.float32).ravel()
+    num = jnp.dot(af, bf)
+    den = jnp.sqrt(jnp.dot(af, af) * jnp.dot(bf, bf)) + 1e-12
+    return num / den

@@ -1,0 +1,124 @@
+"""GGUF → device weights loader.
+
+Equivalent in capability to the reference's Transformer::load resident path
+(src/model/transformer.cpp:59-190): parses the GGUF, builds the model config
+from metadata, re-layouts every tensor into TPU planar form (core/layout.py)
+or dequantizes to bf16 ("slow but correct" mode), and places arrays on
+device. Tied embeddings fall back to token_embd for the LM head
+(transformer.cpp:92-99).
+
+Streaming/tiered loading lives in memory/streamer.py; this module also
+exposes per-layer host loading for it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dequant import dequantize
+from ..core.dtypes import DType
+from ..core.gguf import GGUFReader
+from ..core.layout import LAYOUTS, relayout
+from ..inference.tokenizer import Tokenizer
+from ..ops.layers import rope_table
+from ..ops.linear import QLinear
+from .config import ModelConfig
+from .llama import Arch, LayerWeights, ModelWeights, stack_layers
+
+LAYER_TENSORS = ("attn_q", "attn_k", "attn_v", "attn_output",
+                 "ffn_gate", "ffn_up", "ffn_down")
+
+
+def load_qlinear_host(reader: GGUFReader, name: str,
+                      compute: str = "quant") -> QLinear:
+    """Load one weight matrix as host-side planes (numpy)."""
+    info = reader.info(name)
+    n, k = info.shape  # file rows = out_features
+    raw = reader.raw_bytes(name)
+    if compute == "bf16" or info.dtype not in LAYOUTS:
+        w = dequantize(raw, info.dtype, n, k)  # [N, K] f32
+        wt = np.ascontiguousarray(w.T).astype(jnp.bfloat16)
+        return QLinear(DType.BF16, k, n, {"w": wt})
+    planes = relayout(raw, info.dtype, n, k)
+    return QLinear(info.dtype, k, n, planes)
+
+
+def _to_device(ql: QLinear, sharding=None) -> QLinear:
+    planes = {nm: jax.device_put(v, sharding and sharding.get(nm))
+              for nm, v in ql.planes.items()}
+    return QLinear(ql.dtype, ql.k, ql.n, planes)
+
+
+def load_norm(reader: GGUFReader, name: str) -> np.ndarray:
+    info = reader.info(name)
+    raw = reader.raw_bytes(name)
+    n_elems = int(np.prod(info.shape))
+    return dequantize(raw, info.dtype, 1, n_elems).reshape(-1)
+
+
+def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> LayerWeights:
+    """One layer's weights on host (used by both resident load and the
+    tier-B/C staging path)."""
+    pre = f"blk.{i}."
+    return LayerWeights(
+        attn_norm=load_norm(reader, pre + "attn_norm.weight"),
+        wq=load_qlinear_host(reader, pre + "attn_q.weight", compute),
+        wk=load_qlinear_host(reader, pre + "attn_k.weight", compute),
+        wv=load_qlinear_host(reader, pre + "attn_v.weight", compute),
+        wo=load_qlinear_host(reader, pre + "attn_output.weight", compute),
+        ffn_norm=load_norm(reader, pre + "ffn_norm.weight"),
+        w_gate=load_qlinear_host(reader, pre + "ffn_gate.weight", compute),
+        w_up=load_qlinear_host(reader, pre + "ffn_up.weight", compute),
+        w_down=load_qlinear_host(reader, pre + "ffn_down.weight", compute),
+    )
+
+
+@dataclass
+class LoadedModel:
+    config: ModelConfig
+    arch: Arch
+    weights: ModelWeights
+    tokenizer: Tokenizer | None
+    reader: GGUFReader
+
+    @property
+    def nbytes(self) -> int:
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree.leaves(self.weights))
+
+
+def load_model(path: str, *, max_seq_len: int | None = None,
+               compute: str = "quant", n_layers: int | None = None,
+               with_tokenizer: bool = True) -> LoadedModel:
+    """Load a GGUF model fully resident in device memory.
+
+    compute: "quant" keeps quantized planes (Pallas kernels dequant on the
+    fly); "bf16" dequantizes at load (reference's resident-f16 analogue).
+    n_layers limits the stack (debug / draft experiments).
+    """
+    reader = GGUFReader(path)
+    cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
+    if n_layers is not None:
+        cfg.n_layers = n_layers
+    arch = Arch.from_config(cfg)
+
+    embed = _to_device(load_qlinear_host(reader, "token_embd.weight", compute))
+    layers = []
+    for i in range(cfg.n_layers):
+        layers.append(jax.tree.map(jnp.asarray, load_layer_host(reader, i, compute)))
+    stacked = stack_layers(layers)
+    output_norm = jnp.asarray(load_norm(reader, "output_norm.weight"))
+    if "output.weight" in reader:
+        lm_head = _to_device(load_qlinear_host(reader, "output.weight", compute))
+    else:
+        lm_head = embed  # tied embeddings (transformer.cpp:92-99)
+    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
+
+    weights = ModelWeights(embed=embed, layers=stacked,
+                           output_norm=output_norm, lm_head=lm_head,
+                           rope_cos=cos, rope_sin=sin)
+    tok = Tokenizer.from_gguf_metadata(reader.metadata) if with_tokenizer else None
+    return LoadedModel(cfg, arch, weights, tok, reader)

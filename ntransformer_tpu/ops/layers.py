@@ -1,0 +1,81 @@
+"""Elementwise transformer ops: RMSNorm, RoPE, SwiGLU, attention (jnp).
+
+These are deliberately plain jnp — XLA fuses them into adjacent matmuls
+(SURVEY.md §7: "RMSNorm/RoPE/SwiGLU → jnp ops fused by XLA"). Attention has
+a Pallas flash path in ops/pallas/attention.py; this module holds the
+reference jnp implementation used on CPU and for parity tests.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm in f32 accumulation (ref: src/cuda/rmsnorm.cu)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_table(max_seq: int, head_dim: int, theta: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precomputed (cos, sin) tables [max_seq, head_dim//2], f32."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(max_seq, dtype=jnp.float32)
+    ang = jnp.outer(t, inv_freq)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+               interleaved: bool = False) -> jnp.ndarray:
+    """Rotary embedding. x [T, H, D]; cos/sin [T, D/2].
+
+    Llama pairs (i, i+D/2) by default; interleaved (2i, 2i+1) GPT-NeoX
+    variant matches ref src/cuda/rotary.cu:65-107.
+    """
+    d2 = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    if interleaved:
+        x0 = xf[..., 0::2]
+        x1 = xf[..., 1::2]
+        r0 = x0 * c - x1 * s
+        r1 = x0 * s + x1 * c
+        out = jnp.stack([r0, r1], axis=-1).reshape(x.shape)
+    else:
+        x0 = xf[..., :d2]
+        x1 = xf[..., d2:]
+        r0 = x0 * c - x1 * s
+        r1 = x0 * s + x1 * c
+        out = jnp.concatenate([r0, r1], axis=-1)
+    return out.astype(x.dtype)
+
+
+def swiglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    """silu(gate) * up (ref: src/cuda/gemm.cu:699-725)."""
+    g = gate.astype(jnp.float32)
+    return (g * jax.nn.sigmoid(g) * up.astype(jnp.float32))
+
+
+def attention_jnp(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                  pos_start, q_len: int, scale: float) -> jnp.ndarray:
+    """Masked GQA attention over the full KV cache buffer.
+
+    q [T, Hq, D]; k_cache/v_cache [S, Hkv, D] (padded to max_seq).
+    Causal: query t attends keys [0, pos_start + t]. Returns [T, Hq, D] f32.
+    """
+    T, Hq, D = q.shape
+    S, Hkv, _ = k_cache.shape
+    group = Hq // Hkv
+    qf = q.astype(jnp.float32).reshape(T, Hkv, group, D)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("thgd,shd->hgts", qf, kf) * scale  # [Hkv, g, T, S]
+    key_pos = jnp.arange(S)[None, :]
+    q_pos = pos_start + jnp.arange(T)[:, None]
+    mask = key_pos <= q_pos  # [T, S]
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hgts,shd->thgd", probs, vf)
+    return out.reshape(T, Hq, D)

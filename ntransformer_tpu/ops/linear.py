@@ -1,0 +1,96 @@
+"""Quantized linear layers: the QLinear pytree and matmul dispatch.
+
+A QLinear holds the transposed planar arrays of one weight matrix
+(core/layout.py). `qmatmul` dispatches to the fused dequant+matmul Pallas
+kernel on TPU (ops/pallas/matmul.py) or a jnp fallback that materializes the
+dequantized tile (used on CPU tests and for tiny shapes).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import DType
+from ..core.layout import LAYOUTS, SPLIT_UNIT
+from .dequant_jnp import dequant_planes_jnp
+
+_FLOAT_KINDS = (DType.F16, DType.BF16, DType.F32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QLinear:
+    """One weight matrix as transposed planes; y = x @ W^T in file terms,
+    i.e. x [T, K] → y [T, N] with planes stored [K-ish, N]."""
+
+    dtype: DType
+    k: int
+    n: int
+    planes: dict
+
+    def tree_flatten(self):
+        names = self.plane_names(self.dtype)
+        return tuple(self.planes[nm] for nm in names), (self.dtype, self.k, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dtype, k, n = aux
+        names = cls.plane_names(dtype)
+        return cls(dtype, k, n, dict(zip(names, children)))
+
+    @staticmethod
+    def plane_names(dtype: DType) -> tuple[str, ...]:
+        if dtype in _FLOAT_KINDS:
+            return ("w",)
+        return tuple(s.name for s in LAYOUTS[dtype])
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(v.size) * v.dtype.itemsize for v in self.planes.values())
+
+
+def split_x_jnp(x: jnp.ndarray, dtype: DType):
+    """jnp twin of core.layout.split_x (reshape-only activation reorder)."""
+    u = SPLIT_UNIT[dtype]
+    k = x.shape[-1]
+    xs = x.reshape(*x.shape[:-1], k // u, u)
+    lead = x.shape[:-1]
+    return (xs[..., : u // 2].reshape(*lead, k // 2),
+            xs[..., u // 2:].reshape(*lead, k // 2))
+
+
+def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
+            out_dtype=jnp.float32) -> jnp.ndarray:
+    """y[T, N] = x[T, K] @ W^T. Dispatches Pallas kernel vs jnp fallback."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu" and ql.dtype not in _FLOAT_KINDS
+    if ql.dtype in _FLOAT_KINDS:
+        w = ql.planes["w"]
+        return jnp.dot(x.astype(w.dtype), w,
+                       preferred_element_type=jnp.float32).astype(out_dtype)
+    if use_kernel:
+        from .pallas.matmul import quant_matmul_pallas
+        return quant_matmul_pallas(x, ql, out_dtype=out_dtype)
+    w = dequant_planes_jnp(ql.planes, ql.dtype, ql.k, ql.n, out_dtype=jnp.bfloat16)
+    return jnp.dot(x.astype(jnp.bfloat16), w,
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def gather_columns(ql: QLinear, ids: jnp.ndarray) -> QLinear:
+    """Select output columns (lane dim) of a QLinear — used to gather token
+    embedding columns from a transposed [K, V] table."""
+    new_planes = {k: jnp.take(v, ids, axis=1) for k, v in ql.planes.items()}
+    return QLinear(ql.dtype, ql.k, int(ids.shape[0]), new_planes)
+
+
+def embed_lookup(table: QLinear, token_ids: jnp.ndarray,
+                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequantized embedding rows [T, K] gathered from the transposed
+    [K, V] table (shared with the LM head when embeddings are tied —
+    the reference's tied-embedding fallback, transformer.cpp:92-99)."""
+    sub = gather_columns(table, token_ids)
+    w = dequant_planes_jnp(sub.planes, sub.dtype, sub.k, sub.n,
+                           out_dtype=out_dtype)  # [K, T]
+    return w.T

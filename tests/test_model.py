@@ -1,0 +1,117 @@
+"""End-to-end model tests on a synthesized tiny GGUF.
+
+Covers the reference's manual validation strategy (SURVEY.md §4) with real
+asserts: quant-vs-bf16 logit parity, prefill-vs-incremental-decode
+consistency (the "bit-identical streaming vs resident" check,
+docs/DEVELOPMENT.md:185), verify-mode all-position logits, and draft-prefix
+subsets.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntransformer_tpu.models.llama import KVCache, forward
+from ntransformer_tpu.models.loader import load_model
+from tools.make_test_gguf import write_model
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny_q8.gguf"
+    write_model(str(path), "tiny", "q8_0", seed=1)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def model_quant(tiny_gguf):
+    return load_model(tiny_gguf, compute="quant")
+
+
+@pytest.fixture(scope="module")
+def model_bf16(tiny_gguf):
+    return load_model(tiny_gguf, compute="bf16")
+
+
+def test_config_from_metadata(model_quant):
+    cfg = model_quant.config
+    assert cfg.hidden_size == 256
+    assert cfg.n_layers == 4
+    assert cfg.n_heads == 4 and cfg.n_kv_heads == 2
+    assert cfg.group_size == 2 and cfg.is_gqa
+
+
+def test_forward_shapes(model_quant):
+    m = model_quant
+    kv = KVCache.create(m.arch)
+    tokens = jnp.array([1, 5, 9], dtype=jnp.int32)
+    logits, kv2, _ = forward(m.arch, m.weights, kv, tokens, 0)
+    assert logits.shape == (1, m.config.vocab_size)
+    assert kv2.k.shape == kv.k.shape
+    logits_all, _, _ = forward(m.arch, m.weights, KVCache.create(m.arch),
+                               tokens, 0, all_logits=True)
+    assert logits_all.shape == (3, m.config.vocab_size)
+    # last row of verify logits == decode logits
+    np.testing.assert_allclose(np.asarray(logits_all[-1]),
+                               np.asarray(logits[0]), rtol=2e-3, atol=2e-3)
+
+
+def test_quant_matches_bf16(model_quant, model_bf16):
+    tokens = jnp.array([1, 7, 12, 3], dtype=jnp.int32)
+    lq, _, _ = forward(model_quant.arch, model_quant.weights,
+                       KVCache.create(model_quant.arch), tokens, 0)
+    lb, _, _ = forward(model_bf16.arch, model_bf16.weights,
+                       KVCache.create(model_bf16.arch), tokens, 0)
+    # bf16 rounding of dequantized weights is the only difference
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lb),
+                               rtol=0.05, atol=0.05)
+
+
+def test_prefill_vs_incremental(model_quant):
+    """Feeding tokens one-by-one must produce the same final logits as a
+    single prefill (KV cache correctness)."""
+    m = model_quant
+    tokens = [1, 5, 9, 14, 21]
+    lp, _, _ = forward(m.arch, m.weights, KVCache.create(m.arch),
+                       jnp.asarray(tokens, dtype=jnp.int32), 0)
+    kv = KVCache.create(m.arch)
+    for i, t in enumerate(tokens):
+        li, kv, _ = forward(m.arch, m.weights, kv,
+                            jnp.asarray([t], dtype=jnp.int32), i)
+    np.testing.assert_allclose(np.asarray(lp[0]), np.asarray(li[0]),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_layer_subset_draft(model_quant):
+    """layer_sel with a prefix = forward_draft (tier-A draft)."""
+    m = model_quant
+    tokens = jnp.array([2, 4], dtype=jnp.int32)
+    sel = jnp.array([0, 1], dtype=jnp.int32)
+    logits, kv2, _ = forward(m.arch, m.weights, KVCache.create(m.arch),
+                             tokens, 0, layer_sel=sel)
+    assert logits.shape == (1, m.config.vocab_size)
+    # only the selected layers' caches were written
+    assert np.abs(np.asarray(kv2.k[2])).max() == 0
+    assert np.abs(np.asarray(kv2.k[0])).max() > 0
+
+
+def test_cosine_calibration_output(model_quant):
+    m = model_quant
+    tokens = jnp.array([3], dtype=jnp.int32)
+    _, _, cos = forward(m.arch, m.weights, KVCache.create(m.arch), tokens, 0,
+                        with_cosine=True)
+    cos = np.asarray(cos)
+    assert cos.shape == (m.config.n_layers,)
+    assert np.all(cos > -1.0001) and np.all(cos < 1.0001)
+
+
+def test_q4_k_m_mixed_model(tmp_path):
+    path = tmp_path / "tiny_q4km.gguf"
+    write_model(str(path), "tiny", "q4_k_m", seed=2)
+    m = load_model(str(path), compute="quant")
+    # mixed per-tensor dtypes: ffn_down should be Q6_K, attn Q4_K
+    from ntransformer_tpu.core import DType
+    assert m.reader.info("blk.0.ffn_down.weight").dtype == DType.Q6_K
+    assert m.reader.info("blk.0.attn_q.weight").dtype == DType.Q4_K
+    tokens = jnp.array([1, 8], dtype=jnp.int32)
+    logits, _, _ = forward(m.arch, m.weights, KVCache.create(m.arch), tokens, 0)
+    assert np.isfinite(np.asarray(logits)).all()
