@@ -1,0 +1,358 @@
+"""Inference engine: generation loops over the functional model.
+
+Capability parity with the reference Engine (src/inference/engine.cpp):
+  generate                — prefill → sample → decode loop (engine.cpp:40-145)
+  generate_speculative    — separate draft model, greedy K-token draft,
+                            verify forward, longest-prefix accept + anchor
+                            trick (engine.cpp:150-351)
+  generate_self_speculative — draft = resident layer prefix (engine.cpp:357-545)
+  chat                    — stateless REPL (engine.cpp:547-571)
+  benchmark               — greedy timing run (engine.cpp:573-593)
+  layer-skip              — cosine calibration on the first decode token →
+                            permanent skip schedule (transformer.cpp:46-53)
+
+TPU-native differences: sampling runs on-device (4-byte D2H per token instead
+of the reference's full-vocab logits copy), prefill lengths are bucketed
+(powers of two) with valid-length masking so jit compiles a bounded set of
+shapes, and benchmark mode can run the whole decode loop on-device
+(lax.scan) so host/tunnel round-trips don't pollute tok/s.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import Arch, KVCache, forward
+from ..models.loader import LoadedModel, load_model
+from .sampler import Sampler, SamplerConfig
+
+
+@dataclass
+class GenerateConfig:
+    """ref: engine.h:17-26."""
+
+    max_tokens: int = 128
+    temperature: float = 0.8
+    top_k: int = 40
+    top_p: float = 0.95
+    repeat_penalty: float = 1.1
+    seed: int = 42
+    draft_k: int = 4
+    skip_threshold: float = 0.0  # >0 enables layer-skip calibration
+    early_exit_threshold: float = 0.0  # capability flag (measured no-op on 70B)
+
+    def sampler(self) -> SamplerConfig:
+        return SamplerConfig(temperature=self.temperature, top_k=self.top_k,
+                             top_p=self.top_p, repeat_penalty=self.repeat_penalty,
+                             seed=self.seed)
+
+
+@dataclass
+class Stats:
+    """ref: engine.h:76-84."""
+
+    prefill_tokens: int = 0
+    prefill_ms: float = 0.0
+    decode_tokens: int = 0
+    decode_ms: float = 0.0
+    accepted: int = 0
+    drafted: int = 0
+    skipped_layers: list = field(default_factory=list)
+
+    @property
+    def prefill_tps(self) -> float:
+        return self.prefill_tokens / self.prefill_ms * 1e3 if self.prefill_ms else 0.0
+
+    @property
+    def decode_tps(self) -> float:
+        return self.decode_tokens / self.decode_ms * 1e3 if self.decode_ms else 0.0
+
+    def report(self) -> str:
+        lines = [f"prefill: {self.prefill_tokens} tok in {self.prefill_ms:.1f} ms "
+                 f"({self.prefill_tps:.2f} tok/s)",
+                 f"decode:  {self.decode_tokens} tok in {self.decode_ms:.1f} ms "
+                 f"({self.decode_tps:.2f} tok/s)"]
+        if self.drafted:
+            lines.append(f"speculative: {self.accepted}/{self.drafted} accepted "
+                         f"({100.0 * self.accepted / self.drafted:.1f}%)")
+        if self.skipped_layers:
+            lines.append(f"layer-skip: {len(self.skipped_layers)} skipped "
+                         f"{self.skipped_layers}")
+        return "\n".join(lines)
+
+
+def _bucket(n: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+class Engine:
+    """High-level generation engine over a loaded model."""
+
+    def __init__(self, model: LoadedModel, draft: LoadedModel | None = None):
+        self.model = model
+        self.draft = draft
+        self.arch = model.arch
+        self.tokenizer = model.tokenizer
+        self.layer_sel: np.ndarray | None = None  # layer-skip schedule
+
+    @classmethod
+    def load(cls, path: str, draft_path: str | None = None, **kw) -> "Engine":
+        draft = load_model(draft_path, **kw) if draft_path else None
+        return cls(load_model(path, **kw), draft)
+
+    # --- internals ----------------------------------------------------------
+    def _sel(self):
+        if self.layer_sel is None:
+            return None
+        return jnp.asarray(self.layer_sel, dtype=jnp.int32)
+
+    def _prefill(self, kv: KVCache, tokens: list[int], model=None,
+                 with_cosine=False):
+        """Bucketed prefill; returns (last logits [1, V], kv, cosines)."""
+        m = model or self.model
+        t = len(tokens)
+        p = _bucket(t)
+        padded = np.zeros(p, dtype=np.int32)
+        padded[:t] = tokens
+        logits, kv, cos = forward(
+            m.arch, m.weights, kv, jnp.asarray(padded), 0,
+            layer_sel=self._sel() if m is self.model else None,
+            n_valid=t, with_cosine=with_cosine)
+        return logits, kv, cos
+
+    def _decode_step(self, kv: KVCache, token, pos: int, model=None,
+                     with_cosine=False, layer_sel=None):
+        m = model or self.model
+        tok = jnp.reshape(jnp.asarray(token, dtype=jnp.int32), (1,))
+        sel = layer_sel if layer_sel is not None else (
+            self._sel() if m is self.model else None)
+        return forward(m.arch, m.weights, kv, tok, pos, layer_sel=sel,
+                       with_cosine=with_cosine)
+
+    def _calibrate(self, cosines: np.ndarray, threshold: float) -> list[int]:
+        """Layer-skip calibration: skip middle-band layers with cosine above
+        threshold (transformer.cpp:822-834, middle 50% band)."""
+        n = self.arch.n_layers
+        lo, hi = n // 4, (3 * n) // 4
+        skip = [i for i in range(lo, hi) if float(cosines[i]) > threshold]
+        self.layer_sel = np.array([i for i in range(n) if i not in skip],
+                                  dtype=np.int32)
+        return skip
+
+    # --- public API -----------------------------------------------------------
+    def generate(self, prompt: str, cfg: GenerateConfig | None = None,
+                 callback=None) -> tuple[str, Stats]:
+        cfg = cfg or GenerateConfig()
+        stats = Stats()
+        tok = self.tokenizer
+        sampler = Sampler(cfg.sampler(), self.arch.vocab_size)
+        ids = tok.encode(prompt, add_bos=True)
+        max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids))
+        kv = KVCache.create(self.arch)
+
+        t0 = time.perf_counter()
+        calibrate = cfg.skip_threshold > 0 and self.layer_sel is None
+        logits, kv, cos = self._prefill(kv, ids, with_cosine=calibrate)
+        next_tok = sampler.sample(logits[0])
+        jax.block_until_ready(next_tok)
+        stats.prefill_tokens = len(ids)
+        stats.prefill_ms = (time.perf_counter() - t0) * 1e3
+        if calibrate:
+            stats.skipped_layers = self._calibrate(np.asarray(cos),
+                                                   cfg.skip_threshold)
+
+        out_ids: list[int] = []
+        pos = len(ids)
+        t0 = time.perf_counter()
+        for _ in range(max_new):
+            tid = int(next_tok)
+            out_ids.append(tid)
+            sampler.observe(tid)
+            if callback:
+                callback(tok.decode_token(tid))
+            if tid == tok.eos_id:
+                break
+            if pos >= self.arch.max_seq_len:
+                break
+            logits, kv, _ = self._decode_step(kv, next_tok, pos)
+            next_tok = sampler.sample(logits[0])
+            pos += 1
+        jax.block_until_ready(logits)
+        stats.decode_tokens = len(out_ids)
+        stats.decode_ms = (time.perf_counter() - t0) * 1e3
+        return tok.decode(out_ids), stats
+
+    # --- speculative decoding -------------------------------------------------
+    def generate_speculative(self, prompt: str, cfg: GenerateConfig | None = None,
+                             callback=None) -> tuple[str, Stats]:
+        """Greedy speculative decoding with a separate draft model
+        (engine.cpp:150-351)."""
+        if self.draft is None:
+            raise ValueError("no draft model loaded")
+        return self._speculate(prompt, cfg, callback, self_spec=False)
+
+    def generate_self_speculative(self, prompt: str,
+                                  cfg: GenerateConfig | None = None,
+                                  callback=None,
+                                  draft_layers: int | None = None
+                                  ) -> tuple[str, Stats]:
+        """Self-speculative: the first `draft_layers` of the model act as the
+        draft (reference: tier-A resident prefix, engine.cpp:357-545)."""
+        return self._speculate(prompt, cfg, callback, self_spec=True,
+                               draft_layers=draft_layers or max(
+                                   1, self.arch.n_layers // 2))
+
+    def _speculate(self, prompt: str, cfg, callback, self_spec: bool,
+                   draft_layers: int | None = None) -> tuple[str, Stats]:
+        cfg = cfg or GenerateConfig()
+        stats = Stats()
+        tok = self.tokenizer
+        ids = tok.encode(prompt, add_bos=True)
+        K = cfg.draft_k
+        kv = KVCache.create(self.arch)
+
+        if self_spec:
+            draft_model = self.model
+            draft_sel = jnp.arange(draft_layers, dtype=jnp.int32)
+            draft_kv = None  # self-spec shares the main cache
+        else:
+            draft_model = self.draft
+            draft_sel = None
+            draft_kv = KVCache.create(draft_model.arch)
+
+        t0 = time.perf_counter()
+        logits, kv, _ = self._prefill(kv, ids)
+        if not self_spec:
+            _, draft_kv, _ = self._prefill(draft_kv, ids, model=draft_model)
+        anchor = int(jnp.argmax(logits[0]))
+        jax.block_until_ready(logits)
+        stats.prefill_tokens = len(ids)
+        stats.prefill_ms = (time.perf_counter() - t0) * 1e3
+
+        out_ids = [anchor]
+        if callback:
+            callback(tok.decode_token(anchor))
+        pos = len(ids)  # anchor token occupies position pos during verify
+        max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids) - K - 2)
+
+        t0 = time.perf_counter()
+        while len(out_ids) < max_new and out_ids[-1] != tok.eos_id:
+            # DRAFT: K greedy tokens from the draft
+            drafts = []
+            dt = out_ids[-1]
+            for j in range(K):
+                if self_spec:
+                    dl, kv, _ = self._decode_step(kv, dt, pos + j,
+                                                  layer_sel=draft_sel)
+                else:
+                    dl, draft_kv, _ = self._decode_step(
+                        draft_kv, dt, pos + j, model=draft_model,
+                        layer_sel=draft_sel)
+                dt = int(jnp.argmax(dl[0]))
+                drafts.append(dt)
+            # VERIFY: [anchor, d0..dK-1] through the full model — the anchor
+            # re-feed means no KV rollback is ever needed (engine.cpp:150-351)
+            vt = jnp.asarray([out_ids[-1]] + drafts, dtype=jnp.int32)
+            vlogits, kv, _ = forward(self.arch, self.model.weights, kv, vt,
+                                     pos, layer_sel=self._sel(),
+                                     all_logits=True)
+            targets = np.asarray(jnp.argmax(vlogits, axis=-1))  # [K+1]
+            # ACCEPT longest prefix, emit correction/bonus (engine.cpp:439-521)
+            n_acc = 0
+            emitted = []
+            for j in range(K):
+                if targets[j] == drafts[j]:
+                    emitted.append(drafts[j])
+                    n_acc += 1
+                else:
+                    break
+            emitted.append(int(targets[n_acc]))  # correction or bonus token
+            stats.drafted += K
+            stats.accepted += n_acc
+            if n_acc == K and not self_spec:
+                # full accept: backfill the draft cache's missing position
+                # for d_{K-1} so its KV stays contiguous
+                _, draft_kv, _ = self._decode_step(
+                    draft_kv, drafts[-1], pos + K, model=draft_model,
+                    layer_sel=draft_sel)
+            for t in emitted:
+                out_ids.append(t)
+                if callback:
+                    callback(tok.decode_token(t))
+                if t == tok.eos_id:
+                    break
+            pos += n_acc + 1
+        stats.decode_tokens = len(out_ids)
+        stats.decode_ms = (time.perf_counter() - t0) * 1e3
+        return tok.decode(out_ids), stats
+
+    # --- chat / benchmark -------------------------------------------------------
+    def chat(self, cfg: GenerateConfig | None = None, input_fn=input, print_fn=print):
+        """Stateless chat REPL (engine.cpp:547-571)."""
+        print_fn("Chat mode. Empty line or 'exit' to quit.")
+        while True:
+            try:
+                line = input_fn("> ")
+            except EOFError:
+                break
+            if not line or line.strip() == "exit":
+                break
+            text, stats = self.generate(line, cfg)
+            print_fn(text)
+            print_fn(f"[{stats.decode_tps:.2f} tok/s]")
+
+    def benchmark(self, prompt: str = "The capital of France is",
+                  n_tokens: int = 64, on_device_loop: bool = True) -> Stats:
+        """Greedy benchmark (engine.cpp:573-593). With on_device_loop the
+        entire decode loop runs in one jit (no host round-trips)."""
+        cfg = GenerateConfig(max_tokens=n_tokens, temperature=0.0,
+                             repeat_penalty=1.0)
+        if not on_device_loop:
+            _, stats = self.generate(prompt, cfg)
+            return stats
+        stats = Stats()
+        ids = self.tokenizer.encode(prompt, add_bos=True)
+        kv = KVCache.create(self.arch)
+        t0 = time.perf_counter()
+        logits, kv, _ = self._prefill(kv, ids)
+        first = jnp.argmax(logits[0]).astype(jnp.int32)
+        jax.block_until_ready(first)
+        stats.prefill_tokens = len(ids)
+        stats.prefill_ms = (time.perf_counter() - t0) * 1e3
+
+        # compile the fused decode loop (excluded from timing via warmup)
+        toks, kv = _decode_loop_greedy(self.arch, self.model.weights, kv,
+                                       first, len(ids), 2)
+        jax.block_until_ready(toks)
+        t0 = time.perf_counter()
+        toks, kv = _decode_loop_greedy(self.arch, self.model.weights, kv,
+                                       first, len(ids) + 2, n_tokens)
+        jax.block_until_ready(toks)
+        stats.decode_tokens = n_tokens
+        stats.decode_ms = (time.perf_counter() - t0) * 1e3
+        return stats
+
+
+@partial(jax.jit, static_argnames=("arch", "n_steps"), donate_argnames=("kv",))
+def _decode_loop_greedy(arch: Arch, weights, kv: KVCache, token, pos0,
+                        n_steps: int):
+    """Fully on-device greedy decode loop: one jit, zero host round-trips."""
+
+    def step(carry, i):
+        kv, token = carry
+        logits, kv, _ = forward.__wrapped__(arch, weights, kv,
+                                            token[None], pos0 + i)
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        return (kv, nxt), nxt
+
+    (kv, _), toks = jax.lax.scan(step, (kv, token),
+                                 jnp.arange(n_steps, dtype=jnp.int32))
+    return toks, kv

@@ -116,8 +116,14 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t):
-    """One transformer block. x [T, H] f32; kv [S, Hkv, D]; pos scalar."""
+def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
+               n_valid=None):
+    """One transformer block. x [T, H] f32; kv [S, Hkv, D]; pos scalar.
+
+    n_valid (traced scalar or None): with bucketed prefill, only the first
+    n_valid tokens write their K/V — padding rows keep the cache's previous
+    contents so later positions never attend garbage.
+    """
     T = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
     h = rms_norm(x, lw.attn_norm, arch.norm_eps).astype(jnp.bfloat16)
@@ -126,8 +132,14 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t):
     v = qmatmul(h, lw.wv).reshape(T, Hkv, D)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k.astype(kv_k.dtype), (pos, 0, 0))
-    kv_v = jax.lax.dynamic_update_slice(kv_v, v.astype(kv_v.dtype), (pos, 0, 0))
+    k = k.astype(kv_k.dtype)
+    v = v.astype(kv_v.dtype)
+    if n_valid is not None:
+        keep = (jnp.arange(T) < n_valid)[:, None, None]
+        k = jnp.where(keep, k, jax.lax.dynamic_slice(kv_k, (pos, 0, 0), (T, Hkv, D)))
+        v = jnp.where(keep, v, jax.lax.dynamic_slice(kv_v, (pos, 0, 0), (T, Hkv, D)))
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (pos, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (pos, 0, 0))
     att = attention_jnp(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
     x = x + qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo)
     hf = rms_norm(x, lw.ffn_norm, arch.norm_eps).astype(jnp.bfloat16)
@@ -141,11 +153,12 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t):
          donate_argnames=("kv",))
 def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
             tokens: jnp.ndarray, pos, layer_sel: jnp.ndarray | None = None,
-            all_logits: bool = False, with_cosine: bool = False):
+            n_valid=None, all_logits: bool = False, with_cosine: bool = False):
     """Forward pass over a (subset of) the layer stack.
 
     tokens [T] int32; pos scalar int32 (write offset into the KV cache).
     layer_sel [Ls] int32 — indices of layers to run, in order. None = all.
+    n_valid — number of real (non-padding) tokens for bucketed prefill.
     Returns (logits [T or 1, V] f32, new KVCache, cos [L] f32 or None).
 
     layer_sel implements the reference's layer-skip schedule rebuild
@@ -169,7 +182,7 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
     def body(carry, inp):
         x = carry
         lw, kk, vv = inp
-        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t)
+        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t, n_valid)
         cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
         return x2, (kk, vv, cos)
 
@@ -180,7 +193,12 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
         new_v = kv.v.at[layer_sel].set(new_v)
 
     x = rms_norm(x, weights.output_norm, arch.norm_eps)
-    sel = x if all_logits else x[-1:]
+    if all_logits:
+        sel = x
+    elif n_valid is not None:
+        sel = jax.lax.dynamic_slice(x, (n_valid - 1, 0), (1, x.shape[1]))
+    else:
+        sel = x[-1:]
     logits = qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
     return logits, KVCache(new_k, new_v), (cosines if with_cosine else None)
 
