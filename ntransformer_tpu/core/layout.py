@@ -23,13 +23,13 @@ transposed, ARE the plane. Dot products are invariant to this consistent
 permutation of (x, W) pairs.
 
 Layouts (K = in_features, N = out_features):
-  q8_0: qs   int8 [K,   N]; d  f16 [K/32, N]                    (no reorder)
-  q4_0: qs  uint8 [K/2, N]; d  f16 [K/32, N]                    (unit 32)
+  q8_0: qs   int8 [K,   N]; d  u16(f16 bits) [K/32, N]          (no reorder)
+  q4_0: qs  uint8 [K/2, N]; d  u16(f16 bits) [K/32, N]          (unit 32)
   q4_k: qs  uint8 [K/2, N]; sc_lo/sc_hi/mn_lo/mn_hi uint8 [K/64, N];
-        d/dmin f16 [K/256, N]                                    (unit 64)
+        d/dmin u16(f16 bits) [K/256, N]                                    (unit 64)
   q5_k: q4_k planes + qh uint8 [K/8, N]                          (unit 64)
   q6_k: ql  uint8 [K/2, N]; qh uint8 [K/4, N];
-        sc_lo/sc_hi int8 [K/32, N]; d f16 [K/256, N]             (unit 128)
+        sc_lo/sc_hi int8 [K/32, N]; d u16 [K/256, N]             (unit 128)
   f16/bf16/f32: w bf16 [K, N]
 
 Bits/weight match the file format exactly (Q4_K 4.625, Q5_K 5.625, Q6_K
@@ -71,11 +71,11 @@ class PlaneSpec:
 LAYOUTS: dict[DType, tuple[PlaneSpec, ...]] = {
     DType.Q8_0: (
         PlaneSpec("qs", "int8", 1),
-        PlaneSpec("d", "float16", 32),
+        PlaneSpec("d", "uint16", 32),
     ),
     DType.Q4_0: (
         PlaneSpec("qs", "uint8", 2),
-        PlaneSpec("d", "float16", 32),
+        PlaneSpec("d", "uint16", 32),
     ),
     DType.Q4_K: (
         PlaneSpec("qs", "uint8", 2),
@@ -83,8 +83,8 @@ LAYOUTS: dict[DType, tuple[PlaneSpec, ...]] = {
         PlaneSpec("sc_hi", "uint8", 64),
         PlaneSpec("mn_lo", "uint8", 64),
         PlaneSpec("mn_hi", "uint8", 64),
-        PlaneSpec("d", "float16", 256),
-        PlaneSpec("dmin", "float16", 256),
+        PlaneSpec("d", "uint16", 256),
+        PlaneSpec("dmin", "uint16", 256),
     ),
     DType.Q5_K: (
         PlaneSpec("qs", "uint8", 2),
@@ -93,15 +93,15 @@ LAYOUTS: dict[DType, tuple[PlaneSpec, ...]] = {
         PlaneSpec("sc_hi", "uint8", 64),
         PlaneSpec("mn_lo", "uint8", 64),
         PlaneSpec("mn_hi", "uint8", 64),
-        PlaneSpec("d", "float16", 256),
-        PlaneSpec("dmin", "float16", 256),
+        PlaneSpec("d", "uint16", 256),
+        PlaneSpec("dmin", "uint16", 256),
     ),
     DType.Q6_K: (
         PlaneSpec("ql", "uint8", 2),
         PlaneSpec("qh", "uint8", 4),
         PlaneSpec("sc_lo", "int8", 32),
         PlaneSpec("sc_hi", "int8", 32),
-        PlaneSpec("d", "float16", 256),
+        PlaneSpec("d", "uint16", 256),
     ),
 }
 
@@ -119,7 +119,7 @@ def relayout(raw, dtype: DType, n: int, k: int) -> dict[str, np.ndarray]:
     if dtype == DType.Q8_0:
         nb = n * k // 32
         data = raw.reshape(nb, 34)
-        d = data[:, :2].copy().view(np.float16).reshape(n, k // 32)
+        d = data[:, :2].copy().view(np.uint16).reshape(n, k // 32)
         qs = data[:, 2:].view(np.int8).reshape(n, k)
         return {"qs": np.ascontiguousarray(qs.T),
                 "d": np.ascontiguousarray(d.T)}
@@ -127,7 +127,7 @@ def relayout(raw, dtype: DType, n: int, k: int) -> dict[str, np.ndarray]:
     if dtype == DType.Q4_0:
         nb = n * k // 32
         data = raw.reshape(nb, 18)
-        d = data[:, :2].copy().view(np.float16).reshape(n, k // 32)
+        d = data[:, :2].copy().view(np.uint16).reshape(n, k // 32)
         # File byte j of block b packs (elem 32b+j, elem 32b+16+j) — exactly
         # the (lo, hi) pair for split unit 32, so the raw bytes are the plane.
         qs = data[:, 2:].reshape(n, k // 2)
@@ -138,8 +138,8 @@ def relayout(raw, dtype: DType, n: int, k: int) -> dict[str, np.ndarray]:
         nb = n * k // 256
         bb = 144 if dtype == DType.Q4_K else 176
         data = raw.reshape(nb, bb)
-        d = data[:, 0:2].copy().view(np.float16).reshape(n, k // 256)
-        dmin = data[:, 2:4].copy().view(np.float16).reshape(n, k // 256)
+        d = data[:, 0:2].copy().view(np.uint16).reshape(n, k // 256)
+        dmin = data[:, 2:4].copy().view(np.uint16).reshape(n, k // 256)
         sc6, m6 = unpack_kquant_scales(data[:, 4:16])  # [nb, 8] uint8
         # Groups alternate lo/hi per 64-element chunk (sub-block 2c / 2c+1)
         sc = sc6.reshape(n, k // 256, 4, 2)
@@ -170,7 +170,7 @@ def relayout(raw, dtype: DType, n: int, k: int) -> dict[str, np.ndarray]:
         ql = data[:, 0:128].reshape(n, k // 2)
         qh = data[:, 128:192].reshape(n, k // 4)
         scales = data[:, 192:208].view(np.int8).reshape(n, k // 256, 2, 8)
-        d = data[:, 208:210].copy().view(np.float16).reshape(n, k // 256)
+        d = data[:, 208:210].copy().view(np.uint16).reshape(n, k // 256)
         # group index within sb = 8h + 2g + l//16; lo (j∈[0,64), g=j//32)
         # covers groups 8h..8h+3, hi covers 8h+4..8h+7 — contiguous per half.
         sc_lo = scales[..., 0:4].reshape(n, k // 32)
@@ -205,12 +205,12 @@ def dequant_planes(planes: dict[str, np.ndarray], dtype: DType,
                    k: int, n: int) -> np.ndarray:
     """Reconstruct W^T [K, N] f32 in ORIGINAL element order from planes."""
     if dtype == DType.Q8_0:
-        d = planes["d"].astype(np.float32)
+        d = planes["d"].view(np.float16).astype(np.float32)
         qs = planes["qs"].astype(np.float32)
         return qs * np.repeat(d, 32, axis=0)
 
     if dtype == DType.Q4_0:
-        d = np.repeat(planes["d"].astype(np.float32), 16, axis=0)
+        d = np.repeat(planes["d"].view(np.float16).astype(np.float32), 16, axis=0)
         qs = planes["qs"]
         lo = (qs & 0x0F).astype(np.float32) - 8.0
         hi = (qs >> 4).astype(np.float32) - 8.0
@@ -230,8 +230,8 @@ def dequant_planes(planes: dict[str, np.ndarray], dtype: DType,
             hb = _q5k_bits(qh, k, n)
             lo = lo + 16.0 * hb[0]
             hi = hi + 16.0 * hb[1]
-        d = np.repeat(planes["d"].astype(np.float32), 128, axis=0)
-        dmin = np.repeat(planes["dmin"].astype(np.float32), 128, axis=0)
+        d = np.repeat(planes["d"].view(np.float16).astype(np.float32), 128, axis=0)
+        dmin = np.repeat(planes["dmin"].view(np.float16).astype(np.float32), 128, axis=0)
         sc_lo = d * np.repeat(planes["sc_lo"].astype(np.float32), 32, axis=0)
         sc_hi = d * np.repeat(planes["sc_hi"].astype(np.float32), 32, axis=0)
         mn_lo = dmin * np.repeat(planes["mn_lo"].astype(np.float32), 32, axis=0)
@@ -257,7 +257,7 @@ def dequant_planes(planes: dict[str, np.ndarray], dtype: DType,
         hb_hi = np.concatenate([b2, b3], axis=1).reshape(k // 2, n)
         lo = ((ql & 0x0F).astype(np.int32) | (hb_lo << 4)) - 32
         hi = ((ql >> 4).astype(np.int32) | (hb_hi << 4)) - 32
-        d = np.repeat(planes["d"].astype(np.float32), 128, axis=0)
+        d = np.repeat(planes["d"].view(np.float16).astype(np.float32), 128, axis=0)
         sc_lo = d * np.repeat(planes["sc_lo"].astype(np.float32), 16, axis=0)
         sc_hi = d * np.repeat(planes["sc_hi"].astype(np.float32), 16, axis=0)
         w = np.zeros((k, n), np.float32)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .f16bits import f16_bits_to_f32
+
 from ..core.dtypes import DType
 
 
@@ -23,12 +25,12 @@ def dequant_planes_jnp(planes: dict, dtype: DType, k: int, n: int,
         return planes["w"].astype(out_dtype)
 
     if dtype == DType.Q8_0:
-        d = planes["d"].astype(jnp.float32)
+        d = f16_bits_to_f32(planes["d"])
         qs = planes["qs"].astype(jnp.float32)
         return (qs * _rep(d, 32)).astype(out_dtype)
 
     if dtype == DType.Q4_0:
-        d = _rep(planes["d"].astype(jnp.float32), 16)
+        d = _rep(f16_bits_to_f32(planes["d"]), 16)
         qs = planes["qs"]
         lo = (qs & 0x0F).astype(jnp.int8).astype(jnp.float32) - 8.0
         hi = (qs >> 4).astype(jnp.int8).astype(jnp.float32) - 8.0
@@ -50,8 +52,8 @@ def dequant_planes_jnp(planes: dict, dtype: DType, k: int, n: int,
             ).reshape(k // 2, n).astype(jnp.float32)
             lo = lo + 16.0 * lo_b
             hi = hi + 16.0 * hi_b
-        d = _rep(planes["d"].astype(jnp.float32), 128)
-        dmin = _rep(planes["dmin"].astype(jnp.float32), 128)
+        d = _rep(f16_bits_to_f32(planes["d"]), 128)
+        dmin = _rep(f16_bits_to_f32(planes["dmin"]), 128)
         w_lo = lo * (d * _rep(planes["sc_lo"].astype(jnp.float32), 32)) \
             - dmin * _rep(planes["mn_lo"].astype(jnp.float32), 32)
         w_hi = hi * (d * _rep(planes["sc_hi"].astype(jnp.float32), 32)) \
@@ -70,7 +72,7 @@ def dequant_planes_jnp(planes: dict, dtype: DType, k: int, n: int,
                                 axis=1).reshape(k // 2, n)
         lo = ((ql & 0x0F).astype(jnp.int32) | (hb_lo << 4)) - 32
         hi = ((ql >> 4).astype(jnp.int32) | (hb_hi << 4)) - 32
-        d = _rep(planes["d"].astype(jnp.float32), 128)
+        d = _rep(f16_bits_to_f32(planes["d"]), 128)
         w_lo = lo.astype(jnp.float32) * (
             d * _rep(planes["sc_lo"].astype(jnp.float32), 16))
         w_hi = hi.astype(jnp.float32) * (

@@ -1,0 +1,223 @@
+"""Fused dequant + matmul Pallas kernels — the TPU equivalent of the
+reference's warp-per-row quantized GEMV family (src/cuda/gemm.cu).
+
+Design (see core/layout.py for the plane layouts):
+  * grid (nT, nN, nK), K innermost, f32 accumulation into the output block
+    revisited across K steps — Mosaic keeps it resident in VMEM;
+  * quantized planes stream HBM→VMEM tile by tile (auto double-buffered by
+    the Pallas pipeline); dequant is pure vectorized and/shift/convert/mul
+    on the VPU — zero lane shuffles by layout construction;
+  * activations arrive pre-split (x_lo/x_hi reshape outside the kernel), so
+    nibble planes dot against contiguous activation halves;
+  * scales broadcast along sublanes via reshape (granularities 16/32/128).
+
+Decode (T=1) is HBM-bandwidth-bound: the kernel's job is to keep the qs
+plane streaming at full bandwidth while the VPU dequant (2-5 ops/weight)
+hides under the DMA. Prefill reuses the same kernel with T tiles, where the
+MXU dots amortize the dequant across tokens.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.dtypes import DType
+from ..f16bits import f16_bits_to_f32
+from ..linear import QLinear, split_x_jnp
+
+F32 = jnp.float32
+
+
+def _largest_tile(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    raise ValueError(f"dim {dim} not tileable by {candidates}")
+
+
+def _rep_sublanes(a, rep: int, rows: int, cols: int):
+    """Broadcast [rows/rep? ...] — expand a [rows//rep, cols] tile to
+    [rows, cols] by repeating each sublane `rep` times (reshape-broadcast)."""
+    g = a.reshape(rows // rep, 1, cols)
+    g = jnp.broadcast_to(g, (rows // rep, rep, cols))
+    return g.reshape(rows, cols)
+
+
+# --- per-dtype kernel bodies -------------------------------------------------
+# Each takes the VMEM refs for its planes + the x refs and returns the f32
+# partial product for this (T, N) tile at this K step.
+
+def _q8_0_tile(refs, tkh, tn):
+    x, qs, d = refs
+    w = qs[:].astype(jnp.int32).astype(F32) * _rep_sublanes(f16_bits_to_f32(d[:]), 32, tkh, tn)
+    return jnp.dot(x[:].astype(F32), w, preferred_element_type=F32)
+
+
+def _q4_0_tile(refs, tkh, tn):
+    x_lo, x_hi, qs, d = refs
+    q = qs[:].astype(jnp.int32)  # Mosaic has no 8-bit shifts
+    deff = _rep_sublanes(f16_bits_to_f32(d[:]), 16, tkh, tn)
+    w_lo = ((q & 0x0F) - 8).astype(F32) * deff
+    w_hi = ((q >> 4) - 8).astype(F32) * deff
+    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+
+
+def _q4_k_tile(refs, tkh, tn):
+    x_lo, x_hi, qs, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = refs
+    q = qs[:].astype(jnp.int32)
+    df = _rep_sublanes(f16_bits_to_f32(d[:]), 128, tkh, tn)
+    dm = _rep_sublanes(f16_bits_to_f32(dmin[:]), 128, tkh, tn)
+    w_lo = (q & 0x0F).astype(F32) * (df * _rep_sublanes(sc_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
+    w_hi = (q >> 4).astype(F32) * (df * _rep_sublanes(sc_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
+    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+
+
+def _q5_k_tile(refs, tkh, tn):
+    x_lo, x_hi, qs, qh, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = refs
+    q = qs[:].astype(jnp.int32)
+    # qh tile [tkh/4, tn]: per superblock (32 rows), bit 2c covers lo rows
+    # [32c, 32c+32) — stack the 4 shifted views along sublanes.
+    nsb = tkh // 128
+    qh3 = qh[:].astype(jnp.int32).reshape(nsb, 32, tn)
+    hb_lo = jnp.concatenate([(qh3 >> (2 * c)) & 1 for c in range(4)],
+                            axis=1).reshape(tkh, tn)
+    hb_hi = jnp.concatenate([(qh3 >> (2 * c + 1)) & 1 for c in range(4)],
+                            axis=1).reshape(tkh, tn)
+    df = _rep_sublanes(f16_bits_to_f32(d[:]), 128, tkh, tn)
+    dm = _rep_sublanes(f16_bits_to_f32(dmin[:]), 128, tkh, tn)
+    lo = ((q & 0x0F) + (hb_lo << 4)).astype(F32)
+    hi = ((q >> 4) + (hb_hi << 4)).astype(F32)
+    w_lo = lo * (df * _rep_sublanes(sc_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
+    w_hi = hi * (df * _rep_sublanes(sc_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
+    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+
+
+def _q6_k_tile(refs, tkh, tn):
+    x_lo, x_hi, ql, qh, sc_lo, sc_hi, d = refs
+    q = ql[:].astype(jnp.int32)
+    # qh tile [tkh/2, tn]: per half-block (32 rows), bitpair 0 covers lo rows
+    # [64H, 64H+32), bitpair 1 covers [64H+32, 64H+64).
+    nh = tkh // 64
+    qh3 = qh[:].reshape(nh, 32, tn).astype(jnp.int32)
+    hb_lo = jnp.concatenate([(qh3 >> 0) & 3, (qh3 >> 2) & 3],
+                            axis=1).reshape(tkh, tn)
+    hb_hi = jnp.concatenate([(qh3 >> 4) & 3, (qh3 >> 6) & 3],
+                            axis=1).reshape(tkh, tn)
+    df = _rep_sublanes(f16_bits_to_f32(d[:]), 128, tkh, tn)
+    lo = ((q & 0x0F) | (hb_lo << 4)) - 32
+    hi = ((q >> 4) | (hb_hi << 4)) - 32
+    w_lo = lo.astype(F32) * (df * _rep_sublanes(sc_lo[:].astype(jnp.int32).astype(F32), 16, tkh, tn))
+    w_hi = hi.astype(F32) * (df * _rep_sublanes(sc_hi[:].astype(jnp.int32).astype(F32), 16, tkh, tn))
+    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+
+
+_TILE_FNS = {
+    DType.Q8_0: _q8_0_tile,
+    DType.Q4_0: _q4_0_tile,
+    DType.Q4_K: _q4_k_tile,
+    DType.Q5_K: _q5_k_tile,
+    DType.Q6_K: _q6_k_tile,
+}
+
+# plane order must match QLinear.plane_names / LAYOUTS
+_PLANE_ROWS_DIV = {
+    DType.Q8_0: {"qs": 1, "d": 32},
+    DType.Q4_0: {"qs": 2, "d": 32},
+    DType.Q4_K: {"qs": 2, "sc_lo": 64, "sc_hi": 64, "mn_lo": 64, "mn_hi": 64,
+                 "d": 256, "dmin": 256},
+    DType.Q5_K: {"qs": 2, "qh": 8, "sc_lo": 64, "sc_hi": 64, "mn_lo": 64,
+                 "mn_hi": 64, "d": 256, "dmin": 256},
+    DType.Q6_K: {"ql": 2, "qh": 4, "sc_lo": 32, "sc_hi": 32, "d": 256},
+}
+
+_SPLIT = {DType.Q4_0, DType.Q4_K, DType.Q5_K, DType.Q6_K}
+
+
+def _kernel(out_ref, *refs, tile_fn, tkh, tn, nk):
+    k_step = pl.program_id(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += tile_fn(refs, tkh, tn).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "k", "n", "out_dtype",
+                                             "interpret"))
+def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
+                       out_dtype, interpret: bool):
+    t = x.shape[0]
+    names = QLinear.plane_names(dtype)
+    planes = dict(zip(names, planes_tuple))
+
+    tn = _largest_tile(n, (512, 256, 128))
+    # K tile in ELEMENT units (plane rows scale by rows_div)
+    kcands = (2048, 1024, 512, 256) if dtype != DType.Q8_0 else (2048, 1024, 512, 256, 128, 64, 32)
+    tk = _largest_tile(k, kcands)
+    tt = _largest_tile(t, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    grid = (t // tt, n // tn, k // tk)
+    nk = k // tk
+
+    split = dtype in _SPLIT
+    if split:
+        x_lo, x_hi = split_x_jnp(x, dtype)
+        x_inputs = [x_lo, x_hi]
+        x_specs = [pl.BlockSpec((tt, tk // 2), lambda ti, i, j: (ti, j),
+                                memory_space=pltpu.VMEM)] * 2
+        tkh = tk // 2
+    else:
+        x_inputs = [x]
+        x_specs = [pl.BlockSpec((tt, tk), lambda ti, i, j: (ti, j),
+                                memory_space=pltpu.VMEM)]
+        tkh = tk
+
+    plane_inputs = []
+    plane_specs = []
+    for nm in names:
+        arr = planes[nm]
+        div = _PLANE_ROWS_DIV[dtype][nm]
+        rows = tk // div
+        plane_inputs.append(arr)
+        plane_specs.append(pl.BlockSpec((rows, tn), lambda ti, i, j: (j, i),
+                                        memory_space=pltpu.VMEM))
+
+    def kernel_entry(*args):
+        # pallas passes inputs then outputs; we declared out last
+        *ins, out = args
+        _kernel(out, *ins, tile_fn=_TILE_FNS[dtype], tkh=tkh, tn=tn, nk=nk)
+
+    out = pl.pallas_call(
+        kernel_entry,
+        out_shape=jax.ShapeDtypeStruct((t, n), F32),
+        grid=grid,
+        in_specs=x_specs + plane_specs,
+        out_specs=pl.BlockSpec((tt, tn), lambda ti, i, j: (ti, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*x_inputs, *plane_inputs)
+    return out.astype(out_dtype)
+
+
+def quant_matmul_pallas(x: jnp.ndarray, ql: QLinear, *,
+                        out_dtype=jnp.float32,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """y[T, N] = x[T, K] @ dequant(W)^T via the fused Pallas kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    names = QLinear.plane_names(ql.dtype)
+    planes_tuple = tuple(ql.planes[nm] for nm in names)
+    return _quant_matmul_impl(x, planes_tuple, ql.dtype, ql.k, ql.n,
+                              out_dtype, interpret)
