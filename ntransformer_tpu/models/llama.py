@@ -117,12 +117,17 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
 
 
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
-               n_valid=None):
+               n_valid=None, tp_axis: str | None = None):
     """One transformer block. x [T, H] f32; kv [S, Hkv, D]; pos scalar.
 
     n_valid (traced scalar or None): with bucketed prefill, only the first
     n_valid tokens write their K/V — padding rows keep the cache's previous
     contents so later positions never attend garbage.
+
+    tp_axis: mesh axis name when running inside shard_map with
+    column-parallel wq/wk/wv/gate/up and row-parallel wo/down — the two
+    row-parallel products are psum-reduced here. `arch` must then hold the
+    LOCAL head counts.
     """
     T = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
@@ -141,19 +146,27 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     kv_k = jax.lax.dynamic_update_slice(kv_k, k, (pos, 0, 0))
     kv_v = jax.lax.dynamic_update_slice(kv_v, v, (pos, 0, 0))
     att = attention_jnp(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
-    x = x + qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo)
+    o = qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    x = x + o
     hf = rms_norm(x, lw.ffn_norm, arch.norm_eps).astype(jnp.bfloat16)
     g = qmatmul(hf, lw.w_gate)
     u = qmatmul(hf, lw.w_up)
-    x = x + qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down)
+    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down)
+    if tp_axis is not None:
+        dn = jax.lax.psum(dn, tp_axis)
+    x = x + dn
     return x, kv_k, kv_v
 
 
-@partial(jax.jit, static_argnames=("arch", "all_logits", "with_cosine"),
+@partial(jax.jit, static_argnames=("arch", "all_logits", "with_cosine",
+                                   "tp_axis"),
          donate_argnames=("kv",))
 def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
             tokens: jnp.ndarray, pos, layer_sel: jnp.ndarray | None = None,
-            n_valid=None, all_logits: bool = False, with_cosine: bool = False):
+            n_valid=None, all_logits: bool = False, with_cosine: bool = False,
+            tp_axis: str | None = None):
     """Forward pass over a (subset of) the layer stack.
 
     tokens [T] int32; pos scalar int32 (write offset into the KV cache).
@@ -167,7 +180,8 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
     flow — the gathered scan recompiles nothing.
     """
     T = tokens.shape[0]
-    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32)
+    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
+                     tp_axis=tp_axis)
     d2 = arch.head_dim // 2
     cos_t = jax.lax.dynamic_slice(weights.rope_cos, (pos, 0), (T, d2))
     sin_t = jax.lax.dynamic_slice(weights.rope_sin, (pos, 0), (T, d2))
@@ -182,7 +196,8 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
     def body(carry, inp):
         x = carry
         lw, kk, vv = inp
-        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t, n_valid)
+        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t,
+                                n_valid, tp_axis)
         cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
         return x2, (kk, vv, cos)
 
@@ -199,7 +214,17 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
         sel = jax.lax.dynamic_slice(x, (n_valid - 1, 0), (1, x.shape[1]))
     else:
         sel = x[-1:]
-    logits = qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
+    if tp_axis is not None:
+        # row-parallel LM head: each shard holds a K-slice; psum the partial
+        # products (full-vocab logits on every shard, no vocab padding needed)
+        from ..ops.linear import plane_dims
+        kloc, _ = plane_dims(weights.lm_head.planes, weights.lm_head.dtype)
+        idx = jax.lax.axis_index(tp_axis)
+        xs = jax.lax.dynamic_slice(sel, (0, idx * kloc), (sel.shape[0], kloc))
+        logits = jax.lax.psum(
+            qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
+    else:
+        logits = qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
     return logits, KVCache(new_k, new_v), (cosines if with_cosine else None)
 
 

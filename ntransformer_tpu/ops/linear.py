@@ -61,6 +61,17 @@ def split_x_jnp(x: jnp.ndarray, dtype: DType):
             xs[..., u // 2:].reshape(*lead, k // 2))
 
 
+def plane_dims(planes: dict, dtype: DType) -> tuple[int, int]:
+    """(k, n) inferred from the actual plane arrays — correct even for local
+    shards inside shard_map (where QLinear's static k/n are global)."""
+    if dtype in _FLOAT_KINDS:
+        w = planes["w"]
+        return w.shape[0], w.shape[1]
+    first = LAYOUTS[dtype][0]
+    arr = planes[first.name]
+    return arr.shape[0] * first.rows_div, arr.shape[1]
+
+
 def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
             out_dtype=jnp.float32) -> jnp.ndarray:
     """y[T, N] = x[T, K] @ W^T. Dispatches Pallas kernel vs jnp fallback."""
@@ -70,10 +81,11 @@ def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
         w = ql.planes["w"]
         return jnp.dot(x.astype(w.dtype), w,
                        preferred_element_type=jnp.float32).astype(out_dtype)
+    k, n = plane_dims(ql.planes, ql.dtype)
     if use_kernel:
         from .pallas.matmul import quant_matmul_pallas
         return quant_matmul_pallas(x, ql, out_dtype=out_dtype)
-    w = dequant_planes_jnp(ql.planes, ql.dtype, ql.k, ql.n, out_dtype=jnp.bfloat16)
+    w = dequant_planes_jnp(ql.planes, ql.dtype, k, n, out_dtype=jnp.bfloat16)
     return jnp.dot(x.astype(jnp.bfloat16), w,
                    preferred_element_type=jnp.float32).astype(out_dtype)
 
@@ -86,11 +98,19 @@ def gather_columns(ql: QLinear, ids: jnp.ndarray) -> QLinear:
 
 
 def embed_lookup(table: QLinear, token_ids: jnp.ndarray,
-                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                 out_dtype=jnp.bfloat16, tp_axis: str | None = None) -> jnp.ndarray:
     """Dequantized embedding rows [T, K] gathered from the transposed
     [K, V] table (shared with the LM head when embeddings are tied —
-    the reference's tied-embedding fallback, transformer.cpp:92-99)."""
+    the reference's tied-embedding fallback, transformer.cpp:92-99).
+
+    Under tensor parallelism (inside shard_map) the table is row-sharded on
+    K; each shard gathers its K-slice and the rows are reassembled with a
+    tiled all-gather (tiny: K × T elements).
+    """
     sub = gather_columns(table, token_ids)
-    w = dequant_planes_jnp(sub.planes, sub.dtype, sub.k, sub.n,
-                           out_dtype=out_dtype)  # [K, T]
+    k, n = plane_dims(sub.planes, sub.dtype)
+    w = dequant_planes_jnp(sub.planes, sub.dtype, k, n,
+                           out_dtype=out_dtype)  # [K_local, T]
+    if tp_axis is not None:
+        w = jax.lax.all_gather(w, tp_axis, axis=0, tiled=True)  # [K, T]
     return w.T

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.dtypes import DType
 from ..f16bits import f16_bits_to_f32
-from ..linear import QLinear, split_x_jnp
+from ..linear import QLinear, plane_dims, split_x_jnp
 
 F32 = jnp.float32
 
@@ -219,5 +219,7 @@ def quant_matmul_pallas(x: jnp.ndarray, ql: QLinear, *,
         interpret = jax.default_backend() != "tpu"
     names = QLinear.plane_names(ql.dtype)
     planes_tuple = tuple(ql.planes[nm] for nm in names)
-    return _quant_matmul_impl(x, planes_tuple, ql.dtype, ql.k, ql.n,
+    # infer dims from the arrays (QLinear.k/n are global; shards are local)
+    k, n = plane_dims(ql.planes, ql.dtype)
+    return _quant_matmul_impl(x, planes_tuple, ql.dtype, k, n,
                               out_dtype, interpret)

@@ -1,0 +1,152 @@
+"""Tensor parallelism over an ICI mesh — the multi-chip capability the
+single-GPU reference does not have (SURVEY.md §2.14 north-star row).
+
+Sharding plan (megatron-style, adapted to quantized planes):
+  wq/wk/wv/gate/up : column-parallel — planes sharded on N (lane axis);
+                     attention heads (both Q and KV) split across shards,
+                     so attention itself needs no communication (GQA groups
+                     stay intact because Hq and Hkv divide by the same tp).
+  wo/down          : row-parallel — planes sharded on K (sublane axis);
+                     partial products psum-reduced inside layer_step.
+  token_embd/lm_head: row-parallel on K (hidden), so the odd vocab size
+                     (128256) never needs lane-padding; embedding rows are
+                     reassembled with a tiny tiled all-gather, logits with a
+                     psum.
+  KV cache         : sharded on the head axis.
+  norms/rope/x     : replicated.
+
+Per-shard plane shapes stay valid quant layouts as long as K/tp keeps the
+superblock alignment (K/tp % 256 == 0 for K-quants) and N/tp % 128 == 0 —
+asserted in shard_model.
+
+Collectives (2 psums per layer + embed gather + logits psum) ride ICI and
+are inserted explicitly via shard_map, not left to GSPMD — required because
+Pallas kernels have no auto-partitioning rules.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.layout import LAYOUTS
+from ..models.llama import Arch, KVCache, LayerWeights, ModelWeights, forward
+from ..ops.linear import QLinear
+
+TP_AXIS = "tp"
+
+
+def _qlinear_spec(ql: QLinear, spec: P, stacked: bool) -> QLinear:
+    """A QLinear-shaped pytree whose leaves are PartitionSpecs."""
+    if stacked:
+        spec = P(None, *spec)
+    return QLinear(ql.dtype, ql.k, ql.n,
+                   {nm: spec for nm in ql.planes})
+
+
+def weight_specs(weights: ModelWeights) -> ModelWeights:
+    col = P(None, TP_AXIS)   # shard N (lanes)
+    row = P(TP_AXIS, None)   # shard K (sublanes / plane rows)
+    rep = P(None)
+    lw = weights.layers
+    layer_specs = LayerWeights(
+        attn_norm=P(None, None),
+        wq=_qlinear_spec(lw.wq, col, True),
+        wk=_qlinear_spec(lw.wk, col, True),
+        wv=_qlinear_spec(lw.wv, col, True),
+        wo=_qlinear_spec(lw.wo, row, True),
+        ffn_norm=P(None, None),
+        w_gate=_qlinear_spec(lw.w_gate, col, True),
+        w_up=_qlinear_spec(lw.w_up, col, True),
+        w_down=_qlinear_spec(lw.w_down, row, True),
+    )
+    return ModelWeights(
+        embed=_qlinear_spec(weights.embed, row, False),
+        layers=layer_specs,
+        output_norm=rep,
+        lm_head=_qlinear_spec(weights.lm_head, row, False),
+        rope_cos=P(None, None),
+        rope_sin=P(None, None),
+    )
+
+
+def kv_spec() -> KVCache:
+    return KVCache(P(None, None, TP_AXIS, None), P(None, None, TP_AXIS, None))
+
+
+def check_shardable(arch: Arch, weights: ModelWeights, tp: int,
+                    kernel_alignment: bool | None = None):
+    """Validate the TP plan. kernel_alignment additionally requires shard
+    shapes the Pallas kernels can tile (default: only on TPU, where the
+    kernels actually run)."""
+    if kernel_alignment is None:
+        kernel_alignment = jax.default_backend() == "tpu"
+    assert arch.n_kv_heads % tp == 0, \
+        f"n_kv_heads {arch.n_kv_heads} not divisible by tp={tp}"
+    for name, ql in (("wo", weights.layers.wo),
+                     ("w_down", weights.layers.w_down),
+                     ("embed", weights.embed)):
+        if ql.dtype in LAYOUTS:
+            blk = max(s.rows_div for s in LAYOUTS[ql.dtype])
+            assert (ql.k // tp) % blk == 0, \
+                f"{name}: K/tp = {ql.k}/{tp} breaks {ql.dtype} block alignment"
+    if kernel_alignment:
+        for name, ql in (("wq", weights.layers.wq),
+                         ("wk", weights.layers.wk),
+                         ("w_gate", weights.layers.w_gate)):
+            assert (ql.n // tp) % 128 == 0, \
+                f"{name}: N/tp = {ql.n}/{tp} not a multiple of 128"
+
+
+def shard_model(weights: ModelWeights, kv: KVCache, mesh: Mesh,
+                arch: Arch) -> tuple[ModelWeights, KVCache]:
+    """Place weights/KV on the mesh with the TP sharding plan."""
+    tp = mesh.shape[TP_AXIS]
+    check_shardable(arch, weights, tp)
+    tied = weights.lm_head is weights.embed
+    wspecs = weight_specs(weights)
+    def put(w, s):
+        return jax.device_put(w, NamedSharding(mesh, s))
+    new_w = jax.tree.map(put, weights, wspecs)
+    if tied:
+        new_w = dataclasses.replace(new_w, lm_head=new_w.embed)
+    new_kv = jax.tree.map(put, kv, kv_spec())
+    return new_w, new_kv
+
+
+def local_arch(arch: Arch, tp: int) -> Arch:
+    return dataclasses.replace(arch, n_heads=arch.n_heads // tp,
+                               n_kv_heads=arch.n_kv_heads // tp)
+
+
+def make_tp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
+                    with_cosine: bool = False, weights_template=None,
+                    has_layer_sel: bool = False):
+    """Build the sharded forward: same semantics as models.llama.forward but
+    executed under shard_map with explicit TP collectives."""
+    tp = mesh.shape[TP_AXIS]
+    arch_l = local_arch(arch, tp)
+    wspecs = weight_specs(weights_template)
+    kspec = kv_spec()
+    rep = P(None)
+
+    in_specs = (wspecs, kspec, rep, P())
+    if has_layer_sel:
+        in_specs = in_specs + (rep,)
+
+    def body(weights, kv, tokens, pos, layer_sel=None):
+        return forward.__wrapped__(
+            arch_l, weights, kv, tokens, pos, layer_sel=layer_sel,
+            all_logits=all_logits, with_cosine=with_cosine, tp_axis=TP_AXIS)
+
+    out_specs = (P(None, None), kspec,
+                 rep if with_cosine else None)
+
+    f = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+    return jax.jit(f, donate_argnums=(1,))

@@ -1,0 +1,68 @@
+"""Tensor-parallel forward on a virtual 8-device CPU mesh: logits parity
+against the single-device forward (a capability test the single-GPU
+reference could never run — SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ntransformer_tpu.models.llama import KVCache, forward
+from ntransformer_tpu.models.loader import load_model
+from ntransformer_tpu.parallel.tp import (
+    TP_AXIS,
+    make_tp_forward,
+    shard_model,
+)
+from tools.make_test_gguf import write_model
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny.gguf"
+    write_model(str(path), "tiny", "q8_0", seed=5)
+    return load_model(str(path))
+
+
+@pytest.mark.parametrize("tp", [2, 8])
+def test_tp_matches_single_device(model, tp):
+    if len(jax.devices()) < tp:
+        pytest.skip("not enough devices")
+    if model.arch.n_kv_heads % tp:
+        pytest.skip("tp exceeds kv heads of the tiny model")
+    mesh = Mesh(np.array(jax.devices()[:tp]), (TP_AXIS,))
+    tokens = jnp.array([1, 9, 4], dtype=jnp.int32)
+
+    ref_logits, ref_kv, _ = forward(model.arch, model.weights,
+                                    KVCache.create(model.arch), tokens, 0)
+
+    w_sh, kv_sh = shard_model(model.weights, KVCache.create(model.arch),
+                              mesh, model.arch)
+    tp_fwd = make_tp_forward(mesh, model.arch, weights_template=model.weights)
+    logits, kv2, _ = tp_fwd(w_sh, kv_sh, tokens, jnp.int32(0))
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    # KV caches must match too (gather the sharded one)
+    np.testing.assert_allclose(np.asarray(kv2.k).astype(np.float32),
+                               np.asarray(ref_kv.k).astype(np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_tp_decode_steps(model):
+    """Multi-step decode on the mesh stays consistent with single device."""
+    tp = 2
+    mesh = Mesh(np.array(jax.devices()[:tp]), (TP_AXIS,))
+    w_sh, kv_sh = shard_model(model.weights, KVCache.create(model.arch),
+                              mesh, model.arch)
+    tp_fwd = make_tp_forward(mesh, model.arch, weights_template=model.weights)
+
+    kv_ref = KVCache.create(model.arch)
+    toks = [1, 7, 3, 11]
+    for i, t in enumerate(toks):
+        tok = jnp.array([t], dtype=jnp.int32)
+        ref, kv_ref, _ = forward(model.arch, model.weights, kv_ref, tok, i)
+        got, kv_sh, _ = tp_fwd(w_sh, kv_sh, tok, jnp.int32(i))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    assert int(jnp.argmax(got)) == int(jnp.argmax(ref))
