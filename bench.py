@@ -6,59 +6,79 @@ Config: Llama-3.1-8B-shaped Q8_0, fully resident in HBM, greedy decode with
 the whole loop on-device (BASELINE.md headline: reference = 48.9 tok/s on an
 RTX 3090). Weights are synthetic (decode timing is weight-value-independent);
 the quantized compute path is identical to real-model serving.
+
+Decode-only by design: the loop starts from a fixed token over a zero KV
+cache — decode cost is independent of KV contents, and skipping the prefill
+program halves compile time on this rig's slow remote-compile path. The
+persistent compilation cache makes reruns fast.
 """
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 BASELINE_8B_Q8_DECODE = 48.9  # tok/s (README.md:9 of the reference)
 
 
+def log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
-    preset = "8b"
-    dtype = "q8_0"
-    n_tokens = 64
-    max_seq = 1024  # benchmark context; keeps KV small, matches short-prompt decode
+    preset = os.environ.get("NT_BENCH_PRESET", "8b")
+    dtype = os.environ.get("NT_BENCH_DTYPE", "q8_0")
+    n_tokens = int(os.environ.get("NT_BENCH_TOKENS", "64"))
+    max_seq = 1024  # benchmark context; keeps KV small, short-prompt decode
 
     from ntransformer_tpu.models.synth import model_nbytes, synth_model
-    from ntransformer_tpu.models.llama import KVCache, forward
+    from ntransformer_tpu.models.llama import KVCache
     from ntransformer_tpu.inference.engine import _decode_loop_greedy
 
+    t0 = time.perf_counter()
     cfg, arch, weights = synth_model(preset, dtype, max_seq_len=max_seq)
     kv = KVCache.create(arch)
     nbytes = model_nbytes(weights)
-    print(f"# model {cfg.model_name}: {nbytes/1e9:.2f} GB on "
-          f"{jax.devices()[0].device_kind}", file=sys.stderr)
+    log(f"model {cfg.model_name}: {nbytes/1e9:.2f} GB on "
+        f"{jax.devices()[0].device_kind} (built in {time.perf_counter()-t0:.0f}s)")
 
-    # short prefill
-    tokens = jnp.arange(8, dtype=jnp.int32) + 3
-    logits, kv, _ = forward(arch, weights, kv, tokens, 0)
-    first = jnp.argmax(logits[0]).astype(jnp.int32)
-
-    # compile + warm up the fused decode loop
-    toks, kv = _decode_loop_greedy(arch, weights, kv, first, 8, 2)
-    jax.block_until_ready(toks)
+    # NOTE: sync via an actual D2H readback (np.asarray) — on the axon
+    # tunnel platform block_until_ready returns before device execution
+    # finishes; only a readback is a true fence (readback floor ~27 ms,
+    # <1% of the timed region).
+    first = jnp.int32(3)
+    t0 = time.perf_counter()
+    toks, kv = _decode_loop_greedy(arch, weights, kv, first, 8, n_tokens)
+    np.asarray(toks)
+    log(f"compile+warmup decode loop: {time.perf_counter()-t0:.0f}s")
 
     t0 = time.perf_counter()
-    toks, kv = _decode_loop_greedy(arch, weights, kv, first, 10, n_tokens)
-    jax.block_until_ready(toks)
+    toks, kv = _decode_loop_greedy(arch, weights, kv, first, 8 + n_tokens,
+                                   n_tokens)
+    np.asarray(toks)
     dt = time.perf_counter() - t0
 
     tps = n_tokens / dt
-    print(f"# decode: {n_tokens} tokens in {dt*1e3:.1f} ms "
-          f"({tps:.2f} tok/s, {nbytes*tps/1e9:.0f} GB/s effective)",
-          file=sys.stderr)
+    log(f"decode: {n_tokens} tokens in {dt*1e3:.1f} ms "
+        f"({tps:.2f} tok/s, {nbytes*tps/1e9:.0f} GB/s effective)")
     print(json.dumps({
         "metric": "llama8b_q8_0_resident_decode",
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / BASELINE_8B_Q8_DECODE, 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,171 @@
+"""ctypes bindings for the native staging engine (csrc/ntstage.cpp).
+
+Builds the shared library on first use with g++ (cached next to the source
+or under /tmp). Every entry point has a pure-Python fallback so the
+framework works without a toolchain — the reference's graceful-fallback
+idiom (SURVEY.md §5.3).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), os.pardir, "csrc", "ntstage.cpp")
+_lock = threading.Lock()
+_lib = None
+_lib_tried = False
+
+
+def _build_lib() -> str | None:
+    src = os.path.abspath(_SRC)
+    for d in (os.path.dirname(src), os.path.join(tempfile.gettempdir(), "ntstage")):
+        so = os.path.join(d, "libntstage.so")
+        try:
+            if (os.path.exists(so)
+                    and os.path.getmtime(so) >= os.path.getmtime(src)):
+                return so
+            os.makedirs(d, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                 src, "-o", so + ".tmp"],
+                check=True, capture_output=True)
+            os.replace(so + ".tmp", so)
+            return so
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return None
+
+
+def get_lib():
+    """The loaded library, or None (→ callers use the Python fallback)."""
+    global _lib, _lib_tried
+    with _lock:
+        if _lib_tried:
+            return _lib
+        _lib_tried = True
+        so = _build_lib()
+        if so is None:
+            print("ntstage: native build unavailable, using Python fallback",
+                  file=sys.stderr)
+            return None
+        lib = ctypes.CDLL(so)
+        lib.ntstage_create.restype = ctypes.c_void_p
+        lib.ntstage_create.argtypes = [ctypes.c_int]
+        lib.ntstage_destroy.argtypes = [ctypes.c_void_p]
+        lib.ntstage_open.restype = ctypes.c_int
+        lib.ntstage_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.ntstage_close.argtypes = [ctypes.c_int]
+        lib.ntstage_submit_read.restype = ctypes.c_uint64
+        lib.ntstage_submit_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.ntstage_submit_copy.restype = ctypes.c_uint64
+        lib.ntstage_submit_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_uint64, ctypes.c_int]
+        lib.ntstage_wait.restype = ctypes.c_int
+        lib.ntstage_wait.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        _lib = lib
+        return _lib
+
+
+class StagePool:
+    """Thread-pooled chunked file reads / memcpys into preallocated staging
+    buffers. Native when available; a Python ThreadPoolExecutor otherwise."""
+
+    def __init__(self, n_threads: int = 8, chunks_per_read: int = 8):
+        self.n_threads = n_threads
+        self.chunks = chunks_per_read
+        self._lib = get_lib()
+        if self._lib is not None:
+            self._pool = self._lib.ntstage_create(n_threads)
+            self._fds: dict[str, int] = {}
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            self._exec = ThreadPoolExecutor(max_workers=n_threads,
+                                            thread_name_prefix="ntstage")
+
+    @property
+    def native(self) -> bool:
+        return self._lib is not None
+
+    def _fd(self, path: str) -> int:
+        fd = self._fds.get(path)
+        if fd is None:
+            fd = self._lib.ntstage_open(path.encode(), 0)
+            if fd < 0:
+                raise OSError(f"ntstage_open failed for {path}")
+            self._fds[path] = fd
+        return fd
+
+    def read(self, path: str, offset: int, size: int, dest: np.ndarray):
+        """Async read file[offset:offset+size] -> dest[:size]. Returns a
+        wait() handle."""
+        assert dest.nbytes >= size
+        if self._lib is not None:
+            job = self._lib.ntstage_submit_read(
+                self._pool, self._fd(path), offset, size,
+                dest.ctypes.data_as(ctypes.c_void_p), self.chunks)
+            return ("native", job)
+
+        def _do():
+            with open(path, "rb") as f:
+                f.seek(offset)
+                n = f.readinto(memoryview(dest.view(np.uint8))[:size])
+                if n != size:
+                    raise OSError(f"short read {n} != {size}")
+        return ("py", self._exec.submit(_do))
+
+    def copy(self, src: np.ndarray, dest: np.ndarray, size: int):
+        """Async parallel memcpy src[:size] -> dest[:size]."""
+        if self._lib is not None:
+            job = self._lib.ntstage_submit_copy(
+                self._pool, src.ctypes.data_as(ctypes.c_void_p),
+                dest.ctypes.data_as(ctypes.c_void_p), size, self.chunks)
+            return ("native", job)
+
+        def _do():
+            dest.view(np.uint8)[:size] = src.view(np.uint8)[:size]
+        return ("py", self._exec.submit(_do))
+
+    def run(self, fn):
+        """Run an arbitrary callable on the pool (Python-side jobs: fences,
+        relayout fallbacks)."""
+        if self._lib is not None:
+            # arbitrary Python work still needs a Python thread
+            from concurrent.futures import ThreadPoolExecutor
+            if not hasattr(self, "_exec"):
+                self._exec = ThreadPoolExecutor(max_workers=2,
+                                                thread_name_prefix="ntstage-py")
+        return ("py", self._exec.submit(fn))
+
+    def wait(self, handle) -> None:
+        kind, h = handle
+        if kind == "native":
+            err = self._lib.ntstage_wait(self._pool, h)
+            if err:
+                raise OSError(err, "ntstage job failed")
+        else:
+            h.result()
+
+    def close(self):
+        if self._lib is not None and getattr(self, "_pool", None):
+            for fd in self._fds.values():
+                self._lib.ntstage_close(fd)
+            self._fds.clear()
+            self._lib.ntstage_destroy(self._pool)
+            self._pool = None
+        if hasattr(self, "_exec"):
+            self._exec.shutdown(wait=False)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,212 @@
+"""NTP1 pack: per-layer contiguous planar weight images for streaming.
+
+The reference packs each layer's 7 tensors into one contiguous GPU buffer
+image at load (src/memory/streamer.cu:253-298) so a layer moves as a single
+DMA. On TPU the compute layout is the planar form (core/layout.py), and the
+GGML→planar de-interleave is CPU work we must NOT redo per token — so the
+pack is built ONCE (GGUF → .ntp sidecar file), after which tier-B layers
+are raw byte blobs in RAM and tier-C fetches are plain contiguous disk
+reads with zero per-fetch CPU transformation (the analogue of the
+reference's precomputed per-layer LBA spans, streamer.cu:429-468).
+
+File layout: magic NTP1 | u32 version | u64 json_len | header JSON |
+zero-pad to 4096 | per-layer blobs, each 4096-aligned (O_DIRECT-friendly).
+
+Optional requant: Q6_K tensors can be requantized to Q4_K at pack build
+(reference requantizes tier-B copies in-place to shrink per-token H2D ~31%,
+streamer.cu:45-153, `--requant-q4k`).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.dequant import dequantize
+from ..core.dtypes import DType
+from ..core.layout import LAYOUTS, relayout
+from ..core.quant import quantize
+from ..models.llama import LayerWeights
+from ..ops.linear import QLinear
+
+MAGIC = b"NTP1"
+ALIGN = 4096
+
+# pack tensor key -> (GGUF suffix, LayerWeights field)
+LAYER_TENSORS = {
+    "wq": "attn_q.weight", "wk": "attn_k.weight", "wv": "attn_v.weight",
+    "wo": "attn_output.weight", "w_gate": "ffn_gate.weight",
+    "w_up": "ffn_up.weight", "w_down": "ffn_down.weight",
+}
+LAYER_NORMS = {"attn_norm": "attn_norm.weight", "ffn_norm": "ffn_norm.weight"}
+
+
+def _align(n: int, a: int = ALIGN) -> int:
+    return (n + a - 1) // a * a
+
+
+@dataclass
+class PackWriter:
+    """Builds an .ntp pack from a GGUFReader, layer by layer."""
+
+    def __init__(self, reader, requant: DType | None = None):
+        self.reader = reader
+        self.requant = requant
+
+    def _layer_entry(self, i: int):
+        """(meta dict, blob bytes) for layer i."""
+        from ..models.loader import load_norm
+        pre = f"blk.{i}."
+        chunks: list[bytes] = []
+        off = 0
+        tensors = {}
+        for key, suffix in LAYER_TENSORS.items():
+            info = self.reader.info(pre + suffix)
+            n, k = info.shape
+            raw = self.reader.raw_bytes(pre + suffix)
+            dtype = info.dtype
+            if (self.requant is not None and dtype == DType.Q6_K
+                    and k % 256 == 0):  # K-quant superblock alignment
+                w = dequantize(raw, dtype, n, k)
+                raw = np.frombuffer(quantize(w, self.requant), np.uint8)
+                dtype = self.requant
+            planes = relayout(raw, dtype, n, k) if dtype in LAYOUTS else \
+                {"w": np.ascontiguousarray(
+                    dequantize(raw, dtype, n, k).T).astype(np.float32)}
+            pmeta = {}
+            for pname, arr in planes.items():
+                b = np.ascontiguousarray(arr).tobytes()
+                pmeta[pname] = {"off": off, "dtype": str(arr.dtype),
+                                "shape": list(arr.shape)}
+                chunks.append(b)
+                off += len(b)
+            tensors[key] = {"qdtype": dtype.name, "k": int(k), "n": int(n),
+                            "planes": pmeta}
+        norms = {}
+        for key, suffix in LAYER_NORMS.items():
+            w = load_norm(self.reader, pre + suffix).astype(np.float32)
+            norms[key] = {"off": off, "dtype": "float32",
+                          "shape": list(w.shape)}
+            chunks.append(w.tobytes())
+            off += w.nbytes
+        return {"tensors": tensors, "norms": norms, "size": off}, b"".join(chunks)
+
+    def write(self, path: str, layers: range | None = None,
+              progress=None) -> "PackReader":
+        layers = layers if layers is not None else range(
+            int(self.reader.metadata[
+                f"{self.reader.metadata['general.architecture']}.block_count"]))
+        metas, blobs = [], []
+        for i in layers:
+            meta, blob = self._layer_entry(i)
+            metas.append(meta)
+            blobs.append(blob)
+            if progress:
+                progress(i)
+        header = {"version": 1, "n_layers": len(metas), "layers": metas,
+                  "layer_ids": list(layers)}
+        # assign aligned offsets
+        hdr0 = json.dumps(header).encode()
+        # slack for the "offset" fields added below (≤ ~32 chars per layer)
+        base = _align(4 + 4 + 8 + len(hdr0) + 32 * len(metas) + 256)
+        off = base
+        for meta in metas:
+            meta["offset"] = off
+            off = _align(off + meta["size"])
+        hdr = json.dumps(header).encode()
+        assert 16 + len(hdr) <= base
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(np.uint32(1).tobytes())
+            f.write(np.uint64(len(hdr)).tobytes())
+            f.write(hdr)
+            f.write(b"\0" * (base - 16 - len(hdr)))
+            for meta, blob in zip(metas, blobs):
+                f.seek(meta["offset"])
+                f.write(blob)
+        os.replace(tmp, path)
+        return PackReader(path)
+
+
+class PackReader:
+    """Reads layer blobs and reconstructs LayerWeights from raw bytes."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic != MAGIC:
+                raise ValueError(f"{path}: not an NTP1 pack")
+            np.frombuffer(f.read(4), np.uint32)  # version
+            (hlen,) = np.frombuffer(f.read(8), np.uint64)
+            self.header = json.loads(f.read(int(hlen)))
+        self.n_layers = self.header["n_layers"]
+        self.layer_ids = self.header.get("layer_ids",
+                                         list(range(self.n_layers)))
+
+    def layer_meta(self, j: int) -> dict:
+        return self.header["layers"][j]
+
+    def layer_nbytes(self, j: int) -> int:
+        return self.layer_meta(j)["size"]
+
+    @property
+    def max_layer_nbytes(self) -> int:
+        return max(m["size"] for m in self.header["layers"])
+
+    def read_layer(self, j: int, out: np.ndarray | None = None) -> np.ndarray:
+        """Read layer j's blob (optionally into a preallocated buffer)."""
+        meta = self.layer_meta(j)
+        size = meta["size"]
+        if out is None:
+            out = np.empty(size, np.uint8)
+        with open(self.path, "rb") as f:
+            f.seek(meta["offset"])
+            n = f.readinto(memoryview(out)[:size])
+            assert n == size, f"short read: {n} != {size}"
+        return out
+
+    def layer_weights(self, j: int, blob: np.ndarray) -> LayerWeights:
+        """LayerWeights of numpy views into `blob` (zero-copy)."""
+        meta = self.layer_meta(j)
+
+        def view(m):
+            arr = blob[m["off"]: m["off"] + int(np.prod(m["shape"]))
+                       * np.dtype(m["dtype"]).itemsize]
+            return arr.view(m["dtype"]).reshape(m["shape"])
+
+        fields = {}
+        for key, t in meta["tensors"].items():
+            planes = {p: view(pm) for p, pm in t["planes"].items()}
+            dt = DType[t["qdtype"]]
+            if dt not in LAYOUTS:
+                dt = DType.F32
+            fields[key] = QLinear(dt, t["k"], t["n"], planes)
+        for key, m in meta["norms"].items():
+            fields[key] = view(m)
+        return LayerWeights(**fields)
+
+
+def pack_path_for(gguf_path: str, requant: DType | None = None) -> str:
+    suffix = f".requant_{requant.name.lower()}.ntp" if requant else ".ntp"
+    return gguf_path + suffix
+
+
+def ensure_pack(reader, gguf_path: str, requant: DType | None = None,
+                progress=None) -> PackReader:
+    """Return a PackReader for the GGUF, building the sidecar if missing
+    (falls back to a temp dir when the model dir is read-only — §5.3
+    graceful-fallback idiom)."""
+    path = pack_path_for(gguf_path, requant)
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(gguf_path):
+        return PackReader(path)
+    try:
+        return PackWriter(reader, requant).write(path, progress=progress)
+    except OSError:
+        import tempfile
+        alt = os.path.join(tempfile.gettempdir(),
+                           os.path.basename(path))
+        return PackWriter(reader, requant).write(alt, progress=progress)

@@ -1,0 +1,173 @@
+"""SLEP layer streamer: double-buffered host→HBM weight pipeline.
+
+TPU-native rebuild of the reference's LayerStreamer (src/memory/streamer.h:
+74-143, streamer.cu) — the crown-jewel subsystem that runs models larger
+than device memory by streaming layers through two rotating buffers while
+compute proceeds:
+
+  reference                      | here
+  -------------------------------+----------------------------------------
+  2 GPU slots + CUDA events      | 2 device slots holding async device_put
+  (transfer_done/compute_done)   | results; XLA sequences compute after the
+                                 | copies, Python never blocks on them
+  worker thread + staging bufs   | StagePool (native C++ thread pool) reads
+  (streamer.cu:1103-1156)        | pack blobs into 2 staging buffers
+  pinned tier-B copies           | tier-B layer blobs held in RAM
+  (streamer.cu:599-638)          | (read once at init, parallel chunked)
+  NVMe tier C via VFIO           | tier-C contiguous .ntp pread (no
+  (streamer.cu:384-525)          | userspace-NVMe analogue on TPU hosts)
+  requant-on-stage Q6K→Q4K       | requant at pack build (pack.py)
+
+Pipeline per streamed layer j (mirrors prefetch_staging → begin_h2d →
+wait_transfer → signal_compute_done, streamer.cu:1161-1370):
+
+  prefetch(j+2, slot)   worker: fence slot's previous H2D, read blob
+  begin_h2d(j+1, slot') main thread: wrap planes, async device_put
+  compute(j)            jit stream_layer_step on slot's device arrays
+  release(j)            drop device refs so XLA can recycle the HBM
+
+The staging-reuse hazard (reference solves it with compute_done events,
+streamer.cu:1307-1310) is handled by fencing the previous device_put of a
+staging buffer *on the worker thread* before overwriting it — a jitted
+1-element reduction + D2H readback, because on some platforms (axon tunnel)
+block_until_ready returns before device execution completes.
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..models.llama import LayerWeights
+from .native import StagePool
+from .pack import PackReader
+from .tiers import TierConfig
+
+
+@jax.jit
+def _probe(xs):
+    import jax.numpy as jnp
+    return sum(x.ravel()[0].astype(jnp.float32) for x in xs)
+
+
+def _hard_fence(leaves) -> None:
+    """Guarantee device-side completion of `leaves` (true H2D fence)."""
+    if not leaves:
+        return
+    jax.block_until_ready(leaves)
+    # axon-tunnel quirk: block_until_ready can return early; a D2H readback
+    # of a value computed FROM the arrays is a real fence. (_probe is jitted
+    # at module level so each pytree signature compiles once.)
+    np.asarray(_probe(list(leaves)))
+
+
+@dataclass
+class _Slot:
+    staging: np.ndarray                  # host staging buffer (tier C reads)
+    device: LayerWeights | None = None   # device arrays of the current layer
+    layer: int = -1
+    stage_job: object = None             # StagePool handle for pending read
+    host_src: np.ndarray | None = None   # host blob backing the current H2D
+
+
+class LayerStreamer:
+    """Serves streamed layers (tier B/C) of a PackReader as device
+    LayerWeights through a 2-slot pipeline."""
+
+    def __init__(self, pack: PackReader, tiers: TierConfig, *,
+                 pool: StagePool | None = None, n_threads: int = 8):
+        self.pack = pack
+        self.tiers = tiers
+        self.pool = pool or StagePool(n_threads)
+        self.first = tiers.n_hbm                      # first streamed layer
+        self.n_streamed = tiers.n_streamed
+        buf = pack.max_layer_nbytes
+        self.slots = [_Slot(np.empty(buf, np.uint8)),
+                      _Slot(np.empty(buf, np.uint8))]
+        self.ram_blobs: dict[int, np.ndarray] = {}
+        self._load_ram_tier()
+
+    # -- init ---------------------------------------------------------------
+    def _load_ram_tier(self):
+        """Read tier-B layer blobs into RAM (parallel chunked reads —
+        reference's pinned per-layer copies, streamer.cu:599-638)."""
+        jobs = []
+        for layer in range(self.first, self.first + self.tiers.n_ram):
+            size = self.pack.layer_nbytes(layer)
+            blob = np.empty(size, np.uint8)
+            self.ram_blobs[layer] = blob
+            meta = self.pack.layer_meta(layer)
+            jobs.append(self.pool.read(self.pack.path, meta["offset"],
+                                       size, blob))
+        for j in jobs:
+            self.pool.wait(j)
+        if self.ram_blobs:
+            gb = sum(b.nbytes for b in self.ram_blobs.values()) / (1 << 30)
+            print(f"streamer: tier B = {len(self.ram_blobs)} layers "
+                  f"({gb:.1f} GiB in RAM)", file=sys.stderr)
+
+    # -- pipeline -----------------------------------------------------------
+    def prefetch_staging(self, layer: int, slot_id: int) -> None:
+        """Non-blocking: make layer's blob available on the host
+        (streamer.cu:1161-1230). Tier B is already in RAM → no-op; tier C
+        queues a fence + chunked pread into the slot's staging buffer."""
+        slot = self.slots[slot_id]
+        if layer in self.ram_blobs:
+            slot.stage_job = None
+            return
+        meta = self.pack.layer_meta(layer)
+        prev_device = slot.device
+        prev_layer_in_staging = slot.host_src is slot.staging
+
+        def job():
+            # fence the H2D that last read this staging buffer
+            if prev_device is not None and prev_layer_in_staging:
+                _hard_fence(jax.tree.leaves(prev_device))
+            h = self.pool.read(self.pack.path, meta["offset"], meta["size"],
+                               slot.staging)
+            self.pool.wait(h)
+
+        slot.stage_job = self.pool.run(job)
+
+    def begin_h2d(self, layer: int, slot_id: int) -> None:
+        """Start the async host→HBM transfer of `layer` into `slot`
+        (streamer.cu:1246-1370). Returns immediately; the jitted compute
+        consuming the arrays is sequenced after the copies by XLA."""
+        slot = self.slots[slot_id]
+        if layer in self.ram_blobs:
+            blob = self.ram_blobs[layer]
+        else:
+            if slot.stage_job is not None:
+                self.pool.wait(slot.stage_job)     # staging_ready_ handshake
+                slot.stage_job = None
+            blob = slot.staging
+        host_lw = self.pack.layer_weights(layer, blob)
+        slot.device = jax.tree.map(jax.device_put, host_lw)
+        slot.layer = layer
+        slot.host_src = blob
+
+    def get_weights(self, slot_id: int) -> LayerWeights:
+        """Device LayerWeights for the slot (arrays may still be filling;
+        consumers are sequenced by XLA, like wait_transfer's event)."""
+        slot = self.slots[slot_id]
+        assert slot.device is not None, "begin_h2d not called for slot"
+        return slot.device
+
+    def signal_compute_done(self, slot_id: int) -> None:
+        """Drop the slot's device refs so XLA can recycle the HBM once the
+        consuming computation retires (streamer.cu:959-964)."""
+        self.slots[slot_id].device = None
+        self.slots[slot_id].layer = -1
+
+    # -- convenience --------------------------------------------------------
+    def schedule(self, skip: set[int] | frozenset[int] = frozenset()) -> list[int]:
+        """Streamed layer ids in order, minus skipped ones (the layer-skip
+        schedule rebuild, transformer.cpp:831-835 — skipping a streamed
+        layer skips its I/O too, the real win)."""
+        return [l for l in range(self.first, self.first + self.n_streamed)
+                if l not in skip]
+
+    def close(self):
+        self.pool.close()

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.layers import apply_rope, attention_jnp, rms_norm, rope_table, swiglu
+from ..ops.layers import apply_rope, attention, rms_norm, rope_table, swiglu
 from ..ops.linear import QLinear, embed_lookup, qmatmul
 
 
@@ -91,13 +91,13 @@ class LayerWeights:
 @_register
 @dataclass
 class KVCache:
-    k: jnp.ndarray  # [L, S, Hkv, D]
-    v: jnp.ndarray
+    k: jnp.ndarray  # [L, Hkv, S, D] — head-major so attention kernels read
+    v: jnp.ndarray  # natural (S-block, D) tiles per head with no transpose
 
     @classmethod
     def create(cls, arch: Arch, dtype=jnp.bfloat16, n_layers: int | None = None):
         shape = (n_layers if n_layers is not None else arch.n_layers,
-                 arch.max_seq_len, arch.n_kv_heads, arch.head_dim)
+                 arch.n_kv_heads, arch.max_seq_len, arch.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -118,7 +118,7 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
 
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
                n_valid=None, tp_axis: str | None = None):
-    """One transformer block. x [T, H] f32; kv [S, Hkv, D]; pos scalar.
+    """One transformer block. x [T, H] f32; kv [Hkv, S, D]; pos scalar.
 
     n_valid (traced scalar or None): with bucketed prefill, only the first
     n_valid tokens write their K/V — padding rows keep the cache's previous
@@ -137,15 +137,15 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     v = qmatmul(h, lw.wv).reshape(T, Hkv, D)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
-    k = k.astype(kv_k.dtype)
-    v = v.astype(kv_v.dtype)
+    k = jnp.swapaxes(k.astype(kv_k.dtype), 0, 1)  # [Hkv, T, D]
+    v = jnp.swapaxes(v.astype(kv_v.dtype), 0, 1)
     if n_valid is not None:
-        keep = (jnp.arange(T) < n_valid)[:, None, None]
-        k = jnp.where(keep, k, jax.lax.dynamic_slice(kv_k, (pos, 0, 0), (T, Hkv, D)))
-        v = jnp.where(keep, v, jax.lax.dynamic_slice(kv_v, (pos, 0, 0), (T, Hkv, D)))
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (pos, 0, 0))
-    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (pos, 0, 0))
-    att = attention_jnp(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
+        keep = (jnp.arange(T) < n_valid)[None, :, None]
+        k = jnp.where(keep, k, jax.lax.dynamic_slice(kv_k, (0, pos, 0), (Hkv, T, D)))
+        v = jnp.where(keep, v, jax.lax.dynamic_slice(kv_v, (0, pos, 0), (Hkv, T, D)))
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, pos, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, pos, 0))
+    att = attention(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
     o = qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
@@ -158,6 +158,57 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         dn = jax.lax.psum(dn, tp_axis)
     x = x + dn
     return x, kv_k, kv_v
+
+
+def embed_positions(arch: Arch, weights: ModelWeights, tokens: jnp.ndarray,
+                    pos, tp_axis: str | None = None):
+    """Token embedding + RoPE table slices for this position window."""
+    T = tokens.shape[0]
+    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
+                     tp_axis=tp_axis)
+    d2 = arch.head_dim // 2
+    cos_t = jax.lax.dynamic_slice(weights.rope_cos, (pos, 0), (T, d2))
+    sin_t = jax.lax.dynamic_slice(weights.rope_sin, (pos, 0), (T, d2))
+    return x, cos_t, sin_t
+
+
+def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
+                cos_t, sin_t, n_valid=None, with_cosine: bool = False,
+                tp_axis: str | None = None):
+    """Run a stacked layer set ([L, ...] leaves) with lax.scan.
+    Returns (x, new_k, new_v, cosines [L])."""
+    def body(carry, inp):
+        x = carry
+        lw, kk, vv = inp
+        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t,
+                                n_valid, tp_axis)
+        cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
+        return x2, (kk, vv, cos)
+
+    x, (new_k, new_v, cosines) = jax.lax.scan(body, x, (layers, kv_k, kv_v))
+    return x, new_k, new_v, cosines
+
+
+def head_logits(arch: Arch, weights: ModelWeights, x, n_valid=None,
+                all_logits: bool = False, tp_axis: str | None = None):
+    """Final norm + LM-head projection of selected positions."""
+    x = rms_norm(x, weights.output_norm, arch.norm_eps)
+    if all_logits:
+        sel = x
+    elif n_valid is not None:
+        sel = jax.lax.dynamic_slice(x, (n_valid - 1, 0), (1, x.shape[1]))
+    else:
+        sel = x[-1:]
+    if tp_axis is not None:
+        # row-parallel LM head: each shard holds a K-slice; psum the partial
+        # products (full-vocab logits on every shard, no vocab padding needed)
+        from ..ops.linear import plane_dims
+        kloc, _ = plane_dims(weights.lm_head.planes, weights.lm_head.dtype)
+        idx = jax.lax.axis_index(tp_axis)
+        xs = jax.lax.dynamic_slice(sel, (0, idx * kloc), (sel.shape[0], kloc))
+        return jax.lax.psum(
+            qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
+    return qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
 
 
 @partial(jax.jit, static_argnames=("arch", "all_logits", "with_cosine",
@@ -179,12 +230,7 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
     (transformer.cpp:1067-1125) with a weight/KV gather instead of control
     flow — the gathered scan recompiles nothing.
     """
-    T = tokens.shape[0]
-    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
-                     tp_axis=tp_axis)
-    d2 = arch.head_dim // 2
-    cos_t = jax.lax.dynamic_slice(weights.rope_cos, (pos, 0), (T, d2))
-    sin_t = jax.lax.dynamic_slice(weights.rope_sin, (pos, 0), (T, d2))
+    x, cos_t, sin_t = embed_positions(arch, weights, tokens, pos, tp_axis)
 
     layers = weights.layers
     kv_k, kv_v = kv.k, kv.v
@@ -193,38 +239,15 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
         kv_k = jnp.take(kv_k, layer_sel, axis=0)
         kv_v = jnp.take(kv_v, layer_sel, axis=0)
 
-    def body(carry, inp):
-        x = carry
-        lw, kk, vv = inp
-        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t,
-                                n_valid, tp_axis)
-        cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
-        return x2, (kk, vv, cos)
-
-    x, (new_k, new_v, cosines) = jax.lax.scan(body, x, (layers, kv_k, kv_v))
+    x, new_k, new_v, cosines = scan_layers(arch, layers, x, kv_k, kv_v, pos,
+                                           cos_t, sin_t, n_valid, with_cosine,
+                                           tp_axis)
 
     if layer_sel is not None:
         new_k = kv.k.at[layer_sel].set(new_k)
         new_v = kv.v.at[layer_sel].set(new_v)
 
-    x = rms_norm(x, weights.output_norm, arch.norm_eps)
-    if all_logits:
-        sel = x
-    elif n_valid is not None:
-        sel = jax.lax.dynamic_slice(x, (n_valid - 1, 0), (1, x.shape[1]))
-    else:
-        sel = x[-1:]
-    if tp_axis is not None:
-        # row-parallel LM head: each shard holds a K-slice; psum the partial
-        # products (full-vocab logits on every shard, no vocab padding needed)
-        from ..ops.linear import plane_dims
-        kloc, _ = plane_dims(weights.lm_head.planes, weights.lm_head.dtype)
-        idx = jax.lax.axis_index(tp_axis)
-        xs = jax.lax.dynamic_slice(sel, (0, idx * kloc), (sel.shape[0], kloc))
-        logits = jax.lax.psum(
-            qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
-    else:
-        logits = qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
+    logits = head_logits(arch, weights, x, n_valid, all_logits, tp_axis)
     return logits, KVCache(new_k, new_v), (cosines if with_cosine else None)
 
 

@@ -1,0 +1,245 @@
+"""Tiered model: HBM-resident layer prefix + SLEP-streamed remainder.
+
+Equivalent of the reference's load_tiered + forward_tiered
+(src/model/transformer.cpp:193-280, 794-1013): the first n_hbm layers are a
+stacked resident scan (tier A), the rest stream from host RAM / disk
+through the 2-slot pipeline in memory/streamer.py, with compute overlapping
+the next layer's host→HBM transfer. Layer-skip drops streamed layers from
+the schedule (their I/O is skipped too — transformer.cpp:831-835), and the
+resident prefix doubles as the self-speculation draft model
+(transformer.cpp:1067-1125).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import DType
+from ..inference.tokenizer import Tokenizer
+from ..memory.pack import PackReader, ensure_pack
+from ..memory.streamer import LayerStreamer
+from ..memory.tiers import TierConfig
+from ..ops.layers import rope_table
+from ..ops.linear import QLinear
+from .config import ModelConfig
+from .llama import (Arch, KVCache, LayerWeights, ModelWeights, _cosine,
+                    embed_positions, head_logits, layer_step, scan_layers,
+                    stack_layers)
+
+
+@dataclass
+class TieredKV:
+    """KV caches for the resident prefix and the streamed remainder —
+    separate buffers so each jit step donates only what it touches."""
+
+    res: KVCache | None
+    str: KVCache | None
+
+    @classmethod
+    def create(cls, arch: Arch, tiers: TierConfig, dtype=jnp.bfloat16):
+        res = KVCache.create(arch, dtype, tiers.n_hbm) if tiers.n_hbm else None
+        st = (KVCache.create(arch, dtype, tiers.n_streamed)
+              if tiers.n_streamed else None)
+        return cls(res, st)
+
+
+@dataclass
+class TieredModel:
+    config: ModelConfig
+    arch: Arch
+    tiers: TierConfig
+    resident: ModelWeights          # .layers = stacked [n_hbm] (or None)
+    streamer: LayerStreamer | None
+    tokenizer: Tokenizer | None
+    pack: PackReader
+
+    @property
+    def n_resident(self) -> int:
+        return self.tiers.n_hbm
+
+
+# --- jitted pieces (one compile each; streamed step shared by all layers
+# with the same plane signature) -------------------------------------------
+
+@partial(jax.jit, static_argnames=("arch",))
+def _embed_fwd(arch: Arch, weights: ModelWeights, tokens, pos):
+    return embed_positions(arch, weights, tokens, pos)
+
+
+@partial(jax.jit, static_argnames=("arch", "with_cosine"),
+         donate_argnames=("kv_k", "kv_v"))
+def _resident_scan(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
+                   cos_t, sin_t, n_valid=None, with_cosine: bool = False,
+                   layer_sel=None):
+    if layer_sel is not None:
+        gathered = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), layers)
+        kk = jnp.take(kv_k, layer_sel, axis=0)
+        vv = jnp.take(kv_v, layer_sel, axis=0)
+        x, nk, nv, cos = scan_layers(arch, gathered, x, kk, vv, pos,
+                                     cos_t, sin_t, n_valid, with_cosine)
+        kv_k = kv_k.at[layer_sel].set(nk)
+        kv_v = kv_v.at[layer_sel].set(nv)
+        return x, kv_k, kv_v, cos
+    x, kv_k, kv_v, cos = scan_layers(arch, layers, x, kv_k, kv_v, pos,
+                                     cos_t, sin_t, n_valid, with_cosine)
+    return x, kv_k, kv_v, cos
+
+
+@partial(jax.jit, static_argnames=("arch", "with_cosine"),
+         donate_argnames=("kv_k", "kv_v"))
+def _stream_step(arch: Arch, lw: LayerWeights, x, kv_k, kv_v, idx, pos,
+                 cos_t, sin_t, n_valid=None, with_cosine: bool = False):
+    """One streamed layer: idx is the layer's slot in the streamed KV stack
+    (traced, so every streamed layer reuses one compilation)."""
+    kk = jax.lax.dynamic_index_in_dim(kv_k, idx, 0, keepdims=False)
+    vv = jax.lax.dynamic_index_in_dim(kv_v, idx, 0, keepdims=False)
+    x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t, n_valid)
+    kv_k = jax.lax.dynamic_update_index_in_dim(kv_k, kk, idx, 0)
+    kv_v = jax.lax.dynamic_update_index_in_dim(kv_v, vv, idx, 0)
+    cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
+    return x2, kv_k, kv_v, cos
+
+
+@partial(jax.jit, static_argnames=("arch", "all_logits"))
+def _head_fwd(arch: Arch, weights: ModelWeights, x, n_valid=None,
+              all_logits: bool = False):
+    return head_logits(arch, weights, x, n_valid, all_logits)
+
+
+# --- tiered forward ---------------------------------------------------------
+
+def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
+                   n_valid=None, all_logits: bool = False,
+                   with_cosine: bool = False,
+                   skip: frozenset[int] = frozenset(),
+                   draft_only: bool = False):
+    """Full tiered forward (transformer.cpp:794-1013). Returns
+    (logits, new TieredKV, cosines [n_layers] np.ndarray | None).
+
+    draft_only: resident prefix only — forward_draft_tiered
+    (transformer.cpp:1067-1125), zero streaming I/O.
+    """
+    arch = tm.arch
+    x, cos_t, sin_t = _embed_fwd(arch, tm.resident, tokens, pos)
+
+    cos_res = cos_str = None
+    kv_res, kv_str = kv.res, kv.str
+
+    if tm.tiers.n_hbm:
+        resident_sel = None
+        if skip:
+            keep = [i for i in range(tm.tiers.n_hbm) if i not in skip]
+            if len(keep) < tm.tiers.n_hbm:
+                resident_sel = jnp.asarray(keep, jnp.int32)
+        x, kk, vv, cos_res = _resident_scan(
+            arch, tm.resident.layers, x, kv_res.k, kv_res.v, pos,
+            cos_t, sin_t, n_valid, with_cosine, resident_sel)
+        kv_res = KVCache(kk, vv)
+
+    if not draft_only and tm.streamer is not None:
+        s = tm.streamer
+        sched = s.schedule(skip)
+        cos_parts = []
+        if sched:
+            s.prefetch_staging(sched[0], 0)
+            s.begin_h2d(sched[0], 0)
+            if len(sched) > 1:
+                s.prefetch_staging(sched[1], 1)
+            kk, vv = kv_str.k, kv_str.v
+            for i, layer in enumerate(sched):
+                slot = i % 2
+                lw = s.get_weights(slot)
+                if i + 1 < len(sched):
+                    s.begin_h2d(sched[i + 1], (i + 1) % 2)
+                if i + 2 < len(sched):
+                    s.prefetch_staging(sched[i + 2], slot)
+                idx = jnp.int32(layer - s.first)
+                x, kk, vv, cos_l = _stream_step(
+                    arch, lw, x, kk, vv, idx, pos, cos_t, sin_t,
+                    n_valid, with_cosine)
+                s.signal_compute_done(slot)
+                if with_cosine:
+                    cos_parts.append((layer, cos_l))
+            kv_str = KVCache(kk, vv)
+        cos_str = cos_parts
+
+    logits = _head_fwd(arch, tm.resident, x, n_valid, all_logits)
+
+    cosines = None
+    if with_cosine:
+        cosines = np.zeros(arch.n_layers, np.float32)
+        if cos_res is not None:
+            cosines[: tm.tiers.n_hbm] = np.asarray(cos_res)
+        for layer, c in (cos_str or []):
+            cosines[layer] = float(c)
+    return logits, TieredKV(kv_res, kv_str), cosines
+
+
+# --- loading -----------------------------------------------------------------
+
+def load_model_tiered(path: str, *, max_seq_len: int | None = None,
+                      requant: DType | None = None,
+                      hbm_bytes: int | None = None,
+                      ram_bytes: int | None = None,
+                      max_hbm_layers: int | None = None,
+                      max_ram_layers: int | None = None,
+                      with_tokenizer: bool = True,
+                      n_stage_threads: int = 8) -> TieredModel:
+    """Load a GGUF with automatic HBM/RAM/disk tier assignment
+    (Transformer::load_tiered, transformer.cpp:193-280)."""
+    import sys
+
+    from ..core.gguf import GGUFReader
+    from .loader import load_norm, load_qlinear_host
+
+    reader = GGUFReader(path)
+    cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
+    arch = Arch.from_config(cfg)
+
+    pack = ensure_pack(reader, path, requant)
+
+    # resident non-layer weights + KV cache bound the HBM reserve
+    # (streamer.cu:539-559)
+    embed = load_qlinear_host(reader, "token_embd.weight")
+    tied = "output.weight" not in reader
+    head_bytes = 0 if tied else embed.nbytes
+    kv_bytes = (arch.n_layers * arch.n_kv_heads * arch.max_seq_len
+                * arch.head_dim * 2 * 2)
+    workspace = 64 << 20
+    reserve = embed.nbytes + head_bytes + kv_bytes + workspace \
+        + 2 * pack.max_layer_nbytes  # two streaming slots live in HBM
+
+    tiers = TierConfig.compute(
+        cfg.n_layers, pack.max_layer_nbytes, reserve,
+        hbm_bytes=hbm_bytes, ram_bytes=ram_bytes,
+        max_hbm_layers=max_hbm_layers, max_ram_layers=max_ram_layers)
+    print(tiers.describe(pack.max_layer_nbytes), file=sys.stderr)
+
+    # tier A: resident stacked prefix, loaded straight from the pack
+    layers = []
+    for i in range(tiers.n_hbm):
+        blob = pack.read_layer(i)
+        layers.append(jax.tree.map(jnp.asarray, pack.layer_weights(i, blob)))
+    stacked = stack_layers(layers) if layers else None
+
+    def to_dev(q: QLinear) -> QLinear:
+        return QLinear(q.dtype, q.k, q.n,
+                       {nm: jnp.asarray(v) for nm, v in q.planes.items()})
+
+    embed_dev = to_dev(embed)
+    lm_head = embed_dev if tied else to_dev(
+        load_qlinear_host(reader, "output.weight"))
+    output_norm = jnp.asarray(load_norm(reader, "output_norm.weight"))
+    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
+    resident = ModelWeights(embed=embed_dev, layers=stacked,
+                            output_norm=output_norm, lm_head=lm_head,
+                            rope_cos=cos, rope_sin=sin)
+
+    streamer = (LayerStreamer(pack, tiers, n_threads=n_stage_threads)
+                if tiers.n_streamed else None)
+    tok = Tokenizer.from_gguf_metadata(reader.metadata) if with_tokenizer else None
+    return TieredModel(cfg, arch, tiers, resident, streamer, tok, pack)

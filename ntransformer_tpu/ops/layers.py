@@ -62,20 +62,35 @@ def attention_jnp(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                   pos_start, q_len: int, scale: float) -> jnp.ndarray:
     """Masked GQA attention over the full KV cache buffer.
 
-    q [T, Hq, D]; k_cache/v_cache [S, Hkv, D] (padded to max_seq).
+    q [T, Hq, D]; k_cache/v_cache [Hkv, S, D] (padded to max_seq).
     Causal: query t attends keys [0, pos_start + t]. Returns [T, Hq, D] f32.
     """
     T, Hq, D = q.shape
-    S, Hkv, _ = k_cache.shape
+    Hkv, S, _ = k_cache.shape
     group = Hq // Hkv
     qf = q.astype(jnp.float32).reshape(T, Hkv, group, D)
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
-    scores = jnp.einsum("thgd,shd->hgts", qf, kf) * scale  # [Hkv, g, T, S]
+    scores = jnp.einsum("thgd,hsd->hgts", qf, kf) * scale  # [Hkv, g, T, S]
     key_pos = jnp.arange(S)[None, :]
     q_pos = pos_start + jnp.arange(T)[:, None]
     mask = key_pos <= q_pos  # [T, S]
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hgts,shd->thgd", probs, vf)
+    out = jnp.einsum("hgts,hsd->thgd", probs, vf)
     return out.reshape(T, Hq, D)
+
+
+def attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+              pos_start, q_len: int, scale: float,
+              use_flash: bool | None = None) -> jnp.ndarray:
+    """Attention dispatch: Pallas flash kernel on TPU for prefill-sized q
+    (blocked q×kv, causal block skipping); jnp for decode-sized q, where the
+    [T, S] score tile is small and XLA's fused path measured faster, and as
+    the CPU reference."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu" and q_len >= 64
+    if use_flash:
+        from .pallas.attention import flash_attention
+        return flash_attention(q, k_cache, v_cache, pos_start, q_len, scale)
+    return attention_jnp(q, k_cache, v_cache, pos_start, q_len, scale)

@@ -167,7 +167,9 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
     # K tile in ELEMENT units (plane rows scale by rows_div)
     kcands = (2048, 1024, 512, 256) if dtype != DType.Q8_0 else (2048, 1024, 512, 256, 128, 64, 32)
     tk = _largest_tile(k, kcands)
-    tt = _largest_tile(t, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    # Mosaic requires the sublane block be a multiple of 8 or span the whole
+    # dim — odd T (unbucketed prefill) falls back to one whole-T block.
+    tt = _largest_tile(t, (256, 128, 64, 32, 16, 8)) if t % 8 == 0 else t
     grid = (t // tt, n // tn, k // tk)
     nk = k // tk
 

@@ -76,7 +76,8 @@ def weight_specs(weights: ModelWeights) -> ModelWeights:
 
 
 def kv_spec() -> KVCache:
-    return KVCache(P(None, None, TP_AXIS, None), P(None, None, TP_AXIS, None))
+    # cache is [L, Hkv, S, D]; shard the head axis
+    return KVCache(P(None, TP_AXIS, None, None), P(None, TP_AXIS, None, None))
 
 
 def check_shardable(arch: Arch, weights: ModelWeights, tp: int,

@@ -1,0 +1,180 @@
+"""Tiered streaming (SLEP) tests: pack roundtrip, tier assignment, and
+tiered-vs-resident forward parity — the reference validates streaming by
+bit-identical output vs resident mode (docs/DEVELOPMENT.md:185; SURVEY §4).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ntransformer_tpu.core.dtypes import DType
+from ntransformer_tpu.core.gguf import GGUFReader
+from ntransformer_tpu.memory.pack import PackWriter, PackReader, ensure_pack
+from ntransformer_tpu.memory.tiers import TierConfig
+from ntransformer_tpu.models.llama import KVCache, forward
+from ntransformer_tpu.models.loader import load_layer_host, load_model
+from ntransformer_tpu.models.tiered import (TieredKV, forward_tiered,
+                                            load_model_tiered)
+from tools.make_test_gguf import write_model
+
+GB = 1 << 30
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny_q8.gguf"
+    write_model(str(path), "tiny", "q8_0", seed=3)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def resident_model(tiny_gguf):
+    return load_model(tiny_gguf, compute="quant")
+
+
+def _tiered(tiny_gguf, max_hbm, max_ram, **kw):
+    return load_model_tiered(tiny_gguf, max_hbm_layers=max_hbm,
+                             max_ram_layers=max_ram,
+                             hbm_bytes=64 * GB, ram_bytes=64 * GB, **kw)
+
+
+# --- tier sizing -------------------------------------------------------------
+
+def test_tier_config_auto():
+    tc = TierConfig.compute(80, 1 * GB, reserve_bytes=2 * GB,
+                            hbm_bytes=16 * GB, ram_bytes=40 * GB)
+    assert tc.n_hbm > 0 and tc.n_hbm <= 14
+    assert tc.n_ram > 0
+    assert tc.n_hbm + tc.n_ram + tc.n_disk == 80
+    assert tc.tier_of(0) == "hbm" and tc.tier_of(79) in ("ram", "disk")
+
+
+def test_tier_config_env_overrides(monkeypatch):
+    monkeypatch.setenv("NT_MAX_HBM_LAYERS", "2")
+    monkeypatch.setenv("NT_MAX_RAM_LAYERS", "3")
+    tc = TierConfig.compute(10, GB, 0, hbm_bytes=64 * GB, ram_bytes=64 * GB)
+    assert (tc.n_hbm, tc.n_ram, tc.n_disk) == (2, 3, 5)
+
+
+# --- pack --------------------------------------------------------------------
+
+def test_pack_roundtrip(tiny_gguf, tmp_path):
+    reader = GGUFReader(tiny_gguf)
+    pack = PackWriter(reader).write(str(tmp_path / "t.ntp"))
+    assert pack.n_layers == 4
+    blob = pack.read_layer(2)
+    lw = pack.layer_weights(2, blob)
+    ref = load_layer_host(reader, 2)
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        got, want = getattr(lw, name), getattr(ref, name)
+        assert got.dtype == want.dtype
+        for pn in want.planes:
+            np.testing.assert_array_equal(got.planes[pn], want.planes[pn])
+    np.testing.assert_allclose(np.asarray(lw.attn_norm),
+                               np.asarray(ref.attn_norm))
+
+
+def test_ensure_pack_caches(tiny_gguf):
+    p1 = ensure_pack(GGUFReader(tiny_gguf), tiny_gguf)
+    p2 = ensure_pack(GGUFReader(tiny_gguf), tiny_gguf)
+    assert p1.path == p2.path
+
+
+def test_pack_requant(tmp_path):
+    path = str(tmp_path / "tiny_q6.gguf")
+    write_model(path, "tiny", "q6_k", seed=4)
+    reader = GGUFReader(path)
+    pack = PackWriter(reader, requant=DType.Q4_K).write(str(tmp_path / "r.ntp"))
+    lw = pack.layer_weights(0, pack.read_layer(0))
+    assert lw.wq.dtype == DType.Q4_K  # Q6_K → Q4_K on stage
+    # requantized pack is smaller
+    plain = PackWriter(reader).write(str(tmp_path / "p.ntp"))
+    assert pack.max_layer_nbytes < plain.max_layer_nbytes
+
+
+# --- tiered forward parity ----------------------------------------------------
+
+def _parity(tm, rm, tokens, atol=2e-4):
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    lt, kv_t, _ = forward_tiered(tm, kv_t, tokens, 0)
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch), tokens, 0)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=1e-4, atol=atol)
+    return kv_t
+
+
+def test_tiered_ram_parity(tiny_gguf, resident_model):
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=8)
+    assert (tm.tiers.n_hbm, tm.tiers.n_ram, tm.tiers.n_disk) == (1, 3, 0)
+    tokens = jnp.asarray([1, 5, 9, 2], jnp.int32)
+    _parity(tm, resident_model, tokens)
+
+
+def test_tiered_disk_parity(tiny_gguf, resident_model):
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=1)
+    assert tm.tiers.n_disk == 2
+    tokens = jnp.asarray([1, 5, 9, 2], jnp.int32)
+    _parity(tm, resident_model, tokens)
+
+
+def test_tiered_zero_resident(tiny_gguf, resident_model):
+    tm = _tiered(tiny_gguf, max_hbm=0, max_ram=8)
+    tokens = jnp.asarray([3, 7], jnp.int32)
+    _parity(tm, resident_model, tokens)
+
+
+def test_tiered_decode_sequence(tiny_gguf, resident_model):
+    """Multi-step decode through the tiered pipeline matches resident."""
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=2, max_ram=1)  # hbm+ram+disk all in play
+    toks = [1, 5, 9]
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    kv_r = KVCache.create(rm.arch)
+    lt, kv_t, _ = forward_tiered(tm, kv_t, jnp.asarray(toks, jnp.int32), 0)
+    lr, kv_r, _ = forward(rm.arch, rm.weights, kv_r,
+                          jnp.asarray(toks, jnp.int32), 0)
+    for step in range(3):
+        nt = int(jnp.argmax(lt[0]))
+        nr = int(jnp.argmax(lr[0]))
+        assert nt == nr
+        tok = jnp.asarray([nt], jnp.int32)
+        lt, kv_t, _ = forward_tiered(tm, kv_t, tok, 3 + step)
+        lr, kv_r, _ = forward(rm.arch, rm.weights, kv_r, tok, 3 + step)
+        np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                                   rtol=1e-4, atol=2e-4)
+
+
+def test_tiered_draft_only(tiny_gguf, resident_model):
+    """draft_only == forward over the resident prefix (forward_draft,
+    transformer.cpp:1067-1125)."""
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=2, max_ram=8)
+    tokens = jnp.asarray([1, 5], jnp.int32)
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    lt, _, _ = forward_tiered(tm, kv_t, tokens, 0, draft_only=True)
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch), tokens,
+                       0, layer_sel=jnp.asarray([0, 1], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_tiered_skip(tiny_gguf, resident_model):
+    """Skipping a streamed layer == layer_sel without it
+    (transformer.cpp:831-835)."""
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=8)
+    tokens = jnp.asarray([1, 5], jnp.int32)
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    lt, _, _ = forward_tiered(tm, kv_t, tokens, 0, skip=frozenset({2}))
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch), tokens,
+                       0, layer_sel=jnp.asarray([0, 1, 3], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_tiered_cosine_calibration(tiny_gguf):
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=8)
+    tokens = jnp.asarray([1, 5], jnp.int32)
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    _, _, cos = forward_tiered(tm, kv_t, tokens, 0, with_cosine=True)
+    assert cos.shape == (4,)
+    assert np.all(np.abs(cos) <= 1.0 + 1e-5)
