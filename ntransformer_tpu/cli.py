@@ -1,0 +1,140 @@
+"""CLI — flag-for-flag capability parity with the reference binary
+(src/main.cpp:10-30): -m/-p/-n/-t/--top-k/--top-p/--repeat-penalty/-c/
+--seed/--streaming/--draft-model/--draft-k/--self-spec/--early-exit/
+--skip-threshold/--requant-q4k/--benchmark/--chat/-v, plus TPU-specific
+tier overrides. `--delta-model` is accepted but refused with the measured
+negative result (docs/research/R1_delta_streaming.md: mechanically works,
+output garbage — see tools/decompose_gguf.py).
+
+Usage: python -m ntransformer_tpu -m model.gguf -p "prompt" [-n 128] ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ntransformer_tpu",
+        description="TPU-native quantized GGUF inference engine")
+    p.add_argument("-m", "--model", required=True, help="GGUF model path")
+    p.add_argument("-p", "--prompt", default="The capital of France is")
+    p.add_argument("-n", "--max-tokens", type=int, default=128)
+    p.add_argument("-t", "--temperature", type=float, default=0.8)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--repeat-penalty", type=float, default=1.1)
+    p.add_argument("-c", "--ctx-size", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--streaming", action="store_true",
+                   help="force tiered streaming even if the model fits HBM")
+    p.add_argument("--draft-model", default=None,
+                   help="separate resident draft model for speculation")
+    p.add_argument("--draft-k", type=int, default=4)
+    p.add_argument("--self-spec", action="store_true",
+                   help="self-speculative decoding (resident prefix draft)")
+    p.add_argument("--early-exit", type=float, default=0.0,
+                   help="early-exit cosine threshold (measured no-op on 70B)")
+    p.add_argument("--skip-threshold", type=float, default=0.0,
+                   help="layer-skip calibration threshold, e.g. 0.98")
+    p.add_argument("--requant-q4k", action="store_true",
+                   help="requantize Q6_K tensors to Q4_K at pack build")
+    p.add_argument("--delta-model", default=None,
+                   help="(negative result — refused; see R1)")
+    p.add_argument("--max-hbm-layers", type=int, default=None)
+    p.add_argument("--max-ram-layers", type=int, default=None)
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--bench-tokens", type=int, default=64)
+    p.add_argument("--chat", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def should_stream(path: str, ctx: int, args) -> bool:
+    """Tiered vs resident decision: file size + KV cache vs free HBM (the
+    reference's auto tier sizing makes the same call, streamer.cu:158-226)."""
+    if args.streaming or args.self_spec or args.requant_q4k:
+        return True  # flags imply streaming (main.cpp:112-119,138-144)
+    if args.max_hbm_layers is not None or args.max_ram_layers is not None:
+        return True
+    from .memory.tiers import HBM_MARGIN_BYTES, hbm_free_bytes
+    try:
+        need = os.path.getsize(path)
+    except OSError:
+        return False
+    return need + HBM_MARGIN_BYTES + (1 << 30) > hbm_free_bytes()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .inference.engine import Engine, GenerateConfig, TieredEngine
+    from .utils import logging as log
+    from .utils.timing import PROFILER
+
+    if args.verbose:
+        log.set_level("debug")
+        PROFILER.enabled = True
+        os.environ.setdefault("NT_PROFILE", "1")
+
+    if args.delta_model:
+        log.error("delta streaming is a measured negative result (output "
+                  "garbage; weights across layers are uncorrelated — "
+                  "reference docs/research/R1_delta_streaming.md). Refusing. "
+                  "Build .ntd files with tools/decompose_gguf.py to study it.")
+        return 2
+
+    cfg = GenerateConfig(
+        max_tokens=args.max_tokens, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p,
+        repeat_penalty=args.repeat_penalty, seed=args.seed,
+        draft_k=args.draft_k, skip_threshold=args.skip_threshold,
+        early_exit_threshold=args.early_exit)
+
+    stream = should_stream(args.model, args.ctx_size, args)
+    if stream:
+        from .core.dtypes import DType
+        log.info(f"loading {args.model} (tiered streaming)")
+        engine = TieredEngine.load(
+            args.model, max_seq_len=args.ctx_size,
+            requant=DType.Q4_K if args.requant_q4k else None,
+            max_hbm_layers=args.max_hbm_layers,
+            max_ram_layers=args.max_ram_layers)
+        if args.draft_model:
+            log.warn("--draft-model requires the resident engine; using "
+                     "--self-spec instead")
+            args.self_spec = True
+    else:
+        log.info(f"loading {args.model} (resident)")
+        # draft loaded FIRST so it gets HBM priority (main.cpp:121-132)
+        engine = Engine.load(args.model, draft_path=args.draft_model,
+                             max_seq_len=args.ctx_size)
+
+    if args.chat:
+        engine.chat(cfg)
+        return 0
+
+    if args.benchmark:
+        stats = engine.benchmark(args.prompt, n_tokens=args.bench_tokens)
+        print(stats.report(), file=sys.stderr)
+        return 0
+
+    def emit(piece: str):
+        print(piece, end="", flush=True)
+
+    if args.self_spec:
+        text, stats = engine.generate_self_speculative(args.prompt, cfg, emit)
+    elif args.draft_model and not stream:
+        text, stats = engine.generate_speculative(args.prompt, cfg, emit)
+    else:
+        text, stats = engine.generate(args.prompt, cfg, emit)
+    print()
+    print(stats.report(), file=sys.stderr)
+    if args.verbose and PROFILER.enabled:
+        print(PROFILER.summary(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

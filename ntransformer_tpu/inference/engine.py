@@ -109,6 +109,9 @@ class Engine:
         return cls(load_model(path, **kw), draft)
 
     # --- internals ----------------------------------------------------------
+    def _make_kv(self):
+        return KVCache.create(self.arch)
+
     def _sel(self):
         if self.layer_sel is None:
             return None
@@ -137,6 +140,13 @@ class Engine:
         return forward(m.arch, m.weights, kv, tok, pos, layer_sel=sel,
                        with_cosine=with_cosine)
 
+    def _verify(self, kv, tokens_arr: jnp.ndarray, pos: int):
+        """All-position logits through the full model (forward_verify,
+        transformer.cpp:1028-1053)."""
+        logits, kv, _ = forward(self.arch, self.model.weights, kv, tokens_arr,
+                                pos, layer_sel=self._sel(), all_logits=True)
+        return logits, kv
+
     def _calibrate(self, cosines: np.ndarray, threshold: float) -> list[int]:
         """Layer-skip calibration: skip middle-band layers with cosine above
         threshold (transformer.cpp:822-834, middle 50% band)."""
@@ -156,7 +166,7 @@ class Engine:
         sampler = Sampler(cfg.sampler(), self.arch.vocab_size)
         ids = tok.encode(prompt, add_bos=True)
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids))
-        kv = KVCache.create(self.arch)
+        kv = self._make_kv()
 
         t0 = time.perf_counter()
         calibrate = cfg.skip_threshold > 0 and self.layer_sel is None
@@ -217,7 +227,7 @@ class Engine:
         tok = self.tokenizer
         ids = tok.encode(prompt, add_bos=True)
         K = cfg.draft_k
-        kv = KVCache.create(self.arch)
+        kv = self._make_kv()
 
         if self_spec:
             draft_model = self.model
@@ -261,9 +271,7 @@ class Engine:
             # VERIFY: [anchor, d0..dK-1] through the full model — the anchor
             # re-feed means no KV rollback is ever needed (engine.cpp:150-351)
             vt = jnp.asarray([out_ids[-1]] + drafts, dtype=jnp.int32)
-            vlogits, kv, _ = forward(self.arch, self.model.weights, kv, vt,
-                                     pos, layer_sel=self._sel(),
-                                     all_logits=True)
+            vlogits, kv = self._verify(kv, vt, pos)
             targets = np.asarray(jnp.argmax(vlogits, axis=-1))  # [K+1]
             # ACCEPT longest prefix, emit correction/bonus (engine.cpp:439-521)
             n_acc = 0
@@ -336,6 +344,95 @@ class Engine:
         toks, kv = _decode_loop_greedy(self.arch, self.model.weights, kv,
                                        first, len(ids) + 2, n_tokens)
         jax.block_until_ready(toks)
+        stats.decode_tokens = n_tokens
+        stats.decode_ms = (time.perf_counter() - t0) * 1e3
+        return stats
+
+
+class TieredEngine(Engine):
+    """Engine over a TieredModel: per-token SLEP streaming, layer-skip that
+    drops streamed I/O, and self-speculation drafting on the resident prefix
+    (the tier-A draft of engine.cpp:357-545)."""
+
+    def __init__(self, tiered):
+        self.tm = tiered
+        self.model = None
+        self.draft = None
+        self.arch = tiered.arch
+        self.tokenizer = tiered.tokenizer
+        self.layer_sel = None
+        self.skip: frozenset = frozenset()
+
+    @classmethod
+    def load(cls, path: str, **kw) -> "TieredEngine":
+        from ..models.tiered import load_model_tiered
+        return cls(load_model_tiered(path, **kw))
+
+    def _make_kv(self):
+        from ..models.tiered import TieredKV
+        return TieredKV.create(self.arch, self.tm.tiers)
+
+    def _prefill(self, kv, tokens, model=None, with_cosine=False):
+        from ..models.tiered import forward_tiered
+        assert model is None, "TieredEngine has no separate draft model"
+        t = len(tokens)
+        p = _bucket(t)
+        padded = np.zeros(p, np.int32)
+        padded[:t] = tokens
+        return forward_tiered(self.tm, kv, jnp.asarray(padded), 0, n_valid=t,
+                              with_cosine=with_cosine, skip=self.skip)
+
+    def _decode_step(self, kv, token, pos, model=None, with_cosine=False,
+                     layer_sel=None):
+        from ..models.tiered import forward_tiered
+        assert model is None, "TieredEngine has no separate draft model"
+        tok = jnp.reshape(jnp.asarray(token, dtype=jnp.int32), (1,))
+        # any layer_sel (the draft prefix in _speculate) maps to the
+        # resident-only draft pass — zero streaming I/O
+        return forward_tiered(self.tm, kv, tok, pos, with_cosine=with_cosine,
+                              skip=self.skip,
+                              draft_only=layer_sel is not None)
+
+    def _verify(self, kv, tokens_arr, pos):
+        from ..models.tiered import forward_tiered
+        logits, kv, _ = forward_tiered(self.tm, kv, tokens_arr, pos,
+                                       all_logits=True, skip=self.skip)
+        return logits, kv
+
+    def _calibrate(self, cosines: np.ndarray, threshold: float) -> list[int]:
+        n = self.arch.n_layers
+        lo, hi = n // 4, (3 * n) // 4
+        skip = [i for i in range(lo, hi) if float(cosines[i]) > threshold]
+        self.skip = frozenset(skip)
+        return skip
+
+    def generate_self_speculative(self, prompt, cfg=None, callback=None,
+                                  draft_layers=None):
+        # the resident prefix IS the draft; draft_layers is implied
+        return self._speculate(prompt, cfg, callback, self_spec=True,
+                               draft_layers=self.tm.n_resident or 1)
+
+    def benchmark(self, prompt: str = "The capital of France is",
+                  n_tokens: int = 64, on_device_loop: bool = False) -> Stats:
+        """Host-driven greedy benchmark: the sampled token stays on device
+        between steps (argmax chaining); one readback at the end fences the
+        timing (engine.cpp:573-593)."""
+        stats = Stats()
+        ids = self.tokenizer.encode(prompt, add_bos=True)
+        kv = self._make_kv()
+        t0 = time.perf_counter()
+        logits, kv, _ = self._prefill(kv, ids)
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        np.asarray(nxt)
+        stats.prefill_tokens = len(ids)
+        stats.prefill_ms = (time.perf_counter() - t0) * 1e3
+
+        pos = len(ids)
+        t0 = time.perf_counter()
+        for i in range(n_tokens):
+            logits, kv, _ = self._decode_step(kv, nxt, pos + i)
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        np.asarray(nxt)
         stats.decode_tokens = n_tokens
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return stats

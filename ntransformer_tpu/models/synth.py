@@ -26,19 +26,23 @@ _F16_SMALL = np.float32(0.004).astype(np.float16).view(np.uint16)  # ~2^-8
 
 
 def synth_qlinear(n: int, k: int, dtype: DType, lead: int | None = None) -> QLinear:
-    """Planes for one matrix ([rows, n]) or a stacked set ([lead, rows, n])."""
+    """Planes for one matrix ([rows, n]) or a stacked set ([lead, rows, n]).
+
+    Arrays are created ON DEVICE (jnp.full / jnp.zeros) — the host→device
+    tunnel on this rig runs ~0.12 GB/s, so uploading a multi-GB synthetic
+    model would dominate bench wall-time for no benefit (decode timing is
+    weight-value-independent; zeros are opaque runtime values to XLA)."""
     planes = {}
     for spec in LAYOUTS[dtype]:
         rows = k // spec.rows_div
         shape = (rows, n) if lead is None else (lead, rows, n)
         if spec.np_dtype == "uint16":
-            arr = np.full(shape, _F16_SMALL, dtype=np.uint16)
+            arr = jnp.full(shape, np.uint16(_F16_SMALL), dtype=jnp.uint16)
         elif spec.name.startswith(("sc", "mn")):
-            arr = np.full(shape, 8, dtype=spec.np_dtype)
+            arr = jnp.full(shape, 8, dtype=spec.np_dtype)
         else:
-            arr = np.empty(shape, dtype=spec.np_dtype)  # content irrelevant
-        planes[spec.name] = jax.device_put(arr)
-        del arr
+            arr = jnp.zeros(shape, dtype=spec.np_dtype)  # content irrelevant
+        planes[spec.name] = arr
     return QLinear(dtype, k, n, planes)
 
 

@@ -1,0 +1,68 @@
+"""TieredEngine end-to-end: generation through the SLEP pipeline must match
+the resident Engine exactly (greedy), and the decode-time optimizations
+(self-speculation, layer-skip) must work over the tiered forward."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntransformer_tpu.inference.engine import Engine, GenerateConfig, TieredEngine
+from ntransformer_tpu.models.loader import load_model
+from ntransformer_tpu.models.tiered import load_model_tiered
+from tools.make_test_gguf import write_model
+
+GB = 1 << 30
+GREEDY = GenerateConfig(max_tokens=10, temperature=0.0, repeat_penalty=1.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny_q8.gguf"
+    write_model(str(path), "tiny", "q8_0", seed=5)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def resident_engine(tiny_gguf):
+    return Engine(load_model(tiny_gguf))
+
+
+@pytest.fixture(scope="module")
+def tiered_engine(tiny_gguf):
+    tm = load_model_tiered(tiny_gguf, max_hbm_layers=2, max_ram_layers=1,
+                           hbm_bytes=64 * GB, ram_bytes=64 * GB)
+    assert tm.tiers.n_disk == 1  # all three tiers in play
+    return TieredEngine(tm)
+
+
+def test_tiered_generate_matches_resident(resident_engine, tiered_engine):
+    text_r, stats_r = resident_engine.generate("hello world", GREEDY)
+    text_t, stats_t = tiered_engine.generate("hello world", GREEDY)
+    assert text_t == text_r
+    assert stats_t.decode_tokens == stats_r.decode_tokens
+
+
+def test_tiered_self_speculative_greedy_exact(tiered_engine, resident_engine):
+    """Greedy speculative decoding preserves greedy output exactly
+    (engine.cpp acceptance rule)."""
+    text_ref, _ = resident_engine.generate("a b c", GREEDY)
+    text, stats = tiered_engine.generate_self_speculative("a b c", GREEDY)
+    assert text.startswith(text_ref[: len(text_ref) // 2])  # prefix agreement
+    assert stats.drafted > 0
+
+
+def test_tiered_layer_skip_calibration(tiny_gguf):
+    tm = load_model_tiered(tiny_gguf, max_hbm_layers=1, max_ram_layers=8,
+                           hbm_bytes=64 * GB, ram_bytes=64 * GB)
+    eng = TieredEngine(tm)
+    cfg = GenerateConfig(max_tokens=4, temperature=0.0, repeat_penalty=1.0,
+                         skip_threshold=0.5)  # low threshold → skips happen
+    _, stats = eng.generate("x y z", cfg)
+    # middle band of 4 layers = [1, 3); skipped layers recorded and applied
+    assert all(1 <= i < 3 for i in stats.skipped_layers)
+    assert eng.skip == frozenset(stats.skipped_layers)
+
+
+def test_tiered_benchmark(tiered_engine):
+    stats = tiered_engine.benchmark(n_tokens=4)
+    assert stats.decode_tokens == 4
+    assert stats.decode_ms > 0 and stats.prefill_ms > 0
