@@ -19,7 +19,9 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+_REPO = __file__.rsplit("/", 1)[0]
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax

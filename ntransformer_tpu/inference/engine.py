@@ -29,6 +29,7 @@ import numpy as np
 
 from ..models.llama import Arch, KVCache, forward
 from ..models.loader import LoadedModel, load_model
+from ..utils.timing import PROFILER
 from .sampler import Sampler, SamplerConfig
 
 
@@ -170,7 +171,9 @@ class Engine:
 
         t0 = time.perf_counter()
         calibrate = cfg.skip_threshold > 0 and self.layer_sel is None
+        PROFILER.begin("engine/prefill")
         logits, kv, cos = self._prefill(kv, ids, with_cosine=calibrate)
+        PROFILER.end("engine/prefill")
         next_tok = sampler.sample(logits[0])
         jax.block_until_ready(next_tok)
         stats.prefill_tokens = len(ids)
@@ -192,8 +195,10 @@ class Engine:
                 break
             if pos >= self.arch.max_seq_len:
                 break
+            PROFILER.begin("engine/decode_step")
             logits, kv, _ = self._decode_step(kv, next_tok, pos)
             next_tok = sampler.sample(logits[0])
+            PROFILER.end("engine/decode_step")
             pos += 1
         jax.block_until_ready(logits)
         stats.decode_tokens = len(out_ids)

@@ -41,6 +41,7 @@ import jax
 import numpy as np
 
 from ..models.llama import LayerWeights
+from ..utils.timing import PROFILER
 from .native import StagePool
 from .pack import PackReader
 from .tiers import TierConfig
@@ -140,11 +141,13 @@ class LayerStreamer:
             blob = self.ram_blobs[layer]
         else:
             if slot.stage_job is not None:
-                self.pool.wait(slot.stage_job)     # staging_ready_ handshake
+                with PROFILER.phase("stream/wait_staging"):
+                    self.pool.wait(slot.stage_job)  # staging_ready_ handshake
                 slot.stage_job = None
             blob = slot.staging
-        host_lw = self.pack.layer_weights(layer, blob)
-        slot.device = jax.tree.map(jax.device_put, host_lw)
+        with PROFILER.phase("stream/begin_h2d"):
+            host_lw = self.pack.layer_weights(layer, blob)
+            slot.device = jax.tree.map(jax.device_put, host_lw)
         slot.layer = layer
         slot.host_src = blob
 

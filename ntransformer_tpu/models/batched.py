@@ -1,0 +1,115 @@
+"""Batched decode: B sequences, one token each, per-sequence positions.
+
+The reference is strictly batch-1 (SURVEY §0: even prefill loops GEMV per
+token); on TPU, batching decode is THE way to move the quantized matmuls
+from memory-bound matvecs toward MXU utilization — a batch of B decode
+tokens is a [B, K] × [K, N] matmul through the SAME fused dequant kernels
+(the weight read is amortized over B sequences). This module is the compute
+core for the continuous-batching server (inference/serve.py).
+
+Design: the hidden rows of a decode batch are independent everywhere except
+attention (per-sequence KV + position) and the KV write (per-sequence
+scatter), both handled with vmap over the batch axis. Inactive slots keep
+their cache row frozen via the active mask.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import apply_rope, attention_jnp, rms_norm, swiglu
+from ..ops.linear import embed_lookup, qmatmul
+from .llama import Arch, KVCache, LayerWeights, ModelWeights, _register
+
+
+@_register
+@dataclass
+class BatchedKV:
+    k: jnp.ndarray  # [L, B, Hkv, S, D]
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, arch: Arch, batch: int, dtype=jnp.bfloat16):
+        shape = (arch.n_layers, batch, arch.n_kv_heads, arch.max_seq_len,
+                 arch.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def insert(self, slot: int, kv: KVCache) -> "BatchedKV":
+        """Place a single-sequence cache (from prefill) into batch slot b."""
+        return BatchedKV(self.k.at[:, slot].set(kv.k),
+                         self.v.at[:, slot].set(kv.v))
+
+
+def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
+                        active, cos_t, sin_t):
+    """x [B, H]; kv [B, Hkv, S, D]; pos [B]; active [B] bool."""
+    B = x.shape[0]
+    Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
+    h = rms_norm(x, lw.attn_norm, arch.norm_eps).astype(jnp.bfloat16)
+    q = qmatmul(h, lw.wq).reshape(B, 1, Hq, D)
+    k = qmatmul(h, lw.wk).reshape(B, 1, Hkv, D)
+    v = qmatmul(h, lw.wv).reshape(B, 1, Hkv, D)
+    q = jax.vmap(apply_rope, (0, 0, 0, None))(q, cos_t, sin_t,
+                                              arch.rope_interleaved)
+    k = jax.vmap(apply_rope, (0, 0, 0, None))(k, cos_t, sin_t,
+                                              arch.rope_interleaved)
+
+    def write(cache, new, p, act):
+        # cache [Hkv, S, D]; new [Hkv, 1, D]; frozen when inactive
+        cur = jax.lax.dynamic_slice(cache, (0, p, 0), (Hkv, 1, D))
+        return jax.lax.dynamic_update_slice(
+            cache, jnp.where(act, new, cur), (0, p, 0))
+
+    k_t = jnp.swapaxes(k.reshape(B, 1, Hkv, D).astype(kv_k.dtype), 1, 2)
+    v_t = jnp.swapaxes(v.reshape(B, 1, Hkv, D).astype(kv_v.dtype), 1, 2)
+    kv_k = jax.vmap(write)(kv_k, k_t, pos, active)
+    kv_v = jax.vmap(write)(kv_v, v_t, pos, active)
+
+    att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None))(
+        q.reshape(B, 1, Hq, D), kv_k, kv_v, pos, 1,
+        1.0 / math.sqrt(D))                      # [B, 1, Hq, D]
+    o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo)
+    x = x + o
+    hf = rms_norm(x, lw.ffn_norm, arch.norm_eps).astype(jnp.bfloat16)
+    g = qmatmul(hf, lw.w_gate)
+    u = qmatmul(hf, lw.w_up)
+    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down)
+    x = x + dn
+    return x, kv_k, kv_v
+
+
+@partial(jax.jit, static_argnames=("arch",), donate_argnames=("kv",))
+def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
+                        tokens: jnp.ndarray, pos: jnp.ndarray,
+                        active: jnp.ndarray):
+    """One decode step for B sequences.
+
+    tokens [B] int32; pos [B] int32 (per-sequence write offset);
+    active [B] bool (inactive slots compute but neither write KV nor
+    advance). Returns (logits [B, V] f32, new BatchedKV).
+    """
+    B = tokens.shape[0]
+    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32)  # [B, H]
+    d2 = arch.head_dim // 2
+
+    def rope_rows(p):
+        c = jax.lax.dynamic_slice(weights.rope_cos, (p, 0), (1, d2))
+        s = jax.lax.dynamic_slice(weights.rope_sin, (p, 0), (1, d2))
+        return c, s
+    cos_t, sin_t = jax.vmap(rope_rows)(pos)      # [B, 1, d2]
+
+    def body(carry, inp):
+        x = carry
+        lw, kk, vv = inp
+        x, kk, vv = _batched_layer_step(arch, x, lw, kk, vv, pos, active,
+                                        cos_t, sin_t)
+        return x, (kk, vv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (weights.layers, kv.k, kv.v))
+    x = rms_norm(x, weights.output_norm, arch.norm_eps)
+    logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
+    return logits, BatchedKV(new_k, new_v)
