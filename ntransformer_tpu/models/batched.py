@@ -45,14 +45,21 @@ class BatchedKV:
 
 
 def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
-                        active, cos_t, sin_t):
-    """x [B, H]; kv [B, Hkv, S, D]; pos [B]; active [B] bool."""
+                        active, cos_t, sin_t, layer=None):
+    """x [B, H]; kv [B, Hkv, S, D]; pos [B]; active [B] bool; lw stacked
+    with `layer` selecting inside the kernels (zero-copy layer scan)."""
     B = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
-    h = rms_norm(x, lw.attn_norm, arch.norm_eps).astype(jnp.bfloat16)
-    q = qmatmul(h, lw.wq).reshape(B, 1, Hq, D)
-    k = qmatmul(h, lw.wk).reshape(B, 1, Hkv, D)
-    v = qmatmul(h, lw.wv).reshape(B, 1, Hkv, D)
+
+    def norm_w(w):
+        if layer is None:
+            return w
+        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+
+    h = rms_norm(x, norm_w(lw.attn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    q = qmatmul(h, lw.wq, layer=layer).reshape(B, 1, Hq, D)
+    k = qmatmul(h, lw.wk, layer=layer).reshape(B, 1, Hkv, D)
+    v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
     q = jax.vmap(apply_rope, (0, 0, 0, None))(q, cos_t, sin_t,
                                               arch.rope_interleaved)
     k = jax.vmap(apply_rope, (0, 0, 0, None))(k, cos_t, sin_t,
@@ -72,12 +79,13 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
     att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None))(
         q.reshape(B, 1, Hq, D), kv_k, kv_v, pos, 1,
         1.0 / math.sqrt(D))                      # [B, 1, Hq, D]
-    o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo)
+    o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo,
+                layer=layer)
     x = x + o
-    hf = rms_norm(x, lw.ffn_norm, arch.norm_eps).astype(jnp.bfloat16)
-    g = qmatmul(hf, lw.w_gate)
-    u = qmatmul(hf, lw.w_up)
-    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down)
+    hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    g = qmatmul(hf, lw.w_gate, layer=layer)
+    u = qmatmul(hf, lw.w_up, layer=layer)
+    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
     x = x + dn
     return x, kv_k, kv_v
 
@@ -104,12 +112,13 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
 
     def body(carry, inp):
         x = carry
-        lw, kk, vv = inp
-        x, kk, vv = _batched_layer_step(arch, x, lw, kk, vv, pos, active,
-                                        cos_t, sin_t)
+        li, kk, vv = inp
+        x, kk, vv = _batched_layer_step(arch, x, weights.layers, kk, vv, pos,
+                                        active, cos_t, sin_t, layer=li)
         return x, (kk, vv)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (weights.layers, kv.k, kv.v))
+    indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
+    x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv.k, kv.v))
     x = rms_norm(x, weights.output_norm, arch.norm_eps)
     logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
     return logits, BatchedKV(new_k, new_v)

@@ -117,7 +117,7 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
 
 
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
-               n_valid=None, tp_axis: str | None = None):
+               n_valid=None, tp_axis: str | None = None, layer=None):
     """One transformer block. x [T, H] f32; kv [Hkv, S, D]; pos scalar.
 
     n_valid (traced scalar or None): with bucketed prefill, only the first
@@ -128,13 +128,24 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     column-parallel wq/wk/wv/gate/up and row-parallel wo/down — the two
     row-parallel products are psum-reduced here. `arch` must then hold the
     LOCAL head counts.
+
+    layer: traced layer index when lw holds STACKED weights ([L, ...]
+    leaves) — the quantized matmuls select the layer inside the Pallas
+    kernel via scalar prefetch, so the layer scan never copies weights
+    (XLA's dynamic-slice of scan-carried planes measured ~55% of decode).
     """
     T = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
-    h = rms_norm(x, lw.attn_norm, arch.norm_eps).astype(jnp.bfloat16)
-    q = qmatmul(h, lw.wq).reshape(T, Hq, D)
-    k = qmatmul(h, lw.wk).reshape(T, Hkv, D)
-    v = qmatmul(h, lw.wv).reshape(T, Hkv, D)
+
+    def norm_w(w):
+        if layer is None:
+            return w
+        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+
+    h = rms_norm(x, norm_w(lw.attn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    q = qmatmul(h, lw.wq, layer=layer).reshape(T, Hq, D)
+    k = qmatmul(h, lw.wk, layer=layer).reshape(T, Hkv, D)
+    v = qmatmul(h, lw.wv, layer=layer).reshape(T, Hkv, D)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
     k = jnp.swapaxes(k.astype(kv_k.dtype), 0, 1)  # [Hkv, T, D]
@@ -146,14 +157,15 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, pos, 0))
     kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, pos, 0))
     att = attention(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
-    o = qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo)
+    o = qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo,
+                layer=layer)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     x = x + o
-    hf = rms_norm(x, lw.ffn_norm, arch.norm_eps).astype(jnp.bfloat16)
-    g = qmatmul(hf, lw.w_gate)
-    u = qmatmul(hf, lw.w_up)
-    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down)
+    hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    g = qmatmul(hf, lw.w_gate, layer=layer)
+    u = qmatmul(hf, lw.w_up, layer=layer)
+    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
     if tp_axis is not None:
         dn = jax.lax.psum(dn, tp_axis)
     x = x + dn
@@ -174,18 +186,27 @@ def embed_positions(arch: Arch, weights: ModelWeights, tokens: jnp.ndarray,
 
 def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
                 cos_t, sin_t, n_valid=None, with_cosine: bool = False,
-                tp_axis: str | None = None):
+                tp_axis: str | None = None, indices: jnp.ndarray | None = None):
     """Run a stacked layer set ([L, ...] leaves) with lax.scan.
-    Returns (x, new_k, new_v, cosines [L])."""
+
+    The scan iterates over LAYER INDICES (plus the per-layer KV slices);
+    the stacked weights stay loop-invariant and each quantized matmul
+    selects its layer inside the Pallas kernel — no per-iteration weight
+    copies. indices defaults to arange(L); pass a subset order for
+    layer-skip / draft schedules. Returns (x, new_k, new_v, cosines)."""
+    n = kv_k.shape[0]
+    if indices is None:
+        indices = jnp.arange(n, dtype=jnp.int32)
+
     def body(carry, inp):
         x = carry
-        lw, kk, vv = inp
-        x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t,
-                                n_valid, tp_axis)
+        li, kk, vv = inp
+        x2, kk, vv = layer_step(arch, x, layers, kk, vv, pos, cos_t, sin_t,
+                                n_valid, tp_axis, layer=li)
         cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
         return x2, (kk, vv, cos)
 
-    x, (new_k, new_v, cosines) = jax.lax.scan(body, x, (layers, kv_k, kv_v))
+    x, (new_k, new_v, cosines) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
     return x, new_k, new_v, cosines
 
 
@@ -232,16 +253,18 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
     """
     x, cos_t, sin_t = embed_positions(arch, weights, tokens, pos, tp_axis)
 
-    layers = weights.layers
     kv_k, kv_v = kv.k, kv.v
+    indices = None
     if layer_sel is not None:
-        layers = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), layers)
+        # weights stay whole (kernels gather by index); only the small KV
+        # slices are gathered for the scan
+        indices = layer_sel.astype(jnp.int32)
         kv_k = jnp.take(kv_k, layer_sel, axis=0)
         kv_v = jnp.take(kv_v, layer_sel, axis=0)
 
-    x, new_k, new_v, cosines = scan_layers(arch, layers, x, kv_k, kv_v, pos,
-                                           cos_t, sin_t, n_valid, with_cosine,
-                                           tp_axis)
+    x, new_k, new_v, cosines = scan_layers(arch, weights.layers, x, kv_k,
+                                           kv_v, pos, cos_t, sin_t, n_valid,
+                                           with_cosine, tp_axis, indices)
 
     if layer_sel is not None:
         new_k = kv.k.at[layer_sel].set(new_k)

@@ -76,11 +76,11 @@ def _resident_scan(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
                    cos_t, sin_t, n_valid=None, with_cosine: bool = False,
                    layer_sel=None):
     if layer_sel is not None:
-        gathered = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), layers)
         kk = jnp.take(kv_k, layer_sel, axis=0)
         vv = jnp.take(kv_v, layer_sel, axis=0)
-        x, nk, nv, cos = scan_layers(arch, gathered, x, kk, vv, pos,
-                                     cos_t, sin_t, n_valid, with_cosine)
+        x, nk, nv, cos = scan_layers(arch, layers, x, kk, vv, pos,
+                                     cos_t, sin_t, n_valid, with_cosine,
+                                     indices=layer_sel.astype(jnp.int32))
         kv_k = kv_k.at[layer_sel].set(nk)
         kv_v = kv_v.at[layer_sel].set(nv)
         return x, kv_k, kv_v, cos

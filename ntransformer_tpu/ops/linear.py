@@ -73,19 +73,29 @@ def plane_dims(planes: dict, dtype: DType) -> tuple[int, int]:
 
 
 def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
-            out_dtype=jnp.float32) -> jnp.ndarray:
-    """y[T, N] = x[T, K] @ W^T. Dispatches Pallas kernel vs jnp fallback."""
+            out_dtype=jnp.float32, layer=None) -> jnp.ndarray:
+    """y[T, N] = x[T, K] @ W^T. Dispatches Pallas kernel vs jnp fallback.
+
+    layer: traced layer index when ql holds STACKED planes ([L, rows, N]) —
+    the Pallas kernel selects the layer via scalar prefetch (zero-copy); the
+    fallbacks slice first."""
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu" and ql.dtype not in _FLOAT_KINDS
     if ql.dtype in _FLOAT_KINDS:
         w = ql.planes["w"]
+        if layer is not None:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         return jnp.dot(x.astype(w.dtype), w,
                        preferred_element_type=jnp.float32).astype(out_dtype)
-    k, n = plane_dims(ql.planes, ql.dtype)
     if use_kernel:
         from .pallas.matmul import quant_matmul_pallas
-        return quant_matmul_pallas(x, ql, out_dtype=out_dtype)
-    w = dequant_planes_jnp(ql.planes, ql.dtype, k, n, out_dtype=jnp.bfloat16)
+        return quant_matmul_pallas(x, ql, out_dtype=out_dtype, layer=layer)
+    planes = ql.planes
+    if layer is not None:
+        planes = {nm: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+                  for nm, v in planes.items()}
+    k, n = plane_dims(planes, ql.dtype)
+    w = dequant_planes_jnp(planes, ql.dtype, k, n, out_dtype=jnp.bfloat16)
     return jnp.dot(x.astype(jnp.bfloat16), w,
                    preferred_element_type=jnp.float32).astype(out_dtype)
 

@@ -48,79 +48,79 @@ def _rep_sublanes(a, rep: int, rows: int, cols: int):
 
 
 # --- per-dtype kernel bodies -------------------------------------------------
-# Each takes the VMEM refs for its planes + the x refs and returns the f32
-# partial product for this (T, N) tile at this K step.
+# Each takes LOADED arrays (x halves + planes) and returns the f32 partial
+# product for this (T, N) tile at this K step.
 
-def _q8_0_tile(refs, tkh, tn):
-    x, qs, d = refs
-    w = qs[:].astype(jnp.int32).astype(F32) * _rep_sublanes(f16_bits_to_f32(d[:]), 32, tkh, tn)
-    return jnp.dot(x[:].astype(F32), w, preferred_element_type=F32)
+def _q8_0_tile(vals, tkh, tn):
+    x, qs, d = vals
+    w = qs.astype(jnp.int32).astype(F32) * _rep_sublanes(f16_bits_to_f32(d), 32, tkh, tn)
+    return jnp.dot(x.astype(F32), w, preferred_element_type=F32)
 
 
-def _q4_0_tile(refs, tkh, tn):
-    x_lo, x_hi, qs, d = refs
-    q = qs[:].astype(jnp.int32)  # Mosaic has no 8-bit shifts
-    deff = _rep_sublanes(f16_bits_to_f32(d[:]), 16, tkh, tn)
+def _q4_0_tile(vals, tkh, tn):
+    x_lo, x_hi, qs, d = vals
+    q = qs.astype(jnp.int32)  # Mosaic has no 8-bit shifts
+    deff = _rep_sublanes(f16_bits_to_f32(d), 16, tkh, tn)
     w_lo = ((q & 0x0F) - 8).astype(F32) * deff
     w_hi = ((q >> 4) - 8).astype(F32) * deff
-    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
 
 
-def _q4_k_tile(refs, tkh, tn):
-    x_lo, x_hi, qs, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = refs
-    q = qs[:].astype(jnp.int32)
-    df = _rep_sublanes(f16_bits_to_f32(d[:]), 128, tkh, tn)
-    dm = _rep_sublanes(f16_bits_to_f32(dmin[:]), 128, tkh, tn)
-    w_lo = (q & 0x0F).astype(F32) * (df * _rep_sublanes(sc_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
-    w_hi = (q >> 4).astype(F32) * (df * _rep_sublanes(sc_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
-    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+def _q4_k_tile(vals, tkh, tn):
+    x_lo, x_hi, qs, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = vals
+    q = qs.astype(jnp.int32)
+    df = _rep_sublanes(f16_bits_to_f32(d), 128, tkh, tn)
+    dm = _rep_sublanes(f16_bits_to_f32(dmin), 128, tkh, tn)
+    w_lo = (q & 0x0F).astype(F32) * (df * _rep_sublanes(sc_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)
+    w_hi = (q >> 4).astype(F32) * (df * _rep_sublanes(sc_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)
+    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
 
 
-def _q5_k_tile(refs, tkh, tn):
-    x_lo, x_hi, qs, qh, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = refs
-    q = qs[:].astype(jnp.int32)
+def _q5_k_tile(vals, tkh, tn):
+    x_lo, x_hi, qs, qh, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = vals
+    q = qs.astype(jnp.int32)
     # qh tile [tkh/4, tn]: per superblock (32 rows), bit 2c covers lo rows
     # [32c, 32c+32) — stack the 4 shifted views along sublanes.
     nsb = tkh // 128
-    qh3 = qh[:].astype(jnp.int32).reshape(nsb, 32, tn)
+    qh3 = qh.astype(jnp.int32).reshape(nsb, 32, tn)
     hb_lo = jnp.concatenate([(qh3 >> (2 * c)) & 1 for c in range(4)],
                             axis=1).reshape(tkh, tn)
     hb_hi = jnp.concatenate([(qh3 >> (2 * c + 1)) & 1 for c in range(4)],
                             axis=1).reshape(tkh, tn)
-    df = _rep_sublanes(f16_bits_to_f32(d[:]), 128, tkh, tn)
-    dm = _rep_sublanes(f16_bits_to_f32(dmin[:]), 128, tkh, tn)
+    df = _rep_sublanes(f16_bits_to_f32(d), 128, tkh, tn)
+    dm = _rep_sublanes(f16_bits_to_f32(dmin), 128, tkh, tn)
     lo = ((q & 0x0F) + (hb_lo << 4)).astype(F32)
     hi = ((q >> 4) + (hb_hi << 4)).astype(F32)
-    w_lo = lo * (df * _rep_sublanes(sc_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_lo[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
-    w_hi = hi * (df * _rep_sublanes(sc_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_hi[:].astype(jnp.int32).astype(F32), 32, tkh, tn)
-    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+    w_lo = lo * (df * _rep_sublanes(sc_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)
+    w_hi = hi * (df * _rep_sublanes(sc_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
+        - dm * _rep_sublanes(mn_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)
+    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
 
 
-def _q6_k_tile(refs, tkh, tn):
-    x_lo, x_hi, ql, qh, sc_lo, sc_hi, d = refs
-    q = ql[:].astype(jnp.int32)
+def _q6_k_tile(vals, tkh, tn):
+    x_lo, x_hi, ql, qh, sc_lo, sc_hi, d = vals
+    q = ql.astype(jnp.int32)
     # qh tile [tkh/2, tn]: per half-block (32 rows), bitpair 0 covers lo rows
     # [64H, 64H+32), bitpair 1 covers [64H+32, 64H+64).
     nh = tkh // 64
-    qh3 = qh[:].reshape(nh, 32, tn).astype(jnp.int32)
+    qh3 = qh.reshape(nh, 32, tn).astype(jnp.int32)
     hb_lo = jnp.concatenate([(qh3 >> 0) & 3, (qh3 >> 2) & 3],
                             axis=1).reshape(tkh, tn)
     hb_hi = jnp.concatenate([(qh3 >> 4) & 3, (qh3 >> 6) & 3],
                             axis=1).reshape(tkh, tn)
-    df = _rep_sublanes(f16_bits_to_f32(d[:]), 128, tkh, tn)
+    df = _rep_sublanes(f16_bits_to_f32(d), 128, tkh, tn)
     lo = ((q & 0x0F) | (hb_lo << 4)) - 32
     hi = ((q >> 4) | (hb_hi << 4)) - 32
-    w_lo = lo.astype(F32) * (df * _rep_sublanes(sc_lo[:].astype(jnp.int32).astype(F32), 16, tkh, tn))
-    w_hi = hi.astype(F32) * (df * _rep_sublanes(sc_hi[:].astype(jnp.int32).astype(F32), 16, tkh, tn))
-    return (jnp.dot(x_lo[:].astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi[:].astype(F32), w_hi, preferred_element_type=F32))
+    w_lo = lo.astype(F32) * (df * _rep_sublanes(sc_lo.astype(jnp.int32).astype(F32), 16, tkh, tn))
+    w_hi = hi.astype(F32) * (df * _rep_sublanes(sc_hi.astype(jnp.int32).astype(F32), 16, tkh, tn))
+    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
 
 
 _TILE_FNS = {
@@ -145,20 +145,16 @@ _PLANE_ROWS_DIV = {
 _SPLIT = {DType.Q4_0, DType.Q4_K, DType.Q5_K, DType.Q6_K}
 
 
-def _kernel(out_ref, *refs, tile_fn, tkh, tn, nk):
-    k_step = pl.program_id(2)
-
-    @pl.when(k_step == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    out_ref[:] += tile_fn(refs, tkh, tn).astype(out_ref.dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("dtype", "k", "n", "out_dtype",
-                                             "interpret"))
+                                             "interpret", "stacked"))
 def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
-                       out_dtype, interpret: bool):
+                       out_dtype, interpret: bool, stacked: bool = False,
+                       layer=None):
+    """Fused dequant+matmul. With stacked=True, each plane carries a leading
+    [L] dim and `layer` (scalar-prefetched) selects the layer INSIDE the
+    kernel's index_map — the model's layer scan then reads weights straight
+    from the stacked arrays with zero copies (profiling showed XLA's
+    dynamic-slice of scan-carried weights costing ~55% of decode time)."""
     t = x.shape[0]
     names = QLinear.plane_names(dtype)
     planes = dict(zip(names, planes_tuple))
@@ -177,14 +173,20 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
     if split:
         x_lo, x_hi = split_x_jnp(x, dtype)
         x_inputs = [x_lo, x_hi]
-        x_specs = [pl.BlockSpec((tt, tk // 2), lambda ti, i, j: (ti, j),
-                                memory_space=pltpu.VMEM)] * 2
         tkh = tk // 2
     else:
         x_inputs = [x]
-        x_specs = [pl.BlockSpec((tt, tk), lambda ti, i, j: (ti, j),
-                                memory_space=pltpu.VMEM)]
         tkh = tk
+    n_x = len(x_inputs)
+
+    if stacked:
+        def x_map(ti, i, j, L):
+            return (ti, j)
+        x_specs = [pl.BlockSpec((tt, tkh), x_map,
+                                memory_space=pltpu.VMEM)] * n_x
+    else:
+        x_specs = [pl.BlockSpec((tt, tkh), lambda ti, i, j: (ti, j),
+                                memory_space=pltpu.VMEM)] * n_x
 
     plane_inputs = []
     plane_specs = []
@@ -193,35 +195,75 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
         div = _PLANE_ROWS_DIV[dtype][nm]
         rows = tk // div
         plane_inputs.append(arr)
-        plane_specs.append(pl.BlockSpec((rows, tn), lambda ti, i, j: (j, i),
-                                        memory_space=pltpu.VMEM))
+        if stacked:
+            plane_specs.append(pl.BlockSpec(
+                (1, rows, tn), lambda ti, i, j, L: (L[0], j, i),
+                memory_space=pltpu.VMEM))
+        else:
+            plane_specs.append(pl.BlockSpec(
+                (rows, tn), lambda ti, i, j: (j, i),
+                memory_space=pltpu.VMEM))
 
-    def kernel_entry(*args):
-        # pallas passes inputs then outputs; we declared out last
+    tile_fn = _TILE_FNS[dtype]
+
+    def kernel_body(*args):
+        # layout: [layer_ref if stacked] x_refs... plane_refs... out_ref
+        if stacked:
+            args = args[1:]  # scalar-prefetch ref unused in the body
         *ins, out = args
-        _kernel(out, *ins, tile_fn=_TILE_FNS[dtype], tkh=tkh, tn=tn, nk=nk)
+        xs = [r[:] for r in ins[:n_x]]
+        ps = [r[0] if stacked else r[:] for r in ins[n_x:]]
+        k_step = pl.program_id(2)
 
-    out = pl.pallas_call(
-        kernel_entry,
-        out_shape=jax.ShapeDtypeStruct((t, n), F32),
-        grid=grid,
-        in_specs=x_specs + plane_specs,
-        out_specs=pl.BlockSpec((tt, tn), lambda ti, i, j: (ti, i),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*x_inputs, *plane_inputs)
+        @pl.when(k_step == 0)
+        def _():
+            out[:] = jnp.zeros_like(out)
+
+        out[:] += tile_fn(xs + ps, tkh, tn).astype(out.dtype)
+
+    out_spec = (pl.BlockSpec((tt, tn), (lambda ti, i, j, L: (ti, i))
+                             if stacked else (lambda ti, i, j: (ti, i)),
+                             memory_space=pltpu.VMEM))
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=x_specs + plane_specs, out_specs=out_spec)
+        out = pl.pallas_call(
+            kernel_body,
+            out_shape=jax.ShapeDtypeStruct((t, n), F32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *x_inputs, *plane_inputs)
+    else:
+        out = pl.pallas_call(
+            kernel_body,
+            out_shape=jax.ShapeDtypeStruct((t, n), F32),
+            grid=grid,
+            in_specs=x_specs + plane_specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(*x_inputs, *plane_inputs)
     return out.astype(out_dtype)
 
 
 def quant_matmul_pallas(x: jnp.ndarray, ql: QLinear, *,
                         out_dtype=jnp.float32,
-                        interpret: bool | None = None) -> jnp.ndarray:
-    """y[T, N] = x[T, K] @ dequant(W)^T via the fused Pallas kernel."""
+                        interpret: bool | None = None,
+                        layer=None) -> jnp.ndarray:
+    """y[T, N] = x[T, K] @ dequant(W)^T via the fused Pallas kernel.
+
+    layer: when the QLinear holds stacked planes ([L, rows, N]), a traced
+    scalar selecting the layer — read directly by the kernel via scalar
+    prefetch (no host-visible slice, no HBM copy)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     names = QLinear.plane_names(ql.dtype)
     planes_tuple = tuple(ql.planes[nm] for nm in names)
-    # infer dims from the arrays (QLinear.k/n are global; shards are local)
-    k, n = plane_dims(ql.planes, ql.dtype)
+    stacked = layer is not None
+    ref_planes = ql.planes
+    if stacked:
+        ref_planes = {nm: v[0] for nm, v in ql.planes.items()}
+    k, n = plane_dims(ref_planes, ql.dtype)
     return _quant_matmul_impl(x, planes_tuple, ql.dtype, k, n,
-                              out_dtype, interpret)
+                              out_dtype, interpret, stacked=stacked,
+                              layer=layer)
