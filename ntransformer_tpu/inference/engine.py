@@ -367,6 +367,7 @@ class TieredEngine(Engine):
         self.tokenizer = tiered.tokenizer
         self.layer_sel = None
         self.skip: frozenset = frozenset()
+        self.early_exit_threshold = 0.0  # set per-generate from cfg
 
     @classmethod
     def load(cls, path: str, **kw) -> "TieredEngine":
@@ -396,7 +397,8 @@ class TieredEngine(Engine):
         # resident-only draft pass — zero streaming I/O
         return forward_tiered(self.tm, kv, tok, pos, with_cosine=with_cosine,
                               skip=self.skip,
-                              draft_only=layer_sel is not None)
+                              draft_only=layer_sel is not None,
+                              early_exit_threshold=self.early_exit_threshold)
 
     def _verify(self, kv, tokens_arr, pos):
         from ..models.tiered import forward_tiered
@@ -410,6 +412,13 @@ class TieredEngine(Engine):
         skip = [i for i in range(lo, hi) if float(cosines[i]) > threshold]
         self.skip = frozenset(skip)
         return skip
+
+    def generate(self, prompt, cfg=None, callback=None):
+        if cfg is not None:
+            # early exit only pays on the tiered path: breaking the streamed
+            # loop skips the remaining layers' host→HBM I/O
+            self.early_exit_threshold = cfg.early_exit_threshold
+        return super().generate(prompt, cfg, callback)
 
     def generate_self_speculative(self, prompt, cfg=None, callback=None,
                                   draft_layers=None):

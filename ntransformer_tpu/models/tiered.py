@@ -116,12 +116,20 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
                    n_valid=None, all_logits: bool = False,
                    with_cosine: bool = False,
                    skip: frozenset[int] = frozenset(),
-                   draft_only: bool = False):
+                   draft_only: bool = False,
+                   early_exit_threshold: float = 0.0):
     """Full tiered forward (transformer.cpp:794-1013). Returns
     (logits, new TieredKV, cosines [n_layers] np.ndarray | None).
 
     draft_only: resident prefix only — forward_draft_tiered
     (transformer.cpp:1067-1125), zero streaming I/O.
+
+    early_exit_threshold > 0: after layer >= n_layers/2, stop streaming
+    when the layer's hidden-state cosine exceeds the threshold
+    (transformer.cpp:961-977). Here the break skips the REMAINING layers'
+    host→HBM I/O — the reference measured it never triggering on 70B
+    (docs/OPTIMIZATIONS.md:185-199), preserved as a capability. Costs one
+    1-float D2H per late layer while enabled.
     """
     arch = tm.arch
     x, cos_t, sin_t = _embed_fwd(arch, tm.resident, tokens, pos)
@@ -150,6 +158,8 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
             if len(sched) > 1:
                 s.prefetch_staging(sched[1], 1)
             kk, vv = kv_str.k, kv_str.v
+            half = tm.arch.n_layers // 2
+            want_cos = with_cosine or early_exit_threshold > 0
             for i, layer in enumerate(sched):
                 slot = i % 2
                 lw = s.get_weights(slot)
@@ -160,10 +170,13 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
                 idx = jnp.int32(layer - s.first)
                 x, kk, vv, cos_l = _stream_step(
                     arch, lw, x, kk, vv, idx, pos, cos_t, sin_t,
-                    n_valid, with_cosine)
+                    n_valid, want_cos)
                 s.signal_compute_done(slot)
                 if with_cosine:
                     cos_parts.append((layer, cos_l))
+                if (early_exit_threshold > 0 and layer >= half
+                        and float(cos_l) > early_exit_threshold):
+                    break  # remaining layers' streaming I/O skipped
             kv_str = KVCache(kk, vv)
         cos_str = cos_parts
 

@@ -1,0 +1,60 @@
+"""Multi-host bring-up: jax.distributed + mesh construction.
+
+The reference is a single-process, single-GPU engine (SURVEY §2.14); the
+TPU build's north star adds multi-chip and multi-host serving. This module
+is the process-level entry: initialize the JAX distributed runtime, then
+build a (dp, tp) mesh in which the TP axis stays INSIDE each host's ICI
+domain (tensor-parallel collectives every layer must ride ICI; the DP axis
+crosses hosts over DCN only at batch boundaries — the bandwidth hierarchy
+of SURVEY §5.8).
+
+Typical multi-host launch (same command on every host of a slice):
+
+    python -c "
+    from ntransformer_tpu.parallel.multihost import initialize, make_mesh
+    initialize()                      # TPU slices: args auto-detected
+    mesh = make_mesh(tp=4)            # 4-way TP inside each host, DP across
+    ..."
+
+On a TPU pod slice, `jax.distributed.initialize()` needs no arguments (the
+TPU runtime provides coordinator/process ids); on CPU/GPU clusters pass
+coordinator_address/num_processes/process_id explicitly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"  # must match parallel.tp.TP_AXIS
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime (no-op if already initialized)."""
+    import jax
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+
+
+def make_mesh(tp: int | None = None, dp: int | None = None):
+    """(dp, tp) mesh over all global devices, TP innermost so each TP group
+    is ICI-contiguous (device order groups a host's chips together)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices())
+    n = devices.size
+    if tp is None:
+        tp = min(n, max(1, jax.local_device_count()))
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != n_devices({n})"
+    if dp == 1:
+        return Mesh(devices.reshape(tp), (TP_AXIS,))
+    return Mesh(devices.reshape(dp, tp), (DP_AXIS, TP_AXIS))

@@ -178,3 +178,29 @@ def test_tiered_cosine_calibration(tiny_gguf):
     _, _, cos = forward_tiered(tm, kv_t, tokens, 0, with_cosine=True)
     assert cos.shape == (4,)
     assert np.all(np.abs(cos) <= 1.0 + 1e-5)
+
+
+def test_tiered_early_exit(tiny_gguf, resident_model):
+    """Early exit breaks the streamed loop after n_layers/2 when the cosine
+    clears the threshold — the remaining layers' I/O is skipped
+    (transformer.cpp:961-977)."""
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=8)
+    tokens = jnp.asarray([1], jnp.int32)
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    lt, _, _ = forward_tiered(tm, kv_t, tokens, 0, early_exit_threshold=1e-9)
+    # exit triggers at layer 2 (first streamed layer >= n_layers/2=2):
+    # layers 0..2 ran, layer 3 skipped
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch), tokens,
+                       0, layer_sel=jnp.asarray([0, 1, 2], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_multihost_mesh_cpu():
+    """make_mesh builds (dp, tp) with TP innermost on the 8-device CPU mesh."""
+    from ntransformer_tpu.parallel.multihost import make_mesh, TP_AXIS, DP_AXIS
+    m = make_mesh(tp=4, dp=2)
+    assert m.shape[DP_AXIS] == 2 and m.shape[TP_AXIS] == 4
+    m1 = make_mesh(tp=8)
+    assert m1.axis_names == (TP_AXIS,)
