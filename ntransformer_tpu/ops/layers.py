@@ -89,7 +89,8 @@ def attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     [T, S] score tile is small and XLA's fused path measured faster, and as
     the CPU reference."""
     if use_flash is None:
-        use_flash = jax.default_backend() == "tpu" and q_len >= 64
+        from .linear import use_pallas_default
+        use_flash = use_pallas_default() and q_len >= 64
     if use_flash:
         from .pallas.attention import flash_attention
         return flash_attention(q, k_cache, v_cache, pos_start, q_len, scale)

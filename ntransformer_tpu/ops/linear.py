@@ -18,6 +18,17 @@ from .dequant_jnp import dequant_planes_jnp
 
 _FLOAT_KINDS = (DType.F16, DType.BF16, DType.F32)
 
+# "auto": Pallas kernels iff default backend is TPU. "on"/"off" override —
+# needed when a process serves two backends at once (e.g. the multi-chip
+# dry run on virtual CPU devices inside a TPU-default process).
+KERNEL_MODE = "auto"
+
+
+def use_pallas_default() -> bool:
+    if KERNEL_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return KERNEL_MODE == "on"
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -80,7 +91,7 @@ def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
     the Pallas kernel selects the layer via scalar prefetch (zero-copy); the
     fallbacks slice first."""
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu" and ql.dtype not in _FLOAT_KINDS
+        use_kernel = use_pallas_default() and ql.dtype not in _FLOAT_KINDS
     if ql.dtype in _FLOAT_KINDS:
         w = ql.planes["w"]
         if layer is not None:

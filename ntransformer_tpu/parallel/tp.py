@@ -83,10 +83,11 @@ def kv_spec() -> KVCache:
 def check_shardable(arch: Arch, weights: ModelWeights, tp: int,
                     kernel_alignment: bool | None = None):
     """Validate the TP plan. kernel_alignment additionally requires shard
-    shapes the Pallas kernels can tile (default: only on TPU, where the
-    kernels actually run)."""
+    shapes the Pallas kernels can tile (default: only when the Pallas path
+    is active — see ops.linear.KERNEL_MODE)."""
     if kernel_alignment is None:
-        kernel_alignment = jax.default_backend() == "tpu"
+        from ..ops.linear import use_pallas_default
+        kernel_alignment = use_pallas_default()
     assert arch.n_kv_heads % tp == 0, \
         f"n_kv_heads {arch.n_kv_heads} not divisible by tp={tp}"
     for name, ql in (("wo", weights.layers.wo),
@@ -108,7 +109,10 @@ def shard_model(weights: ModelWeights, kv: KVCache, mesh: Mesh,
                 arch: Arch) -> tuple[ModelWeights, KVCache]:
     """Place weights/KV on the mesh with the TP sharding plan."""
     tp = mesh.shape[TP_AXIS]
-    check_shardable(arch, weights, tp)
+    kernel_alignment = None
+    if mesh.devices.flat[0].platform != "tpu":
+        kernel_alignment = False  # CPU-mesh tests/dry runs use jnp fallback
+    check_shardable(arch, weights, tp, kernel_alignment)
     tied = weights.lm_head is weights.embed
     wspecs = weight_specs(weights)
     def put(w, s):
