@@ -65,19 +65,43 @@ def _q4_0_tile(vals, tkh, tn):
     w_hi = ((q >> 4) - 8).astype(F32) * deff
     return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
             + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
+    # (a bf16 dequant variant measured SLOWER: 72 vs 92 tok/s on 8B — the
+    # VPU does not pack bf16 elementwise ops 2x on this generation)
+
+
+def _group_sums(xf, groups: int):
+    """[T, Kh] → [T, groups] sums over contiguous lane groups, as a dot
+    with an iota-built 0/1 grouping matrix (Mosaic rejects lane-splitting
+    reshape-reductions; the MXU does this for free)."""
+    t, kh = xf.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kh, groups), 0) // (kh // groups)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (kh, groups), 1)
+    gmat = (rows == cols).astype(F32)
+    return jnp.dot(xf, gmat, preferred_element_type=F32)
 
 
 def _q4_k_tile(vals, tkh, tn):
+    """Affine superblock dequant, restructured VPU-light:
+    y = Σ x·q·s  −  Σ_g (Σ_{k∈g} x_k)·m_g   — per-element work is just
+    and/shift + convert + one multiply by a group-broadcast scale; the
+    affine mins leave as a tiny [T, G]×[G, N] correction dot on the MXU."""
     x_lo, x_hi, qs, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = vals
     q = qs.astype(jnp.int32)
-    df = _rep_sublanes(f16_bits_to_f32(d), 128, tkh, tn)
-    dm = _rep_sublanes(f16_bits_to_f32(dmin), 128, tkh, tn)
-    w_lo = (q & 0x0F).astype(F32) * (df * _rep_sublanes(sc_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)
-    w_hi = (q >> 4).astype(F32) * (df * _rep_sublanes(sc_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)
-    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
+    g = tkh // 32  # scale/min groups per half-tile (32 elements each)
+    df = _rep_sublanes(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
+    dm = _rep_sublanes(f16_bits_to_f32(dmin), g // (tkh // 128), g, tn)
+    s_lo = df * sc_lo.astype(jnp.int32).astype(F32)          # [g, tn]
+    s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
+    m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
+    m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
+    w_lo = (q & 0x0F).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
+    w_hi = (q >> 4).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
+    xlf = x_lo.astype(F32)
+    xhf = x_hi.astype(F32)
+    corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
+            + jnp.dot(_group_sums(xhf, g), m_hi, preferred_element_type=F32))
+    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
+            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
 
 
 def _q5_k_tile(vals, tkh, tn):
@@ -91,16 +115,21 @@ def _q5_k_tile(vals, tkh, tn):
                             axis=1).reshape(tkh, tn)
     hb_hi = jnp.concatenate([(qh3 >> (2 * c + 1)) & 1 for c in range(4)],
                             axis=1).reshape(tkh, tn)
-    df = _rep_sublanes(f16_bits_to_f32(d), 128, tkh, tn)
-    dm = _rep_sublanes(f16_bits_to_f32(dmin), 128, tkh, tn)
-    lo = ((q & 0x0F) + (hb_lo << 4)).astype(F32)
-    hi = ((q >> 4) + (hb_hi << 4)).astype(F32)
-    w_lo = lo * (df * _rep_sublanes(sc_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_lo.astype(jnp.int32).astype(F32), 32, tkh, tn)
-    w_hi = hi * (df * _rep_sublanes(sc_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)) \
-        - dm * _rep_sublanes(mn_hi.astype(jnp.int32).astype(F32), 32, tkh, tn)
-    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
+    g = tkh // 32
+    df = _rep_sublanes(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
+    dm = _rep_sublanes(f16_bits_to_f32(dmin), g // (tkh // 128), g, tn)
+    s_lo = df * sc_lo.astype(jnp.int32).astype(F32)
+    s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
+    m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
+    m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
+    w_lo = ((q & 0x0F) + (hb_lo << 4)).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
+    w_hi = ((q >> 4) + (hb_hi << 4)).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
+    xlf = x_lo.astype(F32)
+    xhf = x_hi.astype(F32)
+    corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
+            + jnp.dot(_group_sums(xhf, g), m_hi, preferred_element_type=F32))
+    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
+            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
 
 
 def _q6_k_tile(vals, tkh, tn):
@@ -114,13 +143,20 @@ def _q6_k_tile(vals, tkh, tn):
                             axis=1).reshape(tkh, tn)
     hb_hi = jnp.concatenate([(qh3 >> 4) & 3, (qh3 >> 6) & 3],
                             axis=1).reshape(tkh, tn)
-    df = _rep_sublanes(f16_bits_to_f32(d), 128, tkh, tn)
-    lo = ((q & 0x0F) | (hb_lo << 4)) - 32
-    hi = ((q >> 4) | (hb_hi << 4)) - 32
-    w_lo = lo.astype(F32) * (df * _rep_sublanes(sc_lo.astype(jnp.int32).astype(F32), 16, tkh, tn))
-    w_hi = hi.astype(F32) * (df * _rep_sublanes(sc_hi.astype(jnp.int32).astype(F32), 16, tkh, tn))
-    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
+    # w = ((ql | hb<<4) - 32) · s: the constant −32 leaves as a group-sum
+    # correction dot; scales are combined at 16-element granularity.
+    g = tkh // 16
+    df = _rep_sublanes(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
+    s_lo = df * sc_lo.astype(jnp.int32).astype(F32)          # [g, tn]
+    s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
+    w_lo = ((q & 0x0F) | (hb_lo << 4)).astype(F32) * _rep_sublanes(s_lo, 16, tkh, tn)
+    w_hi = ((q >> 4) | (hb_hi << 4)).astype(F32) * _rep_sublanes(s_hi, 16, tkh, tn)
+    xlf = x_lo.astype(F32)
+    xhf = x_hi.astype(F32)
+    corr = 32.0 * (jnp.dot(_group_sums(xlf, g), s_lo, preferred_element_type=F32)
+                   + jnp.dot(_group_sums(xhf, g), s_hi, preferred_element_type=F32))
+    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
+            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
 
 
 _TILE_FNS = {
@@ -160,8 +196,13 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
     planes = dict(zip(names, planes_tuple))
 
     tn = _largest_tile(n, (512, 256, 128))
-    # K tile in ELEMENT units (plane rows scale by rows_div)
-    kcands = (2048, 1024, 512, 256) if dtype != DType.Q8_0 else (2048, 1024, 512, 256, 128, 64, 32)
+    # K tile in ELEMENT units (plane rows scale by rows_div). Sub-byte
+    # dtypes use bigger K tiles: per-grid-step overhead (~1.5 us) gates
+    # throughput when a step's qs DMA is small, so keep ≥1 MB per step.
+    # (K-quant d/dmin planes have rows tk/256, which must stay 8-divisible
+    # or span whole-K — hence multiples of 2048 or k itself)
+    kcands = ((k, 8192, 4096, 2048, 1024, 512, 256) if dtype != DType.Q8_0
+              else (2048, 1024, 512, 256, 128, 64, 32))
     tk = _largest_tile(k, kcands)
     # Mosaic requires the sublane block be a multiple of 8 or span the whole
     # dim — odd T (unbucketed prefill) falls back to one whole-T block.
@@ -224,6 +265,9 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
     out_spec = (pl.BlockSpec((tt, tn), (lambda ti, i, j, L: (ti, i))
                              if stacked else (lambda ti, i, j: (ti, i)),
                              memory_space=pltpu.VMEM))
+    # whole-K tiles of big matrices need more scoped VMEM than the 16 MB
+    # default; the chip has far more (the pipeline still double-buffers)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
@@ -233,6 +277,7 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
             out_shape=jax.ShapeDtypeStruct((t, n), F32),
             grid_spec=grid_spec,
             interpret=interpret,
+            compiler_params=cparams,
         )(jnp.asarray(layer, jnp.int32).reshape(1), *x_inputs, *plane_inputs)
     else:
         out = pl.pallas_call(
@@ -242,6 +287,7 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
             in_specs=x_specs + plane_specs,
             out_specs=out_spec,
             interpret=interpret,
+            compiler_params=cparams,
         )(*x_inputs, *plane_inputs)
     return out.astype(out_dtype)
 
