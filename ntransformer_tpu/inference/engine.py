@@ -307,6 +307,54 @@ class Engine:
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return tok.decode(out_ids), stats
 
+    def generate_self_speculative_fused(self, prompt: str,
+                                        cfg: GenerateConfig | None = None,
+                                        callback=None,
+                                        draft_layers: int | None = None
+                                        ) -> tuple[str, Stats]:
+        """Greedy self-speculative decoding with the fused on-device
+        iteration (_spec_iter_greedy): one host round-trip per accepted run
+        instead of one per drafted token. Output is exactly the greedy
+        generation (the accept rule preserves argmax)."""
+        cfg = cfg or GenerateConfig()
+        stats = Stats()
+        tok = self.tokenizer
+        ids = tok.encode(prompt, add_bos=True)
+        K = cfg.draft_k
+        n_draft = draft_layers or max(1, self.arch.n_layers // 2)
+        kv = self._make_kv()
+
+        t0 = time.perf_counter()
+        logits, kv, _ = self._prefill(kv, ids)
+        anchor = jnp.argmax(logits[0]).astype(jnp.int32)
+        out_ids = [int(anchor)]
+        if callback:
+            callback(tok.decode_token(out_ids[0]))
+        jax.block_until_ready(anchor)
+        stats.prefill_tokens = len(ids)
+        stats.prefill_ms = (time.perf_counter() - t0) * 1e3
+
+        pos = jnp.int32(len(ids))
+        max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids) - K - 2)
+        t0 = time.perf_counter()
+        while len(out_ids) < max_new and out_ids[-1] != tok.eos_id:
+            kv, emit, n_acc, anchor, pos = _spec_iter_greedy(
+                self.arch, self.model.weights, kv, anchor, pos, K, n_draft)
+            en = int(n_acc) + 1
+            stats.drafted += K
+            stats.accepted += en - 1
+            for t in np.asarray(emit)[:en]:
+                if len(out_ids) >= max_new:
+                    break
+                out_ids.append(int(t))
+                if callback:
+                    callback(tok.decode_token(int(t)))
+                if int(t) == tok.eos_id:
+                    break
+        stats.decode_tokens = len(out_ids)
+        stats.decode_ms = (time.perf_counter() - t0) * 1e3
+        return tok.decode(out_ids), stats
+
     # --- chat / benchmark -------------------------------------------------------
     def chat(self, cfg: GenerateConfig | None = None, input_fn=input, print_fn=print):
         """Stateless chat REPL (engine.cpp:547-571)."""
@@ -450,6 +498,42 @@ class TieredEngine(Engine):
         stats.decode_tokens = n_tokens
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return stats
+
+
+@partial(jax.jit, static_argnames=("arch", "k", "n_draft"),
+         donate_argnames=("kv",))
+def _spec_iter_greedy(arch: Arch, weights, kv: KVCache, anchor, pos,
+                      k: int, n_draft: int):
+    """One fused self-speculative iteration, fully on device: K greedy
+    draft steps through the first n_draft layers (lax.scan), one
+    all-position verify through the full stack, longest-prefix accept with
+    the anchor-token protocol (engine.cpp:357-545) — ONE host round-trip
+    emits up to K+1 tokens (the reference pays a D2H per draft step).
+
+    Returns (kv, emit [K+1], n_acc, new_anchor, new_pos); the first
+    n_acc+1 entries of emit are valid.
+    """
+    draft_sel = jnp.arange(n_draft, dtype=jnp.int32)
+
+    def dstep(carry, i):
+        kv, tok = carry
+        logits, kv, _ = forward.__wrapped__(arch, weights, kv, tok[None],
+                                            pos + i, layer_sel=draft_sel)
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        return (kv, nxt), nxt
+
+    (kv, _), drafts = jax.lax.scan(dstep, (kv, anchor),
+                                   jnp.arange(k, dtype=jnp.int32))
+    vt = jnp.concatenate([anchor[None], drafts])
+    vlogits, kv, _ = forward.__wrapped__(arch, weights, kv, vt, pos,
+                                         all_logits=True)
+    targets = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)   # [K+1]
+    match = targets[:k] == drafts
+    n_acc = jnp.where(match.all(), k, jnp.argmin(match)).astype(jnp.int32)
+    emit = jnp.concatenate([drafts, targets[-1:]])
+    emit = emit.at[n_acc].set(targets[n_acc])  # correction or bonus token
+    new_anchor = targets[n_acc]
+    return kv, emit, n_acc, new_anchor, pos + n_acc + 1
 
 
 @partial(jax.jit, static_argnames=("arch", "n_steps"), donate_argnames=("kv",))

@@ -110,3 +110,15 @@ def test_benchmark_on_device_loop(engine):
     stats = engine.benchmark("hello world", n_tokens=6)
     assert stats.decode_tokens == 6
     assert stats.decode_ms > 0
+
+
+def test_fused_self_spec_matches_greedy(engine):
+    """The fused on-device speculative iteration must reproduce plain
+    greedy generation exactly (accept rule preserves argmax)."""
+    from ntransformer_tpu.inference.engine import GenerateConfig
+    cfg = GenerateConfig(max_tokens=12, temperature=0.0, repeat_penalty=1.0,
+                         draft_k=3)
+    ref, _ = engine.generate("one two three", cfg)
+    out, stats = engine.generate_self_speculative_fused("one two three", cfg)
+    assert out == ref
+    assert stats.drafted > 0
