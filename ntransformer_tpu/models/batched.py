@@ -45,9 +45,12 @@ class BatchedKV:
 
 
 def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
-                        active, cos_t, sin_t, layer=None):
+                        active, cos_t, sin_t, layer=None,
+                        tp_axis: str | None = None):
     """x [B, H]; kv [B, Hkv, S, D]; pos [B]; active [B] bool; lw stacked
-    with `layer` selecting inside the kernels (zero-copy layer scan)."""
+    with `layer` selecting inside the kernels (zero-copy layer scan).
+    tp_axis: mesh axis for tensor parallelism inside shard_map (arch holds
+    LOCAL head counts; wo/down partials psum-reduced, as in llama.layer_step)."""
     B = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
 
@@ -81,19 +84,23 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
         1.0 / math.sqrt(D))                      # [B, 1, Hq, D]
     o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo,
                 layer=layer)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
     x = x + o
     hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
     g = qmatmul(hf, lw.w_gate, layer=layer)
     u = qmatmul(hf, lw.w_up, layer=layer)
     dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
+    if tp_axis is not None:
+        dn = jax.lax.psum(dn, tp_axis)
     x = x + dn
     return x, kv_k, kv_v
 
 
-@partial(jax.jit, static_argnames=("arch",), donate_argnames=("kv",))
+@partial(jax.jit, static_argnames=("arch", "tp_axis"), donate_argnames=("kv",))
 def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
-                        active: jnp.ndarray):
+                        active: jnp.ndarray, tp_axis: str | None = None):
     """One decode step for B sequences.
 
     tokens [B] int32; pos [B] int32 (per-sequence write offset);
@@ -101,7 +108,8 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     advance). Returns (logits [B, V] f32, new BatchedKV).
     """
     B = tokens.shape[0]
-    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32)  # [B, H]
+    x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
+                     tp_axis=tp_axis)              # [B, H]
     d2 = arch.head_dim // 2
 
     def rope_rows(p):
@@ -114,11 +122,20 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         x = carry
         li, kk, vv = inp
         x, kk, vv = _batched_layer_step(arch, x, weights.layers, kk, vv, pos,
-                                        active, cos_t, sin_t, layer=li)
+                                        active, cos_t, sin_t, layer=li,
+                                        tp_axis=tp_axis)
         return x, (kk, vv)
 
     indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
     x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv.k, kv.v))
     x = rms_norm(x, weights.output_norm, arch.norm_eps)
-    logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
+    if tp_axis is not None:
+        from ..ops.linear import plane_dims
+        kloc, _ = plane_dims(weights.lm_head.planes, weights.lm_head.dtype)
+        idx = jax.lax.axis_index(tp_axis)
+        xs = jax.lax.dynamic_slice(x, (0, idx * kloc), (x.shape[0], kloc))
+        logits = jax.lax.psum(
+            qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
+    else:
+        logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
     return logits, BatchedKV(new_k, new_v)

@@ -59,6 +59,17 @@ def load_norm(reader: GGUFReader, name: str) -> np.ndarray:
     return dequantize(raw, info.dtype, 1, n_elems).reshape(-1)
 
 
+def rope_freq_factors(reader: GGUFReader) -> np.ndarray | None:
+    """Per-frequency rope divisors (`rope_freqs.weight`, Llama-3.1 style
+    long-context scaling) when the file carries them."""
+    if "rope_freqs.weight" not in reader:
+        return None
+    info = reader.info("rope_freqs.weight")
+    n = int(np.prod(info.shape))
+    return dequantize(reader.raw_bytes("rope_freqs.weight"),
+                      info.dtype, 1, n).reshape(-1)
+
+
 def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> LayerWeights:
     """One layer's weights on host (used by both resident load and the
     tier-B/C staging path)."""
@@ -115,7 +126,8 @@ def load_model(path: str, *, max_seq_len: int | None = None,
         lm_head = _to_device(load_qlinear_host(reader, "output.weight", compute))
     else:
         lm_head = embed  # tied embeddings (transformer.cpp:92-99)
-    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta,
+                          rope_freq_factors(reader))
 
     weights = ModelWeights(embed=embed, layers=stacked,
                            output_norm=output_norm, lm_head=lm_head,

@@ -246,8 +246,10 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     embed_dev = to_dev(embed)
     lm_head = embed_dev if tied else to_dev(
         load_qlinear_host(reader, "output.weight"))
+    from .loader import rope_freq_factors
     output_norm = jnp.asarray(load_norm(reader, "output_norm.weight"))
-    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta,
+                          rope_freq_factors(reader))
     resident = ModelWeights(embed=embed_dev, layers=stacked,
                             output_norm=output_norm, lm_head=lm_head,
                             rope_cos=cos, rope_sin=sin)

@@ -18,9 +18,17 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_table(max_seq: int, head_dim: int, theta: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Precomputed (cos, sin) tables [max_seq, head_dim//2], f32."""
+def rope_table(max_seq: int, head_dim: int, theta: float,
+               freq_factors=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precomputed (cos, sin) tables [max_seq, head_dim//2], f32.
+
+    freq_factors [head_dim//2]: per-frequency divisors from the GGUF's
+    `rope_freqs.weight` tensor (llama.cpp's baked Llama-3.1 long-context
+    rope scaling) — the reference ignores this tensor; real 3.1 models
+    need it beyond the original 8K context."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if freq_factors is not None:
+        inv_freq = inv_freq / jnp.asarray(freq_factors, jnp.float32)
     t = jnp.arange(max_seq, dtype=jnp.float32)
     ang = jnp.outer(t, inv_freq)
     return jnp.cos(ang), jnp.sin(ang)

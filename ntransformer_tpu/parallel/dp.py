@@ -1,0 +1,77 @@
+"""Data-parallel (and DP×TP) sharding of the batched decode step — the
+multi-chip serving path of the continuous-batching server.
+
+Sharding plan over a (dp[, tp]) mesh (parallel/multihost.make_mesh):
+  batch slots     : sharded over dp — each dp group serves B/dp sequences
+                    with zero cross-group communication;
+  weights         : replicated over dp; megatron TP over tp (parallel/tp.py
+                    column/row-parallel quant planes);
+  batched KV      : [L, B, Hkv, S, D] → P(None, dp, tp, None, None);
+  tokens/pos/act  : P(dp);
+  logits          : P(dp, None) — full vocab per sequence on its dp group.
+
+Collectives: none on the dp axis (batch rows are independent); the usual
+2 psums/layer + embed all-gather + logits psum on tp. Everything rides ICI
+when tp stays inside a host and dp crosses hosts (SURVEY §5.8 hierarchy).
+
+Built with shard_map (explicit specs), not GSPMD auto-partitioning —
+required because Pallas kernels carry no partitioning rules.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.batched import BatchedKV, batched_decode_step
+from ..models.llama import Arch, ModelWeights
+from .multihost import DP_AXIS
+from .tp import TP_AXIS, local_arch, weight_specs
+
+
+def _specs(mesh: Mesh, weights_template: ModelWeights):
+    has_tp = TP_AXIS in mesh.axis_names
+    if has_tp:
+        wspecs = weight_specs(weights_template)
+        kv_spec = BatchedKV(P(None, DP_AXIS, TP_AXIS, None, None),
+                            P(None, DP_AXIS, TP_AXIS, None, None))
+    else:
+        wspecs = jax.tree.map(lambda _: P(), weights_template)
+        kv_spec = BatchedKV(P(None, DP_AXIS, None, None, None),
+                            P(None, DP_AXIS, None, None, None))
+    return wspecs, kv_spec, has_tp
+
+
+def shard_server_state(mesh: Mesh, arch: Arch, weights: ModelWeights,
+                       batch: int) -> tuple[ModelWeights, BatchedKV]:
+    """Place replicated/TP-sharded weights and a dp-sharded batched KV."""
+    wspecs, kv_spec, _ = _specs(mesh, weights)
+    w = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), weights, wspecs)
+    kv = BatchedKV.create(arch, batch)
+    kv = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), kv, kv_spec)
+    return w, kv
+
+
+def make_batched_decode_sharded(mesh: Mesh, arch: Arch,
+                                weights_template: ModelWeights):
+    """jitted (weights, kv, tokens, pos, active) → (logits, kv) running
+    under shard_map on the mesh. Batch size must divide dp."""
+    wspecs, kv_spec, has_tp = _specs(mesh, weights_template)
+    arch_l = local_arch(arch, mesh.shape[TP_AXIS]) if has_tp else arch
+    vec = P(DP_AXIS)
+
+    def body(weights, kv, tokens, pos, active):
+        return batched_decode_step.__wrapped__(
+            arch_l, weights, kv, tokens, pos, active,
+            tp_axis=TP_AXIS if has_tp else None)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(wspecs, kv_spec, vec, vec, vec),
+                  out_specs=(P(DP_AXIS, None), kv_spec),
+                  check_rep=False)
+    return jax.jit(f, donate_argnums=(1,))

@@ -115,3 +115,42 @@ def test_q4_k_m_mixed_model(tmp_path):
     tokens = jnp.array([1, 8], dtype=jnp.int32)
     logits, _, _ = forward(m.arch, m.weights, KVCache.create(m.arch), tokens, 0)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_rope_freq_factors(tmp_path):
+    """A GGUF carrying rope_freqs.weight (Llama-3.1 long-context scaling)
+    changes the rope tables accordingly — the reference ignores this
+    tensor; real 3.1 models need it."""
+    import numpy as np
+    from ntransformer_tpu.core.gguf import GGUFReader, GGUFWriter
+    from ntransformer_tpu.models.loader import rope_freq_factors
+    from ntransformer_tpu.ops.layers import rope_table
+
+    src = str(tmp_path / "rf.gguf")
+    write_model(src, "tiny", "q8_0", seed=10)
+    # rewrite with an extra rope_freqs tensor
+    r = GGUFReader(src)
+    w = GGUFWriter(str(tmp_path / "rf2.gguf"))
+    for k, v in r.metadata.items():
+        try:
+            w.add_meta(k, v)
+        except TypeError:
+            pass
+    factors = np.linspace(1.0, 8.0, 32).astype(np.float32)  # head_dim 64
+    w.add_tensor("rope_freqs.weight", factors)
+    for name in r.tensors:
+        info = r.info(name)
+        w.add_tensor(name, raw=bytes(r.raw_bytes(name)), shape=info.shape,
+                     dtype=info.dtype)
+    w.write()
+
+    r2 = GGUFReader(str(tmp_path / "rf2.gguf"))
+    got = rope_freq_factors(r2)
+    np.testing.assert_allclose(got, factors)
+    cos0, _ = rope_table(16, 64, 10000.0)
+    cos1, _ = rope_table(16, 64, 10000.0, got)
+    assert not np.allclose(np.asarray(cos0), np.asarray(cos1))
+    m = load_model(str(tmp_path / "rf2.gguf"))
+    logits, _, _ = forward(m.arch, m.weights, KVCache.create(m.arch),
+                           jnp.asarray([1, 2, 3], jnp.int32), 0)
+    assert bool(jnp.isfinite(logits).all())
