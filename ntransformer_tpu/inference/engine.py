@@ -424,7 +424,7 @@ class TieredEngine(Engine):
 
     def _make_kv(self):
         from ..models.tiered import TieredKV
-        return TieredKV.create(self.arch, self.tm.tiers)
+        return TieredKV.create(self.arch, self.tm.tiers, tp=self.tm.tp)
 
     def _prefill(self, kv, tokens, model=None, with_cosine=False):
         from ..models.tiered import forward_tiered

@@ -88,6 +88,9 @@ class LayerStreamer:
         self.slots = [_Slot(np.empty(buf, np.uint8)),
                       _Slot(np.empty(buf, np.uint8))]
         self.ram_blobs: dict[int, np.ndarray] = {}
+        # optional per-leaf shardings (LayerWeights-shaped pytree): under
+        # tensor parallelism each shard receives its slice of the layer
+        self.shardings = None
         self._load_ram_tier()
 
     # -- init ---------------------------------------------------------------
@@ -147,7 +150,11 @@ class LayerStreamer:
             blob = slot.staging
         with PROFILER.phase("stream/begin_h2d"):
             host_lw = self.pack.layer_weights(layer, blob)
-            slot.device = jax.tree.map(jax.device_put, host_lw)
+            if self.shardings is not None:
+                slot.device = jax.tree.map(jax.device_put, host_lw,
+                                           self.shardings)
+            else:
+                slot.device = jax.tree.map(jax.device_put, host_lw)
         slot.layer = layer
         slot.host_src = blob
 

@@ -18,6 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import warnings
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
+
 from ..core.dtypes import DType
 from ..inference.tokenizer import Tokenizer
 from ..memory.pack import PackReader, ensure_pack
@@ -40,10 +46,20 @@ class TieredKV:
     str: KVCache | None
 
     @classmethod
-    def create(cls, arch: Arch, tiers: TierConfig, dtype=jnp.bfloat16):
+    def create(cls, arch: Arch, tiers: TierConfig, dtype=jnp.bfloat16,
+               tp=None):
         res = KVCache.create(arch, dtype, tiers.n_hbm) if tiers.n_hbm else None
         st = (KVCache.create(arch, dtype, tiers.n_streamed)
               if tiers.n_streamed else None)
+        if tp is not None:
+            from jax.sharding import NamedSharding
+            sh = NamedSharding(tp.mesh, tp.kv_spec)
+
+            def put(kvc):
+                return (KVCache(jax.device_put(kvc.k, sh),
+                                jax.device_put(kvc.v, sh))
+                        if kvc is not None else None)
+            res, st = put(res), put(st)
         return cls(res, st)
 
 
@@ -56,10 +72,161 @@ class TieredModel:
     streamer: LayerStreamer | None
     tokenizer: Tokenizer | None
     pack: PackReader
+    tp: "_TPFns | None" = None      # set when loaded onto a TP mesh
 
     @property
     def n_resident(self) -> int:
         return self.tiers.n_hbm
+
+
+class _TPFns:
+    """shard_map'd tiered step functions over a TP mesh — the multi-host
+    streamed-layer design SURVEY §7 flags as having no reference guidance:
+    every shard stages its OWN slice of each streamed layer (device_put
+    with a NamedSharding scatters the host planes across the mesh), so
+    per-host staging bandwidth is divided by tp, and compute inside the
+    steps uses the same megatron collectives as the resident TP path."""
+
+    def __init__(self, mesh, arch: Arch, lw_template: LayerWeights):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.tp import TP_AXIS, _qlinear_spec, local_arch
+
+        self.mesh = mesh
+        self.tp_axis = TP_AXIS
+        tp = mesh.shape[TP_AXIS]
+        self.arch_l = local_arch(arch, tp)
+        col, row = P(None, TP_AXIS), P(TP_AXIS, None)
+
+        def lw_specs(lw: LayerWeights, stacked: bool) -> LayerWeights:
+            norm = P(None, None) if stacked else P(None)
+            return LayerWeights(
+                attn_norm=norm,
+                wq=_qlinear_spec(lw.wq, col, stacked),
+                wk=_qlinear_spec(lw.wk, col, stacked),
+                wv=_qlinear_spec(lw.wv, col, stacked),
+                wo=_qlinear_spec(lw.wo, row, stacked),
+                ffn_norm=norm,
+                w_gate=_qlinear_spec(lw.w_gate, col, stacked),
+                w_up=_qlinear_spec(lw.w_up, col, stacked),
+                w_down=_qlinear_spec(lw.w_down, row, stacked),
+            )
+
+        self._lw_specs = lw_specs
+        self._P = P
+        self.lw_spec_single = lw_specs(lw_template, stacked=False)
+        self.lw_shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), self.lw_spec_single,
+            is_leaf=lambda x: isinstance(x, P))
+        self.kv_spec = P(None, TP_AXIS, None, None)  # [L, Hkv, S, D]
+        self._cache: dict = {}
+
+    def model_specs(self, resident: ModelWeights):
+        from ..parallel.tp import TP_AXIS, _qlinear_spec
+        P = self._P
+        row = P(TP_AXIS, None)
+        layers = (self._lw_specs(resident.layers, stacked=True)
+                  if resident.layers is not None else None)
+        tied = resident.lm_head is resident.embed
+        especs = _qlinear_spec(resident.embed, row, False)
+        return ModelWeights(
+            embed=especs, layers=layers, output_norm=P(None),
+            lm_head=especs if tied else _qlinear_spec(resident.lm_head, row,
+                                                      False),
+            rope_cos=P(None, None), rope_sin=P(None, None))
+
+    def shard_resident(self, resident: ModelWeights) -> ModelWeights:
+        import dataclasses as dc
+        from jax.sharding import NamedSharding
+        specs = self.model_specs(resident)
+        tied = resident.lm_head is resident.embed
+        out = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            resident, specs)
+        if tied:
+            out = dc.replace(out, lm_head=out.embed)
+        return out
+
+    def _get(self, key, build):
+        if key not in self._cache:
+            self._cache[key] = build()
+        return self._cache[key]
+
+    def embed_fn(self, resident_specs):
+        P, rep2 = self._P, self._P(None, None)
+
+        def build():
+            def body(w, tokens, pos):
+                return embed_positions(self.arch_l, w, tokens, pos,
+                                       self.tp_axis)
+            return jax.jit(shard_map(
+                body, mesh=self.mesh,
+                in_specs=(resident_specs, P(None), P()),
+                out_specs=(rep2, rep2, rep2), check_rep=False))
+        return self._get("embed", build)
+
+    def res_scan_fn(self, resident_specs, has_nv, has_sel, wc):
+        P = self._P
+        rep2 = P(None, None)
+
+        def build():
+            def body(layers, x, kk, vv, pos, cos_t, sin_t, *opt):
+                i = 0
+                nv = opt[i] if has_nv else None
+                i += int(has_nv)
+                sel = opt[i] if has_sel else None
+                return _resident_scan.__wrapped__(
+                    self.arch_l, layers, x, kk, vv, pos, cos_t, sin_t,
+                    nv, wc, sel, tp_axis=self.tp_axis)
+            in_specs = [resident_specs.layers, rep2, self.kv_spec,
+                        self.kv_spec, P(), rep2, rep2]
+            if has_nv:
+                in_specs.append(P())
+            if has_sel:
+                in_specs.append(P(None))
+            out_specs = (rep2, self.kv_spec, self.kv_spec, P(None))
+            return jax.jit(shard_map(body, mesh=self.mesh,
+                                     in_specs=tuple(in_specs),
+                                     out_specs=out_specs, check_rep=False),
+                           donate_argnums=(2, 3))
+        return self._get(("res", has_nv, has_sel, wc), build)
+
+    def stream_step_fn(self, has_nv, wc):
+        P = self._P
+        rep2 = P(None, None)
+
+        def build():
+            def body(lw, x, kk, vv, idx, pos, cos_t, sin_t, *opt):
+                nv = opt[0] if has_nv else None
+                return _stream_step.__wrapped__(
+                    self.arch_l, lw, x, kk, vv, idx, pos, cos_t, sin_t,
+                    nv, wc, tp_axis=self.tp_axis)
+            in_specs = [self.lw_spec_single, rep2, self.kv_spec,
+                        self.kv_spec, P(), P(), rep2, rep2]
+            if has_nv:
+                in_specs.append(P())
+            out_specs = (rep2, self.kv_spec, self.kv_spec, P())
+            return jax.jit(shard_map(body, mesh=self.mesh,
+                                     in_specs=tuple(in_specs),
+                                     out_specs=out_specs, check_rep=False),
+                           donate_argnums=(2, 3))
+        return self._get(("stream", has_nv, wc), build)
+
+    def head_fn(self, resident_specs, has_nv, all_logits):
+        P = self._P
+        rep2 = P(None, None)
+
+        def build():
+            def body(w, x, *opt):
+                nv = opt[0] if has_nv else None
+                return head_logits(self.arch_l, w, x, nv, all_logits,
+                                   self.tp_axis)
+            in_specs = [resident_specs, rep2]
+            if has_nv:
+                in_specs.append(P())
+            return jax.jit(shard_map(body, mesh=self.mesh,
+                                     in_specs=tuple(in_specs),
+                                     out_specs=rep2, check_rep=False))
+        return self._get(("head", has_nv, all_logits), build)
 
 
 # --- jitted pieces (one compile each; streamed step shared by all layers
@@ -70,34 +237,37 @@ def _embed_fwd(arch: Arch, weights: ModelWeights, tokens, pos):
     return embed_positions(arch, weights, tokens, pos)
 
 
-@partial(jax.jit, static_argnames=("arch", "with_cosine"),
+@partial(jax.jit, static_argnames=("arch", "with_cosine", "tp_axis"),
          donate_argnames=("kv_k", "kv_v"))
 def _resident_scan(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
                    cos_t, sin_t, n_valid=None, with_cosine: bool = False,
-                   layer_sel=None):
+                   layer_sel=None, tp_axis: str | None = None):
     if layer_sel is not None:
         kk = jnp.take(kv_k, layer_sel, axis=0)
         vv = jnp.take(kv_v, layer_sel, axis=0)
         x, nk, nv, cos = scan_layers(arch, layers, x, kk, vv, pos,
                                      cos_t, sin_t, n_valid, with_cosine,
-                                     indices=layer_sel.astype(jnp.int32))
+                                     tp_axis, indices=layer_sel.astype(jnp.int32))
         kv_k = kv_k.at[layer_sel].set(nk)
         kv_v = kv_v.at[layer_sel].set(nv)
         return x, kv_k, kv_v, cos
     x, kv_k, kv_v, cos = scan_layers(arch, layers, x, kv_k, kv_v, pos,
-                                     cos_t, sin_t, n_valid, with_cosine)
+                                     cos_t, sin_t, n_valid, with_cosine,
+                                     tp_axis)
     return x, kv_k, kv_v, cos
 
 
-@partial(jax.jit, static_argnames=("arch", "with_cosine"),
+@partial(jax.jit, static_argnames=("arch", "with_cosine", "tp_axis"),
          donate_argnames=("kv_k", "kv_v"))
 def _stream_step(arch: Arch, lw: LayerWeights, x, kv_k, kv_v, idx, pos,
-                 cos_t, sin_t, n_valid=None, with_cosine: bool = False):
+                 cos_t, sin_t, n_valid=None, with_cosine: bool = False,
+                 tp_axis: str | None = None):
     """One streamed layer: idx is the layer's slot in the streamed KV stack
     (traced, so every streamed layer reuses one compilation)."""
     kk = jax.lax.dynamic_index_in_dim(kv_k, idx, 0, keepdims=False)
     vv = jax.lax.dynamic_index_in_dim(kv_v, idx, 0, keepdims=False)
-    x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t, n_valid)
+    x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t, n_valid,
+                            tp_axis)
     kv_k = jax.lax.dynamic_update_index_in_dim(kv_k, kk, idx, 0)
     kv_v = jax.lax.dynamic_update_index_in_dim(kv_v, vv, idx, 0)
     cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
@@ -132,7 +302,12 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
     1-float D2H per late layer while enabled.
     """
     arch = tm.arch
-    x, cos_t, sin_t = _embed_fwd(arch, tm.resident, tokens, pos)
+    tpf = tm.tp
+    if tpf is None:
+        x, cos_t, sin_t = _embed_fwd(arch, tm.resident, tokens, pos)
+    else:
+        x, cos_t, sin_t = tpf.embed_fn(tpf.resident_specs)(
+            tm.resident, tokens, pos)
 
     cos_res = cos_str = None
     kv_res, kv_str = kv.res, kv.str
@@ -143,9 +318,20 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
             keep = [i for i in range(tm.tiers.n_hbm) if i not in skip]
             if len(keep) < tm.tiers.n_hbm:
                 resident_sel = jnp.asarray(keep, jnp.int32)
-        x, kk, vv, cos_res = _resident_scan(
-            arch, tm.resident.layers, x, kv_res.k, kv_res.v, pos,
-            cos_t, sin_t, n_valid, with_cosine, resident_sel)
+        if tpf is None:
+            x, kk, vv, cos_res = _resident_scan(
+                arch, tm.resident.layers, x, kv_res.k, kv_res.v, pos,
+                cos_t, sin_t, n_valid, with_cosine, resident_sel)
+        else:
+            fn = tpf.res_scan_fn(tpf.resident_specs, n_valid is not None,
+                                 resident_sel is not None, with_cosine)
+            args = [tm.resident.layers, x, kv_res.k, kv_res.v, pos,
+                    cos_t, sin_t]
+            if n_valid is not None:
+                args.append(jnp.asarray(n_valid, jnp.int32))
+            if resident_sel is not None:
+                args.append(resident_sel)
+            x, kk, vv, cos_res = fn(*args)
         kv_res = KVCache(kk, vv)
 
     if not draft_only and tm.streamer is not None:
@@ -168,9 +354,16 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
                 if i + 2 < len(sched):
                     s.prefetch_staging(sched[i + 2], slot)
                 idx = jnp.int32(layer - s.first)
-                x, kk, vv, cos_l = _stream_step(
-                    arch, lw, x, kk, vv, idx, pos, cos_t, sin_t,
-                    n_valid, want_cos)
+                if tpf is None:
+                    x, kk, vv, cos_l = _stream_step(
+                        arch, lw, x, kk, vv, idx, pos, cos_t, sin_t,
+                        n_valid, want_cos)
+                else:
+                    fn = tpf.stream_step_fn(n_valid is not None, want_cos)
+                    args = [lw, x, kk, vv, idx, pos, cos_t, sin_t]
+                    if n_valid is not None:
+                        args.append(jnp.asarray(n_valid, jnp.int32))
+                    x, kk, vv, cos_l = fn(*args)
                 s.signal_compute_done(slot)
                 if with_cosine:
                     cos_parts.append((layer, cos_l))
@@ -180,7 +373,14 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
             kv_str = KVCache(kk, vv)
         cos_str = cos_parts
 
-    logits = _head_fwd(arch, tm.resident, x, n_valid, all_logits)
+    if tpf is None:
+        logits = _head_fwd(arch, tm.resident, x, n_valid, all_logits)
+    else:
+        fn = tpf.head_fn(tpf.resident_specs, n_valid is not None, all_logits)
+        args = [tm.resident, x]
+        if n_valid is not None:
+            args.append(jnp.asarray(n_valid, jnp.int32))
+        logits = fn(*args)
 
     cosines = None
     if with_cosine:
@@ -201,9 +401,16 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
                       max_hbm_layers: int | None = None,
                       max_ram_layers: int | None = None,
                       with_tokenizer: bool = True,
-                      n_stage_threads: int = 8) -> TieredModel:
+                      n_stage_threads: int = 8,
+                      mesh=None) -> TieredModel:
     """Load a GGUF with automatic HBM/RAM/disk tier assignment
-    (Transformer::load_tiered, transformer.cpp:193-280)."""
+    (Transformer::load_tiered, transformer.cpp:193-280).
+
+    mesh: a TP mesh (parallel.multihost.make_mesh) — resident weights and
+    KV shard megatron-style, and every streamed layer's host planes scatter
+    to the shards in begin_h2d (each shard stages 1/tp of the layer). The
+    HBM/RAM budgets then apply PER SHARD: pass hbm_bytes = per-chip HBM;
+    effective layer bytes per chip are layer/tp (accounted here)."""
     import sys
 
     from ..core.gguf import GGUFReader
@@ -223,14 +430,20 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     kv_bytes = (arch.n_layers * arch.n_kv_heads * arch.max_seq_len
                 * arch.head_dim * 2 * 2)
     workspace = 64 << 20
-    reserve = embed.nbytes + head_bytes + kv_bytes + workspace \
-        + 2 * pack.max_layer_nbytes  # two streaming slots live in HBM
+    tp_ways = 1
+    if mesh is not None:
+        from ..parallel.tp import TP_AXIS
+        tp_ways = mesh.shape[TP_AXIS]
+    # per-shard byte accounting when TP-sharded
+    layer_bytes = pack.max_layer_nbytes // tp_ways
+    reserve = (embed.nbytes + head_bytes + kv_bytes) // tp_ways \
+        + workspace + 2 * layer_bytes  # two streaming slots live in HBM
 
     tiers = TierConfig.compute(
-        cfg.n_layers, pack.max_layer_nbytes, reserve,
+        cfg.n_layers, layer_bytes, reserve,
         hbm_bytes=hbm_bytes, ram_bytes=ram_bytes,
         max_hbm_layers=max_hbm_layers, max_ram_layers=max_ram_layers)
-    print(tiers.describe(pack.max_layer_nbytes), file=sys.stderr)
+    print(tiers.describe(layer_bytes), file=sys.stderr)
 
     # tier A: resident stacked prefix, loaded straight from the pack
     layers = []
@@ -256,5 +469,16 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
 
     streamer = (LayerStreamer(pack, tiers, n_threads=n_stage_threads)
                 if tiers.n_streamed else None)
+
+    tpf = None
+    if mesh is not None:
+        template = pack.layer_weights(0, pack.read_layer(0))
+        tpf = _TPFns(mesh, arch, template)
+        resident = tpf.shard_resident(resident)
+        tpf.resident_specs = tpf.model_specs(resident)
+        if streamer is not None:
+            streamer.shardings = tpf.lw_shardings
+
     tok = Tokenizer.from_gguf_metadata(reader.metadata) if with_tokenizer else None
-    return TieredModel(cfg, arch, tiers, resident, streamer, tok, pack)
+    return TieredModel(cfg, arch, tiers, resident, streamer, tok, pack,
+                       tp=tpf)

@@ -204,3 +204,37 @@ def test_multihost_mesh_cpu():
     assert m.shape[DP_AXIS] == 2 and m.shape[TP_AXIS] == 4
     m1 = make_mesh(tp=8)
     assert m1.axis_names == (TP_AXIS,)
+
+
+def test_tiered_tp_parity(tiny_gguf, resident_model):
+    """Tiered streaming over a TP mesh: each shard stages its slice of
+    every streamed layer; output must match the unsharded resident forward
+    (the multi-host streamed-layer design, SURVEY §7 hard parts)."""
+    from ntransformer_tpu.parallel.multihost import make_mesh
+    mesh = make_mesh(tp=2, dp=4)  # 8 CPU devices; use only the tp submesh
+    from jax.sharding import Mesh
+    import numpy as _np
+    tp_mesh = Mesh(_np.asarray(mesh.devices)[0], ("tp",))
+
+    tm = load_model_tiered(tiny_gguf, max_hbm_layers=1, max_ram_layers=1,
+                           hbm_bytes=64 * GB, ram_bytes=64 * GB,
+                           mesh=tp_mesh)
+    assert tm.tp is not None and tm.tiers.n_disk >= 1
+    rm = resident_model
+
+    # bucketed prefill (n_valid) + decode step, vs unsharded resident
+    tokens = [1, 5, 9]
+    padded = np.zeros(8, np.int32)
+    padded[:3] = tokens
+    kv_t = TieredKV.create(tm.arch, tm.tiers, tp=tm.tp)
+    lt, kv_t, _ = forward_tiered(tm, kv_t, jnp.asarray(padded), 0, n_valid=3)
+    lr, kv_r, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch),
+                          jnp.asarray(padded), 0, n_valid=3)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=1e-4, atol=2e-4)
+    nt = int(jnp.argmax(lt[0]))
+    lt2, kv_t, _ = forward_tiered(tm, kv_t, jnp.asarray([nt], jnp.int32), 3)
+    lr2, _, _ = forward(rm.arch, rm.weights, kv_r,
+                        jnp.asarray([nt], jnp.int32), 3)
+    np.testing.assert_allclose(np.asarray(lt2), np.asarray(lr2),
+                               rtol=1e-4, atol=5e-4)
