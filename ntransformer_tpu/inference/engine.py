@@ -118,18 +118,31 @@ class Engine:
             return None
         return jnp.asarray(self.layer_sel, dtype=jnp.int32)
 
+    PREFILL_CHUNK = 512
+
     def _prefill(self, kv: KVCache, tokens: list[int], model=None,
                  with_cosine=False):
-        """Bucketed prefill; returns (last logits [1, V], kv, cosines)."""
+        """Bucketed prefill; long prompts run as fixed-size chunks so the
+        compiled program set stays bounded at any prompt length. Returns
+        (last logits [1, V], kv, cosines — from the final chunk)."""
         m = model or self.model
+        sel = self._sel() if m is self.model else None
         t = len(tokens)
-        p = _bucket(t)
-        padded = np.zeros(p, dtype=np.int32)
-        padded[:t] = tokens
-        logits, kv, cos = forward(
-            m.arch, m.weights, kv, jnp.asarray(padded), 0,
-            layer_sel=self._sel() if m is self.model else None,
-            n_valid=t, with_cosine=with_cosine)
+        if t <= self.PREFILL_CHUNK:
+            p = _bucket(t)
+            padded = np.zeros(p, dtype=np.int32)
+            padded[:t] = tokens
+            return forward(m.arch, m.weights, kv, jnp.asarray(padded), 0,
+                           layer_sel=sel, n_valid=t, with_cosine=with_cosine)
+        c = self.PREFILL_CHUNK
+        logits = cos = None
+        for off in range(0, t, c):
+            chunk = tokens[off: off + c]
+            padded = np.zeros(c, dtype=np.int32)
+            padded[: len(chunk)] = chunk
+            logits, kv, cos = forward(
+                m.arch, m.weights, kv, jnp.asarray(padded), off,
+                layer_sel=sel, n_valid=len(chunk), with_cosine=with_cosine)
         return logits, kv, cos
 
     def _decode_step(self, kv: KVCache, token, pos: int, model=None,

@@ -122,3 +122,20 @@ def test_fused_self_spec_matches_greedy(engine):
     out, stats = engine.generate_self_speculative_fused("one two three", cfg)
     assert out == ref
     assert stats.drafted > 0
+
+
+def test_chunked_prefill_matches_single(engine, monkeypatch):
+    """Prompts beyond the chunk size prefill in chunks with identical
+    results to one whole-prompt forward."""
+    m = engine.model
+    monkeypatch.setattr(type(engine), "PREFILL_CHUNK", 128)
+    ids = list((np.arange(300) % 400 + 5).tolist())
+    lc, kvc, _ = engine._prefill(KVCache.create(m.arch), ids)  # 3 chunks
+    lr, kvr, _ = forward(m.arch, m.weights, KVCache.create(m.arch),
+                         jnp.asarray(ids, jnp.int32), 0)
+    # different dot shapes accumulate in different orders -> fp-level drift
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(lr), atol=1e-2)
+    # caches agree on the valid region
+    np.testing.assert_allclose(
+        np.asarray(kvc.k[:, :, :300]).astype(np.float32),
+        np.asarray(kvr.k[:, :, :300]).astype(np.float32), atol=1e-2)
