@@ -53,3 +53,29 @@ def test_ntd_sizes(tiny_gguf, tmp_path):
     delta_bytes = sum((n * 4 + 4 * k) * 2 for n, k in shapes) * hdr["n_layers"]
     import os
     assert os.path.getsize(out) == hdr["delta_offset"] + delta_bytes
+
+
+def test_requant_gguf_tool(tmp_path):
+    """GGUF->GGUF requant keeps the model loadable and close in output."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.models.llama import KVCache, forward
+    from ntransformer_tpu.models.loader import load_model
+    from tools.requant_gguf import requant
+
+    src = str(tmp_path / "t6.gguf")
+    write_model(src, "tiny", "q6_k", seed=11)
+    out = str(tmp_path / "t4.gguf")
+    stats = requant(src, out, DType.Q4_K, progress=lambda *_: None)
+    assert stats["converted"] > 0
+    assert stats["bytes_out"] < stats["bytes_in"]
+
+    m6 = load_model(src)
+    m4 = load_model(out)
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+    l6, _, _ = forward(m6.arch, m6.weights, KVCache.create(m6.arch), toks, 0)
+    l4, _, _ = forward(m4.arch, m4.weights, KVCache.create(m4.arch), toks, 0)
+    # requant adds quantization error but outputs stay correlated
+    c = np.corrcoef(np.asarray(l6[0]), np.asarray(l4[0]))[0, 1]
+    assert c > 0.95, c  # random weights lose more than real ones
