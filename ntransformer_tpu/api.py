@@ -74,7 +74,8 @@ def nt_engine_hidden_size(handle: int) -> int:
 def nt_engine_destroy(handle: int) -> int:
     """Release the engine (ntransformer.h:17)."""
     with _lock:
-        return NT_OK if _engines.pop(handle, None) is not None or True else NT_ERROR
+        _engines.pop(handle, None)
+    return NT_OK
 
 
 def nt_free(obj) -> None:

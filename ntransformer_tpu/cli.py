@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--bench-tokens", type=int, default=64)
     p.add_argument("--chat", action="store_true")
+    p.add_argument("--serve", default=None, metavar="PROMPTS_FILE",
+                   help="continuous-batching mode: one prompt per line; "
+                        "prints completions + aggregate throughput")
+    p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -91,6 +95,28 @@ def main(argv=None) -> int:
         repeat_penalty=args.repeat_penalty, seed=args.seed,
         draft_k=args.draft_k, skip_threshold=args.skip_threshold,
         early_exit_threshold=args.early_exit)
+
+    if args.serve:
+        # continuous batching needs the resident batched step
+        from .inference.serve import BatchServer, Request
+        from .inference.sampler import SamplerConfig
+        from .models.loader import load_model
+        model = load_model(args.model, max_seq_len=args.ctx_size)
+        srv = BatchServer(model, batch_size=args.batch_size,
+                          sampler_cfg=SamplerConfig(
+                              temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p,
+                              repeat_penalty=args.repeat_penalty,
+                              seed=args.seed))
+        with open(args.serve) as f:
+            prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+        reqs = [Request(prompt=pr, max_tokens=args.max_tokens)
+                for pr in prompts]
+        stats = srv.run(reqs)
+        for r in reqs:
+            print(f"### {r.prompt!r}\n{r.text}\n")
+        print(stats.report(), file=sys.stderr)
+        return 0
 
     stream = should_stream(args.model, args.ctx_size, args)
     if stream:

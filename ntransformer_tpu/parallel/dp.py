@@ -19,8 +19,6 @@ required because Pallas kernels carry no partitioning rules.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import warnings

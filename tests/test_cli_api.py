@@ -59,3 +59,14 @@ def test_c_api_bad_handle():
     assert api.nt_engine_load(99999, "nope.gguf") == api.NT_ERROR
     assert api.nt_engine_generate(99999, "hi") is None
     assert api.nt_engine_vocab_size(99999) == api.NT_ERROR
+
+
+def test_cli_serve_mode(tiny_gguf, tmp_path, capsys):
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("hello\nworld\nfoo bar\n")
+    rc = main(["-m", tiny_gguf, "--serve", str(pf), "--batch-size", "2",
+               "-n", "4", "-t", "0"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert out.out.count("###") == 3
+    assert "served 3 requests" in out.err
