@@ -117,7 +117,8 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
 
 
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
-               n_valid=None, tp_axis: str | None = None, layer=None):
+               n_valid=None, tp_axis: str | None = None, layer=None,
+               cp_axis: str | None = None):
     """One transformer block. x [T, H] f32; kv [Hkv, S, D]; pos scalar.
 
     n_valid (traced scalar or None): with bucketed prefill, only the first
@@ -150,13 +151,30 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
     k = jnp.swapaxes(k.astype(kv_k.dtype), 0, 1)  # [Hkv, T, D]
     v = jnp.swapaxes(v.astype(kv_v.dtype), 0, 1)
-    if n_valid is not None:
-        keep = (jnp.arange(T) < n_valid)[None, :, None]
-        k = jnp.where(keep, k, jax.lax.dynamic_slice(kv_k, (0, pos, 0), (Hkv, T, D)))
-        v = jnp.where(keep, v, jax.lax.dynamic_slice(kv_v, (0, pos, 0), (Hkv, T, D)))
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, pos, 0))
-    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, pos, 0))
-    att = attention(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
+    if cp_axis is not None:
+        # sequence-sharded cache: each shard owns positions
+        # [shard*s_local, (shard+1)*s_local); non-owned (and padding)
+        # positions scatter to an OOB sentinel and are dropped
+        from ..ops.layers import attention_cp
+        s_local = kv_k.shape[1]
+        shard = jax.lax.axis_index(cp_axis)
+        lpos = pos + jnp.arange(T) - shard * s_local        # [T]
+        ok = (lpos >= 0) & (lpos < s_local)
+        if n_valid is not None:
+            ok = ok & (jnp.arange(T) < n_valid)
+        lpos = jnp.where(ok, lpos, s_local)                 # OOB → dropped
+        kv_k = kv_k.at[:, lpos, :].set(k, mode="drop")
+        kv_v = kv_v.at[:, lpos, :].set(v, mode="drop")
+        att = attention_cp(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D),
+                           cp_axis, s_local)
+    else:
+        if n_valid is not None:
+            keep = (jnp.arange(T) < n_valid)[None, :, None]
+            k = jnp.where(keep, k, jax.lax.dynamic_slice(kv_k, (0, pos, 0), (Hkv, T, D)))
+            v = jnp.where(keep, v, jax.lax.dynamic_slice(kv_v, (0, pos, 0), (Hkv, T, D)))
+        kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, pos, 0))
+        kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, pos, 0))
+        att = attention(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
     o = qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo,
                 layer=layer)
     if tp_axis is not None:
@@ -186,7 +204,8 @@ def embed_positions(arch: Arch, weights: ModelWeights, tokens: jnp.ndarray,
 
 def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
                 cos_t, sin_t, n_valid=None, with_cosine: bool = False,
-                tp_axis: str | None = None, indices: jnp.ndarray | None = None):
+                tp_axis: str | None = None, indices: jnp.ndarray | None = None,
+                cp_axis: str | None = None):
     """Run a stacked layer set ([L, ...] leaves) with lax.scan.
 
     The scan iterates over LAYER INDICES (plus the per-layer KV slices);
@@ -202,7 +221,7 @@ def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
         x = carry
         li, kk, vv = inp
         x2, kk, vv = layer_step(arch, x, layers, kk, vv, pos, cos_t, sin_t,
-                                n_valid, tp_axis, layer=li)
+                                n_valid, tp_axis, layer=li, cp_axis=cp_axis)
         cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
         return x2, (kk, vv, cos)
 
@@ -233,12 +252,12 @@ def head_logits(arch: Arch, weights: ModelWeights, x, n_valid=None,
 
 
 @partial(jax.jit, static_argnames=("arch", "all_logits", "with_cosine",
-                                   "tp_axis"),
+                                   "tp_axis", "cp_axis"),
          donate_argnames=("kv",))
 def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
             tokens: jnp.ndarray, pos, layer_sel: jnp.ndarray | None = None,
             n_valid=None, all_logits: bool = False, with_cosine: bool = False,
-            tp_axis: str | None = None):
+            tp_axis: str | None = None, cp_axis: str | None = None):
     """Forward pass over a (subset of) the layer stack.
 
     tokens [T] int32; pos scalar int32 (write offset into the KV cache).
@@ -264,7 +283,8 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
 
     x, new_k, new_v, cosines = scan_layers(arch, weights.layers, x, kv_k,
                                            kv_v, pos, cos_t, sin_t, n_valid,
-                                           with_cosine, tp_axis, indices)
+                                           with_cosine, tp_axis, indices,
+                                           cp_axis)
 
     if layer_sel is not None:
         new_k = kv.k.at[layer_sel].set(new_k)

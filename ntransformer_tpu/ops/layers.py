@@ -89,6 +89,41 @@ def attention_jnp(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     return out.reshape(T, Hq, D)
 
 
+def attention_cp(q: jnp.ndarray, k_local: jnp.ndarray, v_local: jnp.ndarray,
+                 pos_start, q_len: int, scale: float, cp_axis: str,
+                 s_local: int) -> jnp.ndarray:
+    """Context-parallel GQA attention: the KV cache is sharded along the
+    SEQUENCE axis over `cp_axis` (each shard holds s_local positions);
+    shards compute local online-softmax partials and combine them exactly
+    with two psums — context length is then bounded by the mesh's aggregate
+    HBM, not one chip's. (Blockwise-parallel attention over ICI; no ring
+    needed for the decode/prefill pattern since KV is static per step.)
+
+    q [T, Hq, D] replicated; k_local/v_local [Hkv, s_local, D].
+    Returns [T, Hq, D] f32 replicated.
+    """
+    T, Hq, D = q.shape
+    Hkv = k_local.shape[0]
+    group = Hq // Hkv
+    shard = jax.lax.axis_index(cp_axis)
+    qf = q.astype(jnp.float32).reshape(T, Hkv, group, D)
+    kf = k_local.astype(jnp.float32)
+    vf = v_local.astype(jnp.float32)
+    scores = jnp.einsum("thgd,hsd->hgts", qf, kf) * scale  # [Hkv,g,T,Sl]
+    key_pos = shard * s_local + jnp.arange(s_local)[None, :]
+    q_pos = pos_start + jnp.arange(T)[:, None]
+    scores = jnp.where((key_pos <= q_pos)[None, None], scores, -jnp.inf)
+    m_local = jnp.max(scores, axis=-1)                      # [Hkv,g,T]
+    m = jax.lax.pmax(m_local, cp_axis)
+    # guard fully-masked shards (exp(-inf - m) -> 0 works; m can't be -inf
+    # globally because key 0 is always valid)
+    p = jnp.exp(scores - m[..., None])
+    l = jax.lax.psum(jnp.sum(p, axis=-1), cp_axis)          # [Hkv,g,T]
+    o = jax.lax.psum(jnp.einsum("hgts,hsd->thgd", p, vf), cp_axis)
+    out = o / jnp.transpose(l, (2, 0, 1))[..., None]
+    return out.reshape(T, Hq, D)
+
+
 def attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
               pos_start, q_len: int, scale: float,
               use_flash: bool | None = None) -> jnp.ndarray:
