@@ -53,7 +53,7 @@ def _rep_sublanes(a, rep: int, rows: int, cols: int):
 
 def _q8_0_tile(vals, tkh, tn):
     x, qs, d = vals
-    w = qs.astype(jnp.int32).astype(F32) * _rep_sublanes(f16_bits_to_f32(d), 32, tkh, tn)
+    w = qs.astype(F32) * _rep_sublanes(f16_bits_to_f32(d), 32, tkh, tn)
     return jnp.dot(x.astype(F32), w, preferred_element_type=F32)
 
 
