@@ -91,6 +91,9 @@ class LayerStreamer:
         # optional per-leaf shardings (LayerWeights-shaped pytree): under
         # tensor parallelism each shard receives its slice of the layer
         self.shardings = None
+        # True = fence every stage (kills overlap; for measuring the SLEP
+        # pipeline's benefit, like the reference's mmap-vs-tiered A/B)
+        self.synchronous = False
         self._load_ram_tier()
 
     # -- init ---------------------------------------------------------------
@@ -134,6 +137,9 @@ class LayerStreamer:
             self.pool.wait(h)
 
         slot.stage_job = self.pool.run(job)
+        if self.synchronous:
+            self.pool.wait(slot.stage_job)
+            slot.stage_job = None
 
     def begin_h2d(self, layer: int, slot_id: int) -> None:
         """Start the async host→HBM transfer of `layer` into `slot`
@@ -157,6 +163,8 @@ class LayerStreamer:
                 slot.device = jax.tree.map(jax.device_put, host_lw)
         slot.layer = layer
         slot.host_src = blob
+        if self.synchronous:
+            _hard_fence(jax.tree.leaves(slot.device))
 
     def get_weights(self, slot_id: int) -> LayerWeights:
         """Device LayerWeights for the slot (arrays may still be filling;
