@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--bench-tokens", type=int, default=64)
     p.add_argument("--chat", action="store_true")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache with per-position scales (halves KV "
+                        "memory; resident engine only)")
     p.add_argument("--serve", default=None, metavar="PROMPTS_FILE",
                    help="continuous-batching mode: one prompt per line; "
                         "prints completions + aggregate throughput")
@@ -135,7 +138,8 @@ def main(argv=None) -> int:
         log.info(f"loading {args.model} (resident)")
         # draft loaded FIRST so it gets HBM priority (main.cpp:121-132)
         engine = Engine.load(args.model, draft_path=args.draft_model,
-                             max_seq_len=args.ctx_size)
+                             max_seq_len=args.ctx_size,
+                             kv_quant=args.kv_int8)
 
     if args.chat:
         engine.chat(cfg)

