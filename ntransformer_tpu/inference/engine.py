@@ -113,6 +113,13 @@ class Engine:
         return cls(load_model(path, **kw), draft, kv_quant=kv_quant)
 
     # --- internals ----------------------------------------------------------
+    def _encode(self, prompt: str) -> list[int]:
+        """Tokenize, clamped to the context window (a longer prompt would
+        scatter KV past the cache end; keep the most recent tokens)."""
+        ids = self.tokenizer.encode(prompt, add_bos=True)
+        limit = max(1, self.arch.max_seq_len - 2)
+        return ids[-limit:] if len(ids) > limit else ids
+
     def _make_kv(self):
         return KVCache.create(self.arch, quant=self.kv_quant)
 
@@ -181,7 +188,7 @@ class Engine:
         stats = Stats()
         tok = self.tokenizer
         sampler = Sampler(cfg.sampler(), self.arch.vocab_size)
-        ids = tok.encode(prompt, add_bos=True)
+        ids = self._encode(prompt)
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids))
         kv = self._make_kv()
 
@@ -246,7 +253,7 @@ class Engine:
         cfg = cfg or GenerateConfig()
         stats = Stats()
         tok = self.tokenizer
-        ids = tok.encode(prompt, add_bos=True)
+        ids = self._encode(prompt)
         K = cfg.draft_k
         kv = self._make_kv()
 
@@ -335,7 +342,7 @@ class Engine:
         cfg = cfg or GenerateConfig()
         stats = Stats()
         tok = self.tokenizer
-        ids = tok.encode(prompt, add_bos=True)
+        ids = self._encode(prompt)
         K = cfg.draft_k
         n_draft = draft_layers or max(1, self.arch.n_layers // 2)
         kv = self._make_kv()
@@ -396,8 +403,8 @@ class Engine:
             _, stats = self.generate(prompt, cfg)
             return stats
         stats = Stats()
-        ids = self.tokenizer.encode(prompt, add_bos=True)
-        kv = KVCache.create(self.arch)
+        ids = self._encode(prompt)
+        kv = self._make_kv()
         t0 = time.perf_counter()
         logits, kv, _ = self._prefill(kv, ids)
         first = jnp.argmax(logits[0]).astype(jnp.int32)
@@ -496,7 +503,7 @@ class TieredEngine(Engine):
         between steps (argmax chaining); one readback at the end fences the
         timing (engine.cpp:573-593)."""
         stats = Stats()
-        ids = self.tokenizer.encode(prompt, add_bos=True)
+        ids = self._encode(prompt)
         kv = self._make_kv()
         t0 = time.perf_counter()
         logits, kv, _ = self._prefill(kv, ids)

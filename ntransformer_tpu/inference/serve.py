@@ -99,10 +99,14 @@ class BatchServer:
         """Serve all requests to completion; returns aggregate stats."""
         stats = ServeStats(requests=len(requests))
         queue = list(requests)
+        max_prompt = max(1, self.arch.max_seq_len - 2)
         for i, r in enumerate(queue):
             r.request_id = i
             r.submitted_at = time.time()
             r.prompt_ids = self.tokenizer.encode(r.prompt, add_bos=True)
+            if len(r.prompt_ids) > max_prompt:
+                # clamp: a longer prompt would scatter past the cache end
+                r.prompt_ids = r.prompt_ids[-max_prompt:]
 
         B = self.B
         bkv = BatchedKV.create(self.arch, B)

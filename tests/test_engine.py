@@ -139,3 +139,13 @@ def test_chunked_prefill_matches_single(engine, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(kvc.k[:, :, :300]).astype(np.float32),
         np.asarray(kvr.k[:, :, :300]).astype(np.float32), atol=1e-2)
+
+
+def test_overlong_prompt_clamped(engine):
+    """A prompt longer than the context window is clamped to its tail
+    instead of scattering KV past the cache end."""
+    long_prompt = "a " * 2000  # tiny model ctx = 512
+    text, stats = engine.generate(long_prompt, GenerateConfig(
+        max_tokens=2, temperature=0.0, repeat_penalty=1.0))
+    assert stats.prefill_tokens <= engine.arch.max_seq_len - 2
+    assert stats.decode_tokens >= 1
