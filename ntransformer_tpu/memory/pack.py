@@ -55,61 +55,87 @@ class PackWriter:
         self.reader = reader
         self.requant = requant
 
-    def _layer_entry(self, i: int):
-        """(meta dict, blob bytes) for layer i."""
-        from ..models.loader import load_norm
+    def _effective_dtype(self, info) -> DType:
+        n, k = info.shape
+        if (self.requant is not None and info.dtype == DType.Q6_K
+                and k % 256 == 0):  # K-quant superblock alignment
+            return self.requant
+        return info.dtype
+
+    def _layer_meta(self, i: int) -> dict:
+        """Layer metadata (plane offsets/shapes) from tensor infos alone —
+        no weight data touched, so offsets for the whole file are known
+        before any layer is materialized."""
         pre = f"blk.{i}."
-        chunks: list[bytes] = []
         off = 0
         tensors = {}
         for key, suffix in LAYER_TENSORS.items():
             info = self.reader.info(pre + suffix)
             n, k = info.shape
-            raw = self.reader.raw_bytes(pre + suffix)
-            dtype = info.dtype
-            if (self.requant is not None and dtype == DType.Q6_K
-                    and k % 256 == 0):  # K-quant superblock alignment
-                w = dequantize(raw, dtype, n, k)
-                raw = np.frombuffer(quantize(w, self.requant), np.uint8)
-                dtype = self.requant
-            planes = relayout(raw, dtype, n, k) if dtype in LAYOUTS else \
-                {"w": np.ascontiguousarray(
-                    dequantize(raw, dtype, n, k).T).astype(np.float32)}
+            dtype = self._effective_dtype(info)
             pmeta = {}
-            for pname, arr in planes.items():
-                b = np.ascontiguousarray(arr).tobytes()
-                pmeta[pname] = {"off": off, "dtype": str(arr.dtype),
-                                "shape": list(arr.shape)}
-                chunks.append(b)
-                off += len(b)
-            tensors[key] = {"qdtype": dtype.name, "k": int(k), "n": int(n),
-                            "planes": pmeta}
+            if dtype in LAYOUTS:
+                for spec in LAYOUTS[dtype]:
+                    rows = k // spec.rows_div
+                    pmeta[spec.name] = {"off": off, "dtype": spec.np_dtype,
+                                        "shape": [rows, int(n)]}
+                    off += rows * n * np.dtype(spec.np_dtype).itemsize
+            else:
+                pmeta["w"] = {"off": off, "dtype": "float32",
+                              "shape": [int(k), int(n)]}
+                off += k * n * 4
+            tensors[key] = {"qdtype": dtype.name if dtype in LAYOUTS else "F32",
+                            "k": int(k), "n": int(n), "planes": pmeta}
         norms = {}
         for key, suffix in LAYER_NORMS.items():
-            w = load_norm(self.reader, pre + suffix).astype(np.float32)
-            norms[key] = {"off": off, "dtype": "float32",
-                          "shape": list(w.shape)}
-            chunks.append(w.tobytes())
-            off += w.nbytes
-        return {"tensors": tensors, "norms": norms, "size": off}, b"".join(chunks)
+            info = self.reader.info(pre + suffix)
+            n_elems = int(np.prod(info.shape))
+            norms[key] = {"off": off, "dtype": "float32", "shape": [n_elems]}
+            off += n_elems * 4
+        return {"tensors": tensors, "norms": norms, "size": off}
+
+    def _layer_blob(self, i: int, meta: dict) -> bytes:
+        """Materialize layer i's blob matching _layer_meta's layout."""
+        from ..models.loader import load_norm
+        pre = f"blk.{i}."
+        chunks: list[bytes] = []
+        for key, suffix in LAYER_TENSORS.items():
+            info = self.reader.info(pre + suffix)
+            n, k = info.shape
+            raw = self.reader.raw_bytes(pre + suffix)
+            dtype = self._effective_dtype(info)
+            if dtype != info.dtype:
+                w = dequantize(raw, info.dtype, n, k)
+                raw = np.frombuffer(quantize(w, dtype), np.uint8)
+            if dtype in LAYOUTS:
+                planes = relayout(raw, dtype, n, k)
+                for spec in LAYOUTS[dtype]:  # deterministic plane order
+                    chunks.append(np.ascontiguousarray(
+                        planes[spec.name]).tobytes())
+            else:
+                chunks.append(np.ascontiguousarray(
+                    dequantize(raw, dtype, n, k).T).astype(np.float32)
+                    .tobytes())
+        for key, suffix in LAYER_NORMS.items():
+            chunks.append(load_norm(self.reader, pre + suffix)
+                          .astype(np.float32).tobytes())
+        blob = b"".join(chunks)
+        assert len(blob) == meta["size"], (len(blob), meta["size"])
+        return blob
 
     def write(self, path: str, layers: range | None = None,
               progress=None) -> "PackReader":
+        """Two-pass streaming write: offsets from metadata first, then one
+        layer materialized at a time (peak memory = one layer, so 70B-scale
+        packs build without holding the model in RAM)."""
         layers = layers if layers is not None else range(
             int(self.reader.metadata[
                 f"{self.reader.metadata['general.architecture']}.block_count"]))
-        metas, blobs = [], []
-        for i in layers:
-            meta, blob = self._layer_entry(i)
-            metas.append(meta)
-            blobs.append(blob)
-            if progress:
-                progress(i)
+        metas = [self._layer_meta(i) for i in layers]
         header = {"version": 1, "n_layers": len(metas), "layers": metas,
                   "layer_ids": list(layers)}
-        # assign aligned offsets
+        # assign aligned offsets (slack for the "offset" fields added below)
         hdr0 = json.dumps(header).encode()
-        # slack for the "offset" fields added below (≤ ~32 chars per layer)
         base = _align(4 + 4 + 8 + len(hdr0) + 32 * len(metas) + 256)
         off = base
         for meta in metas:
@@ -124,9 +150,11 @@ class PackWriter:
             f.write(np.uint64(len(hdr)).tobytes())
             f.write(hdr)
             f.write(b"\0" * (base - 16 - len(hdr)))
-            for meta, blob in zip(metas, blobs):
+            for i, meta in zip(layers, metas):
                 f.seek(meta["offset"])
-                f.write(blob)
+                f.write(self._layer_blob(i, meta))
+                if progress:
+                    progress(i)
         os.replace(tmp, path)
         return PackReader(path)
 
