@@ -27,7 +27,7 @@
 namespace {
 
 struct Job {
-    std::function<void()> fn;
+    std::function<int()> fn;  // returns 0 or errno
     uint64_t id;
 };
 
@@ -51,7 +51,7 @@ class Pool {
     // Submit a group of subtasks under one job id; wait() returns when all
     // subtasks of the id are done (the double-buffer slot handshake,
     // ref streamer.cu:1161-1190 staging_ready_).
-    uint64_t submit(std::vector<std::function<void()>> subtasks) {
+    uint64_t submit(std::vector<std::function<int()>> subtasks) {
         uint64_t id;
         {
             std::unique_lock<std::mutex> lk(mu_);
@@ -65,17 +65,21 @@ class Pool {
         return id;
     }
 
-    void wait(uint64_t id) {
+    // Waits for all subtasks of `id`; returns the job's OWN error (0 if
+    // none). Errors are tracked per job id so a failed read cannot be
+    // absorbed by an unrelated wait.
+    int wait(uint64_t id) {
         std::unique_lock<std::mutex> lk(mu_);
         done_cv_.wait(lk, [&] {
             auto it = pending_.find(id);
             return it == pending_.end() || it->second == 0;
         });
         pending_.erase(id);
+        auto eit = errors_.find(id);
+        int e = (eit == errors_.end()) ? 0 : eit->second;
+        errors_.erase(id);
+        return e;
     }
-
-    int error_and_clear() { return err_.exchange(0); }
-    void set_error(int e) { err_.store(e); }
 
   private:
     void run() {
@@ -88,9 +92,10 @@ class Pool {
                 job = std::move(queue_.front());
                 queue_.pop_front();
             }
-            job.fn();
+            int err = job.fn();
             {
                 std::unique_lock<std::mutex> lk(mu_);
+                if (err) errors_[job.id] = err;
                 if (--pending_[job.id] == 0) done_cv_.notify_all();
             }
         }
@@ -100,10 +105,10 @@ class Pool {
     std::condition_variable cv_, done_cv_;
     std::deque<Job> queue_;
     std::unordered_map<uint64_t, int> pending_;
+    std::unordered_map<uint64_t, int> errors_;
     std::vector<std::thread> threads_;
     bool stop_;
     uint64_t next_id_;
-    std::atomic<int> err_{0};
 };
 
 ssize_t pread_full(int fd, void *dst, size_t size, uint64_t off) {
@@ -153,15 +158,16 @@ uint64_t ntstage_submit_read(void *pool_, int fd, uint64_t off, uint64_t size,
     if (n_chunks < 1) n_chunks = 1;
     uint64_t chunk = (size + n_chunks - 1) / n_chunks;
     chunk = (chunk + 4095) / 4096 * 4096;  // 4 KiB-aligned chunk boundaries
-    std::vector<std::function<void()>> tasks;
+    std::vector<std::function<int()>> tasks;
     for (uint64_t c = 0; c < size; c += chunk) {
         uint64_t len = std::min(chunk, size - c);
         char *d = static_cast<char *>(dest) + c;
         uint64_t o = off + c;
-        tasks.push_back([pool, fd, d, len, o] {
+        tasks.push_back([fd, d, len, o]() -> int {
             if (pread_full(fd, d, len, o) != (ssize_t)len) {
-                pool->set_error(errno ? errno : EIO);
+                return errno ? errno : EIO;
             }
+            return 0;
         });
     }
     return pool->submit(std::move(tasks));
@@ -173,21 +179,20 @@ uint64_t ntstage_submit_copy(void *pool_, const void *src, void *dest,
     Pool *pool = static_cast<Pool *>(pool_);
     if (n_chunks < 1) n_chunks = 1;
     uint64_t chunk = (size + n_chunks - 1) / n_chunks;
-    std::vector<std::function<void()>> tasks;
+    std::vector<std::function<int()>> tasks;
     for (uint64_t c = 0; c < size; c += chunk) {
         uint64_t len = std::min(chunk, size - c);
         const char *s = static_cast<const char *>(src) + c;
         char *d = static_cast<char *>(dest) + c;
-        tasks.push_back([s, d, len] { ::memcpy(d, s, len); });
+        tasks.push_back([s, d, len]() -> int { ::memcpy(d, s, len); return 0; });
     }
     return pool->submit(std::move(tasks));
 }
 
-// Wait for all subtasks of a job; returns 0 on success, errno on failure.
+// Wait for all subtasks of a job; returns 0 on success, or the errno of
+// THIS job's failed subtask (per-job attribution).
 int ntstage_wait(void *pool_, uint64_t id) {
-    Pool *pool = static_cast<Pool *>(pool_);
-    pool->wait(id);
-    return pool->error_and_clear();
+    return static_cast<Pool *>(pool_)->wait(id);
 }
 
 }  // extern "C"

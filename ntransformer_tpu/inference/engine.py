@@ -138,8 +138,12 @@ class Engine:
         m = model or self.model
         sel = self._sel() if m is self.model else None
         t = len(tokens)
+        S = m.arch.max_seq_len
         if t <= self.PREFILL_CHUNK:
-            p = _bucket(t)
+            # the padded write extent must stay inside the cache: a bucket
+            # larger than max_seq would make dynamic_update_slice CLAMP the
+            # start and silently overwrite earlier positions
+            p = min(_bucket(t), S)
             padded = np.zeros(p, dtype=np.int32)
             padded[:t] = tokens
             return forward(m.arch, m.weights, kv, jnp.asarray(padded), 0,
@@ -148,7 +152,8 @@ class Engine:
         logits = cos = None
         for off in range(0, t, c):
             chunk = tokens[off: off + c]
-            padded = np.zeros(c, dtype=np.int32)
+            p = min(c, S - off)  # last chunk may not pad past the cache end
+            padded = np.zeros(p, dtype=np.int32)
             padded[: len(chunk)] = chunk
             logits, kv, cos = forward(
                 m.arch, m.weights, kv, jnp.asarray(padded), off,
@@ -404,6 +409,8 @@ class Engine:
             return stats
         stats = Stats()
         ids = self._encode(prompt)
+        # warmup + timed runs both advance the cache; keep both inside it
+        n_tokens = min(n_tokens, max(1, (self.arch.max_seq_len - len(ids) - 1) // 2))
         kv = self._make_kv()
         t0 = time.perf_counter()
         logits, kv, _ = self._prefill(kv, ids)
@@ -412,14 +419,15 @@ class Engine:
         stats.prefill_tokens = len(ids)
         stats.prefill_ms = (time.perf_counter() - t0) * 1e3
 
-        # compile the fused decode loop (excluded from timing via warmup)
+        # compile the fused decode loop (warmup MUST use the same n_steps —
+        # it is a static jit arg, so a different count is a different program)
         toks, kv = _decode_loop_greedy(self.arch, self.model.weights, kv,
-                                       first, len(ids), 2)
-        jax.block_until_ready(toks)
+                                       first, len(ids), n_tokens)
+        np.asarray(toks)  # true fence (block_until_ready can return early)
         t0 = time.perf_counter()
         toks, kv = _decode_loop_greedy(self.arch, self.model.weights, kv,
-                                       first, len(ids) + 2, n_tokens)
-        jax.block_until_ready(toks)
+                                       first, len(ids) + n_tokens, n_tokens)
+        np.asarray(toks)
         stats.decode_tokens = n_tokens
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return stats
@@ -453,7 +461,7 @@ class TieredEngine(Engine):
         from ..models.tiered import forward_tiered
         assert model is None, "TieredEngine has no separate draft model"
         t = len(tokens)
-        p = _bucket(t)
+        p = min(_bucket(t), self.arch.max_seq_len)  # never pad past the cache
         padded = np.zeros(p, np.int32)
         padded[:t] = tokens
         return forward_tiered(self.tm, kv, jnp.asarray(padded), 0, n_valid=t,

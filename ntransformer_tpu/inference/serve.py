@@ -17,17 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from functools import partial
-
 from ..models.batched import BatchedKV, batched_decode_step
-
-
-@partial(jax.jit, donate_argnames=("bkv",))
-def _insert(bkv: "BatchedKV", kv, slot):
-    """Place a prefilled single-sequence cache into slot (in-place via
-    donation — a host-side .at[].set would copy the whole batched cache)."""
-    return BatchedKV(bkv.k.at[:, slot].set(kv.k),
-                     bkv.v.at[:, slot].set(kv.v))
 from ..models.llama import KVCache, forward
 from ..models.loader import LoadedModel
 from .engine import _bucket
@@ -88,7 +78,7 @@ class BatchServer:
         """Single-sequence bucketed prefill → (last logits [V], kv)."""
         kv = KVCache.create(self.arch)
         t = len(ids)
-        p = _bucket(t)
+        p = min(_bucket(t), self.arch.max_seq_len)  # never pad past the cache
         padded = np.zeros(p, np.int32)
         padded[:t] = ids
         logits, kv, _ = forward(self.arch, self.model.weights, kv,
@@ -119,25 +109,29 @@ class BatchServer:
 
         def admit(slot: int) -> bool:
             nonlocal bkv
-            if not queue:
-                return False
-            r = queue.pop(0)
-            last_logits, kv = self._prefill_one(r.prompt_ids)
-            bkv = _insert(bkv, kv, slot)
-            slot_req[slot] = r
-            samplers[slot] = Sampler(self.scfg, self.arch.vocab_size)
-            if self.scfg.greedy:
-                first = int(jnp.argmax(last_logits))
-            else:
-                first = int(samplers[slot].sample(last_logits))
-                samplers[slot].observe(first)
-            r.output_ids = [first]
-            r.first_token_at = time.time()
-            tokens[slot] = first
-            pos[slot] = len(r.prompt_ids)
-            active[slot] = True
-            stats.tokens += 1
-            return True
+            while queue:
+                r = queue.pop(0)
+                last_logits, kv = self._prefill_one(r.prompt_ids)
+                samplers[slot] = Sampler(self.scfg, self.arch.vocab_size)
+                if self.scfg.greedy:
+                    first = int(jnp.argmax(last_logits))
+                else:
+                    first = int(samplers[slot].sample(last_logits))
+                    samplers[slot].observe(first)
+                r.output_ids = [first]
+                r.first_token_at = time.time()
+                stats.tokens += 1
+                if first == eos or r.max_tokens <= 1:
+                    # finished at the first token — don't occupy a slot
+                    r.done(self.tokenizer.decode(r.output_ids))
+                    continue
+                bkv = bkv.insert(slot, kv)
+                slot_req[slot] = r
+                tokens[slot] = first
+                pos[slot] = len(r.prompt_ids)
+                active[slot] = True
+                return True
+            return False
 
         def retire(slot: int):
             r = slot_req[slot]

@@ -7,7 +7,7 @@ greedy longest-match seeding + score-driven merges (tokenizer.cpp:101-217),
 byte-fallback tokens, and control-token-dropping decode.
 
 Beyond the reference: when `tokenizer.ggml.merges` is present (standard for
-Llama-3 GGUFs), merges are rank-driven — matching upstream BPE exactly rather
+Llama-3 GGUFs), merges are rank-driven — matching the reference's algorithm (greedy longest-match seeding + score-driven merges, tokenizer.cpp:101-217; NOTE: this is the reference's scheme, which can diverge from upstream byte-level BPE's rank-from-single-bytes merges on adversarial vocabularies) rather
 than approximating with scores.
 """
 from __future__ import annotations

@@ -121,8 +121,12 @@ class LayerStreamer:
         (streamer.cu:1161-1230). Tier B is already in RAM → no-op; tier C
         queues a fence + chunked pread into the slot's staging buffer."""
         slot = self.slots[slot_id]
-        if layer in self.ram_blobs:
+        if slot.stage_job is not None:
+            # a pending stage (left over from an early-exit break) still owns
+            # the staging buffer — two writers would interleave
+            self.pool.wait(slot.stage_job)
             slot.stage_job = None
+        if layer in self.ram_blobs:
             return
         meta = self.pack.layer_meta(layer)
         prev_device = slot.device

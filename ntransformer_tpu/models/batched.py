@@ -38,10 +38,11 @@ class BatchedKV:
                  arch.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
-    def insert(self, slot: int, kv: KVCache) -> "BatchedKV":
-        """Place a single-sequence cache (from prefill) into batch slot b."""
-        return BatchedKV(self.k.at[:, slot].set(kv.k),
-                         self.v.at[:, slot].set(kv.v))
+    def insert(self, slot, kv: KVCache) -> "BatchedKV":
+        """Place a single-sequence cache (from prefill) into batch slot
+        `slot` IN PLACE (jitted with donation — a host-side .at[].set would
+        copy the whole batched cache)."""
+        return _insert(self, kv, slot)
 
 
 def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
@@ -95,6 +96,12 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
         dn = jax.lax.psum(dn, tp_axis)
     x = x + dn
     return x, kv_k, kv_v
+
+
+@partial(jax.jit, donate_argnames=("bkv",))
+def _insert(bkv: "BatchedKV", kv: KVCache, slot):
+    return BatchedKV(bkv.k.at[:, slot].set(kv.k),
+                     bkv.v.at[:, slot].set(kv.v))
 
 
 @partial(jax.jit, static_argnames=("arch", "tp_axis"), donate_argnames=("kv",))

@@ -171,6 +171,9 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     if isinstance(kv_k, tuple):
         # int8-quantized cache: (codes, scales). Quantize the new rows with
         # per-(head, position) absmax scales, then attend a bf16 dequant.
+        assert cp_axis is None, \
+            "int8 KV + context parallelism not supported (global-pos write " \
+            "would clamp into the sequence-sharded cache)"
         kc, ksc = kv_k
         vc, vsc = kv_v
         ks_new = jnp.max(jnp.abs(k), -1, keepdims=True) / 127.0 + 1e-9

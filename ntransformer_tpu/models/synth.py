@@ -20,7 +20,7 @@ from ..models.config import ModelConfig
 from ..models.llama import Arch, LayerWeights, ModelWeights
 from ..ops.layers import rope_table
 from ..ops.linear import QLinear
-from tools.make_test_gguf import PRESETS, q4_k_m_policy
+from .presets import PRESETS, q4_k_m_policy
 
 _F16_SMALL = np.float32(0.004).astype(np.float16).view(np.uint16)  # ~2^-8
 

@@ -200,9 +200,13 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
     # dtypes use bigger K tiles: per-grid-step overhead (~1.5 us) gates
     # throughput when a step's qs DMA is small, so keep ≥1 MB per step.
     # (K-quant d/dmin planes have rows tk/256, which must stay 8-divisible
-    # or span whole-K — hence multiples of 2048 or k itself)
-    kcands = ((k, 8192, 4096, 2048, 1024, 512, 256) if dtype != DType.Q8_0
-              else (2048, 1024, 512, 256, 128, 64, 32))
+    # or span whole-K — hence multiples of 2048 or k itself; whole-K only
+    # while the tile's dequant temporaries fit the scoped-VMEM budget)
+    if dtype != DType.Q8_0:
+        kcands = ((k,) if k <= 14336 else ()) + (8192, 6144, 4096, 2048,
+                                                 1024, 512, 256)
+    else:
+        kcands = (2048, 1024, 512, 256, 128, 64, 32)
     tk = _largest_tile(k, kcands)
     # Mosaic requires the sublane block be a multiple of 8 or span the whole
     # dim — odd T (unbucketed prefill) falls back to one whole-T block.
