@@ -107,12 +107,41 @@ def synth_pack_q4km(path: str, cfg) -> PackReader:
 
 
 def main():
-    cfg, arch, weights = synth_model(PRESET, "q4_k_m", max_seq_len=MAX_SEQ)
-    # keep only the resident prefix on device (full 70B won't fit)
+    # synthesize ONLY the resident prefix on device — the full 70B stack
+    # would blow the 16 GB chip before we ever slice it
     import dataclasses
-    resident = dataclasses.replace(
-        weights, layers=jax.tree.map(lambda a: a[:N_HBM], weights.layers))
-    del weights
+    from ntransformer_tpu.models.config import ModelConfig
+    from ntransformer_tpu.models.llama import LayerWeights, ModelWeights
+    from ntransformer_tpu.models.presets import PRESETS
+    from ntransformer_tpu.models.synth import synth_qlinear
+    from ntransformer_tpu.ops.layers import rope_table
+
+    p = PRESETS[PRESET]
+    head_dim = p["hidden"] // p["heads"]
+    kv_dim = p["kv_heads"] * head_dim
+    cfg = ModelConfig(
+        model_name=f"synth-{PRESET}-q4_k_m", vocab_size=p["vocab"],
+        hidden_size=p["hidden"], intermediate_size=p["inter"],
+        n_layers=p["layers"], n_heads=p["heads"], n_kv_heads=p["kv_heads"],
+        head_dim=head_dim, rope_theta=p["rope_theta"], max_seq_len=MAX_SEQ)
+    arch = Arch.from_config(cfg)
+    h, it, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    from ntransformer_tpu.models.presets import q4_k_m_policy as pol
+    stacked = LayerWeights(
+        attn_norm=jnp.ones((N_HBM, h), jnp.float32),
+        wq=synth_qlinear(h, h, pol("attn_q"), N_HBM),
+        wk=synth_qlinear(kv_dim, h, pol("attn_k"), N_HBM),
+        wv=synth_qlinear(kv_dim, h, pol("attn_v"), N_HBM),
+        wo=synth_qlinear(h, h, pol("attn_output"), N_HBM),
+        ffn_norm=jnp.ones((N_HBM, h), jnp.float32),
+        w_gate=synth_qlinear(it, h, pol("ffn_gate"), N_HBM),
+        w_up=synth_qlinear(it, h, pol("ffn_up"), N_HBM),
+        w_down=synth_qlinear(h, it, pol("ffn_down"), N_HBM))
+    embed = synth_qlinear(v, h, pol("token_embd"))
+    cos, sin = rope_table(MAX_SEQ, head_dim, cfg.rope_theta)
+    resident = ModelWeights(embed=embed, layers=stacked,
+                            output_norm=jnp.ones((h,), jnp.float32),
+                            lm_head=embed, rope_cos=cos, rope_sin=sin)
 
     pack_path = "/root/models_1b/llama70b_q4km.ntp"
     if not (os.path.exists(pack_path)

@@ -9,3 +9,18 @@ multi-chip tensor sharding over an ICI mesh, which the reference lacks.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (importing jax at package import time
+    # would slow bare tooling like `python -m ntransformer_tpu --help`)
+    if name in ("Engine", "TieredEngine", "GenerateConfig"):
+        from .inference import engine as _e
+        return getattr(_e, name)
+    if name == "load_model":
+        from .models.loader import load_model
+        return load_model
+    if name == "load_model_tiered":
+        from .models.tiered import load_model_tiered
+        return load_model_tiered
+    raise AttributeError(name)
