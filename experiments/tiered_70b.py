@@ -144,11 +144,17 @@ def main():
                             lm_head=embed, rope_cos=cos, rope_sin=sin)
 
     pack_path = "/root/models_1b/llama70b_q4km.ntp"
-    if not (os.path.exists(pack_path)
-            and os.path.getsize(pack_path) > 30e9):
+    pack = None
+    if os.path.exists(pack_path):
+        try:
+            cand = PackReader(pack_path)
+            last = cand.layer_meta(cand.n_layers - 1)
+            if os.path.getsize(pack_path) >= last["offset"] + last["size"]:
+                pack = cand  # complete
+        except Exception:
+            pass
+    if pack is None:
         pack = synth_pack_q4km(pack_path, cfg)
-    else:
-        pack = PackReader(pack_path)
 
     L = cfg.n_layers
     tiers = TierConfig(n_hbm=N_HBM, n_ram=L - N_HBM, n_disk=0)

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--bench-tokens", type=int, default=64)
     p.add_argument("--chat", action="store_true")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel ways over the device mesh "
+                        "(resident engine; wq/wk/wv/gate/up column-, "
+                        "wo/down row-parallel)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves KV "
                         "memory; resident engine only)")
@@ -134,6 +138,11 @@ def main(argv=None) -> int:
             log.warn("--draft-model requires the resident engine; using "
                      "--self-spec instead")
             args.self_spec = True
+    elif args.tp:
+        from .inference.engine import TPEngine
+        log.info(f"loading {args.model} (resident, {args.tp}-way TP)")
+        engine = TPEngine.load(args.model, tp=args.tp,
+                               max_seq_len=args.ctx_size)
     else:
         log.info(f"loading {args.model} (resident)")
         # draft loaded FIRST so it gets HBM priority (main.cpp:121-132)

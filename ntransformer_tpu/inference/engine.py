@@ -433,6 +433,105 @@ class Engine:
         return stats
 
 
+class TPEngine(Engine):
+    """Resident engine with megatron tensor parallelism over a device mesh
+    (parallel/tp.py): weights and KV heads sharded, per-layer psums over
+    ICI — the multi-chip serving mode the single-GPU reference lacks."""
+
+    def __init__(self, model: LoadedModel, mesh):
+        super().__init__(model, None)
+        from ..parallel.tp import shard_model
+        self.mesh = mesh
+        kv0 = KVCache.create(model.arch)
+        self._weights, self._kv0 = shard_model(model.weights, kv0, mesh,
+                                               model.arch)
+        self._fwd_cache: dict = {}
+
+    @classmethod
+    def load(cls, path: str, mesh=None, tp: int | None = None, **kw):
+        from ..parallel.multihost import make_mesh
+        if mesh is None:
+            mesh = make_mesh(tp=tp)
+        return cls(load_model(path, **kw), mesh)
+
+    def _make_kv(self):
+        from ..parallel.tp import kv_spec
+        from jax.sharding import NamedSharding
+        kv = KVCache.create(self.arch)
+        spec = kv_spec()
+        return KVCache(
+            jax.device_put(kv.k, NamedSharding(self.mesh, spec.k)),
+            jax.device_put(kv.v, NamedSharding(self.mesh, spec.v)))
+
+    def _fwd(self, *, all_logits=False, with_cosine=False, has_sel=False,
+             has_nv=False):
+        key = (all_logits, with_cosine, has_sel, has_nv)
+        if key not in self._fwd_cache:
+            from ..parallel.tp import make_tp_forward
+            self._fwd_cache[key] = make_tp_forward(
+                self.mesh, self.arch, all_logits=all_logits,
+                with_cosine=with_cosine, weights_template=self.model.weights,
+                has_layer_sel=has_sel, has_n_valid=has_nv)
+        return self._fwd_cache[key]
+
+    def _prefill(self, kv, tokens, model=None, with_cosine=False):
+        assert model is None, "TPEngine has no separate draft model"
+        t = len(tokens)
+        p = min(_bucket(t), self.arch.max_seq_len)
+        padded = np.zeros(p, dtype=np.int32)
+        padded[:t] = tokens
+        sel = self._sel()
+        fwd = self._fwd(with_cosine=with_cosine, has_nv=True,
+                        has_sel=sel is not None)
+        args = [self._weights, kv, jnp.asarray(padded), jnp.int32(0),
+                jnp.int32(t)]
+        if sel is not None:
+            args.append(sel)
+        return fwd(*args)
+
+    def _decode_step(self, kv, token, pos, model=None, with_cosine=False,
+                     layer_sel=None):
+        assert model is None, "TPEngine has no separate draft model"
+        tok = jnp.reshape(jnp.asarray(token, dtype=jnp.int32), (1,))
+        sel = layer_sel if layer_sel is not None else self._sel()
+        fwd = self._fwd(with_cosine=with_cosine, has_sel=sel is not None)
+        args = [self._weights, kv, tok, jnp.asarray(pos, jnp.int32)]
+        if sel is not None:
+            args.append(sel)
+        return fwd(*args)
+
+    def _verify(self, kv, tokens_arr, pos):
+        sel = self._sel()
+        fwd = self._fwd(all_logits=True, has_sel=sel is not None)
+        args = [self._weights, kv, tokens_arr, jnp.asarray(pos, jnp.int32)]
+        if sel is not None:
+            args.append(sel)
+        logits, kv, _ = fwd(*args)
+        return logits, kv
+
+    def benchmark(self, prompt: str = "The capital of France is",
+                  n_tokens: int = 64, on_device_loop: bool = False) -> Stats:
+        """Host-driven greedy benchmark over the sharded forward."""
+        stats = Stats()
+        ids = self._encode(prompt)
+        kv = self._make_kv()
+        t0 = time.perf_counter()
+        logits, kv, _ = self._prefill(kv, ids)
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        np.asarray(nxt)
+        stats.prefill_tokens = len(ids)
+        stats.prefill_ms = (time.perf_counter() - t0) * 1e3
+        pos = len(ids)
+        t0 = time.perf_counter()
+        for i in range(n_tokens):
+            logits, kv, _ = self._decode_step(kv, nxt, pos + i)
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        np.asarray(nxt)
+        stats.decode_tokens = n_tokens
+        stats.decode_ms = (time.perf_counter() - t0) * 1e3
+        return stats
+
+
 class TieredEngine(Engine):
     """Engine over a TieredModel: per-token SLEP streaming, layer-skip that
     drops streamed I/O, and self-speculation drafting on the resident prefix

@@ -135,9 +135,11 @@ def local_arch(arch: Arch, tp: int) -> Arch:
 
 def make_tp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
                     with_cosine: bool = False, weights_template=None,
-                    has_layer_sel: bool = False):
+                    has_layer_sel: bool = False, has_n_valid: bool = False):
     """Build the sharded forward: same semantics as models.llama.forward but
-    executed under shard_map with explicit TP collectives."""
+    executed under shard_map with explicit TP collectives. Optional args are
+    positional flags (shard_map in_specs must match the call structure):
+    f(weights, kv, tokens, pos[, n_valid][, layer_sel])."""
     tp = mesh.shape[TP_AXIS]
     arch_l = local_arch(arch, tp)
     wspecs = weight_specs(weights_template)
@@ -145,12 +147,18 @@ def make_tp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
     rep = P(None)
 
     in_specs = (wspecs, kspec, rep, P())
+    if has_n_valid:
+        in_specs = in_specs + (P(),)
     if has_layer_sel:
         in_specs = in_specs + (rep,)
 
-    def body(weights, kv, tokens, pos, layer_sel=None):
+    def body(weights, kv, tokens, pos, *opt):
+        i = 0
+        nv = opt[i] if has_n_valid else None
+        i += int(has_n_valid)
+        sel = opt[i] if has_layer_sel else None
         return forward.__wrapped__(
-            arch_l, weights, kv, tokens, pos, layer_sel=layer_sel,
+            arch_l, weights, kv, tokens, pos, layer_sel=sel, n_valid=nv,
             all_logits=all_logits, with_cosine=with_cosine, tp_axis=TP_AXIS)
 
     out_specs = (P(None, None), kspec,
