@@ -206,7 +206,7 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
         kcands = ((k,) if k <= 14336 else ()) + (8192, 6144, 4096, 2048,
                                                  1024, 512, 256)
     else:
-        kcands = (2048, 1024, 512, 256, 128, 64, 32)
+        kcands = (4096, 2048, 1024, 512, 256, 128, 64, 32)
     tk = _largest_tile(k, kcands)
     # Mosaic requires the sublane block be a multiple of 8 or span the whole
     # dim — odd T (unbucketed prefill) falls back to one whole-T block.
