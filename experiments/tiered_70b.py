@@ -71,13 +71,16 @@ def synth_pack_q4km(path: str, cfg) -> PackReader:
               "layer_ids": list(range(cfg.n_layers))}
     hdr0 = json.dumps(header).encode()
     base = _align(16 + len(hdr0) + 32 * cfg.n_layers + 256)
-    o = base
+    # this rig's disk is throttled to ~30 MB/s: alias every layer's offset
+    # to ONE on-disk blob (weight values are irrelevant; tier-B still makes
+    # n_ram DISTINCT RAM copies, so the RAM->HBM streaming measurement is
+    # unaffected — only the one-time disk write shrinks 80x)
     for m in header["layers"]:
-        m["offset"] = o
-        o = _align(o + blob_size)
+        m["offset"] = base
+    o = base + blob_size
     hdr = json.dumps(header).encode()
-    print(f"pack: {cfg.n_layers} layers x {blob_size/1e9:.2f} GB = "
-          f"{o/1e9:.1f} GB on disk", file=sys.stderr, flush=True)
+    print(f"pack: {cfg.n_layers} layers aliased to one "
+          f"{blob_size/1e9:.2f} GB blob on disk", file=sys.stderr, flush=True)
     # d/dmin planes must be sane f16 bits; scale planes small ints. One
     # template blob reused for every layer.
     blob = np.zeros(blob_size, np.uint8)
