@@ -170,8 +170,11 @@ def main(argv=None) -> int:
         text, stats = engine.generate(args.prompt, cfg, emit)
     print()
     print(stats.report(), file=sys.stderr)
-    if args.verbose and PROFILER.enabled:
-        print(PROFILER.summary(), file=sys.stderr)
+    if args.verbose:
+        if PROFILER.enabled:
+            print(PROFILER.summary(), file=sys.stderr)
+        from .utils.timing import device_memory_report
+        print(device_memory_report(), file=sys.stderr)
     return 0
 
 

@@ -73,3 +73,24 @@ class Profiler:
 
 PROFILER = Profiler()
 PROFILER.enabled = False  # opt in via CLI -v / NT_PROFILE=1
+
+
+def device_memory_report() -> str:
+    """HBM usage summary (the reference prints VRAM usage at load and
+    exposes Allocator::print_stats, allocator.cpp:182-192)."""
+    import jax
+    lines = []
+    for d in jax.local_devices():
+        try:
+            st = d.memory_stats() or {}
+        except Exception:
+            st = {}
+        if st:
+            used = st.get("bytes_in_use", 0) / (1 << 30)
+            limit = st.get("bytes_limit", 0) / (1 << 30)
+            peak = st.get("peak_bytes_in_use", 0) / (1 << 30)
+            lines.append(f"{d}: {used:.2f} / {limit:.2f} GiB in use "
+                         f"(peak {peak:.2f})")
+        else:
+            lines.append(f"{d}: memory stats unavailable")
+    return "\n".join(lines)
