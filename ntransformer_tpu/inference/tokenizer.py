@@ -7,14 +7,28 @@ greedy longest-match seeding + score-driven merges (tokenizer.cpp:101-217),
 byte-fallback tokens, and control-token-dropping decode.
 
 Beyond the reference: when `tokenizer.ggml.merges` is present (standard for
-Llama-3 GGUFs), merges are rank-driven — matching the reference's algorithm (greedy longest-match seeding + score-driven merges, tokenizer.cpp:101-217; NOTE: this is the reference's scheme, which can diverge from upstream byte-level BPE's rank-from-single-bytes merges on adversarial vocabularies) rather
-than approximating with scores.
+Llama-3 GGUFs), encoding is UPSTREAM-EXACT byte-level BPE — GPT-2/Llama-3
+regex pretokenization, single-character seeding, lowest-rank-first merges —
+where the reference (and our fallback path, used when only scores exist)
+approximates with greedy longest-match seeding + score-driven merges
+(tokenizer.cpp:101-217), which can pick different token boundaries.
 """
 from __future__ import annotations
 
 from functools import lru_cache
 
 import numpy as np
+
+try:
+    import regex as _regex
+    # llama.cpp's LLAMA3 pretokenizer pattern
+    _LLAMA3_PRETOK = _regex.compile(
+        r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+        r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
+        r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+except ImportError:  # pragma: no cover — regex is in the base image
+    _regex = None
+    _LLAMA3_PRETOK = None
 
 # llama.cpp token types
 TOKEN_TYPE_NORMAL = 1
@@ -109,9 +123,38 @@ class Tokenizer:
                 return tid
         return 0
 
+    def _bpe_piece(self, piece: str) -> list[str]:
+        """Canonical BPE inside one pretoken: seed single (byte-mapped)
+        characters, repeatedly apply the LOWEST-rank merge."""
+        parts = list(piece)
+        while len(parts) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(parts) - 1):
+                r = self.merge_rank.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i < 0:
+                break
+            parts[best_i: best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+
+    def _encode_bpe_exact(self, text: str) -> list[int]:
+        """Upstream-exact GPT-2/Llama-3 byte-level BPE (merges path)."""
+        b2u = gpt2_byte_to_unicode()
+        out: list[int] = []
+        for m in _LLAMA3_PRETOK.finditer(text):
+            piece = "".join(b2u[b] for b in m.group().encode("utf-8"))
+            for p in self._bpe_piece(piece):
+                tid = self.token_to_id.get(p)
+                out.append(tid if tid is not None else self._byte_fallback_id(p))
+        return out
+
     def encode(self, text: str, add_bos: bool = True) -> list[int]:
         out = [self.bos_id] if add_bos else []
         if not text:
+            return out
+        if self.use_gpt2 and self.merge_rank and _LLAMA3_PRETOK is not None:
+            out.extend(self._encode_bpe_exact(text))
             return out
         enc = self._to_internal(text)
         # Greedy longest-match seeding (tokenizer.cpp:121-166)

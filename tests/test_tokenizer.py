@@ -101,3 +101,35 @@ def test_empty_and_bos():
     t = _sp_tokenizer()
     assert t.encode("", add_bos=True) == [1]
     assert t.encode("", add_bos=False) == []
+
+
+def test_exact_bpe_rank_merges_beat_greedy_seeding():
+    """With merges present, encoding follows canonical lowest-rank-first BPE
+    from single characters — a case where greedy longest-match seeding picks
+    the wrong boundary: vocab has 'ab' but rank says merge (b,c) first."""
+    from ntransformer_tpu.inference.tokenizer import Tokenizer
+    toks = ["<unk>", "<s>", "</s>", "a", "b", "c", "ab", "bc", "Ġ", "Ġa"]
+    tok = Tokenizer(toks, merges=["b c", "a b"])
+    assert tok.use_gpt2
+    ids = tok.encode("abc", add_bos=False)
+    # canonical: a,b,c -> merge (b,c) rank 0 -> [a, bc]
+    assert ids == [toks.index("a"), toks.index("bc")], ids
+    # pretokenization prevents merges across word boundaries
+    ids2 = tok.encode("ab ab", add_bos=False)
+    texts = [tok.tokens[i] for i in ids2]
+    assert "".join(texts).replace("Ġ", " ").lstrip() != ""  # sanity
+    assert all("Ġ" not in t or t.startswith("Ġ") for t in texts)
+
+
+def test_exact_bpe_roundtrip():
+    from ntransformer_tpu.inference.tokenizer import Tokenizer
+    toks = (["<unk>", "<s>", "</s>"]
+            + [chr(c) for c in range(33, 127)] + ["Ġ", "he", "llo", "hello",
+                                                  "Ġwo", "rld", "Ġworld"])
+    toks += ["lo", "wo", "ld"]
+    merges = ["h e", "l o", "l lo", "he llo", "w o", "Ġ wo",
+              "l d", "r ld", "Ġwo rld"]
+    tok = Tokenizer(toks, merges=merges)
+    ids = tok.encode("hello world", add_bos=False)
+    assert tok.decode(ids) == "hello world"
+    assert toks.index("hello") in ids and toks.index("Ġworld") in ids
