@@ -95,3 +95,30 @@ def test_batch_server_matches_engine(model):
         assert r.text == want, f"{r.prompt!r}: {r.text!r} != {want!r}"
     assert stats.tokens >= 4 * 2
     assert stats.steps > 0
+
+
+def test_server_first_token_eos_frees_slot(model):
+    """A request whose first sampled token is EOS completes immediately
+    without occupying a batch slot (code-review fix)."""
+    from unittest.mock import patch
+    import jax.numpy as jnp
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    eos = model.tokenizer.eos_id
+    real_prefill = srv._prefill_one
+
+    def fake_prefill(ids):
+        logits, kv = real_prefill(ids)
+        # force argmax -> EOS for the "die" prompt (3 tokens incl. BOS)
+        if len(ids) == 2:
+            logits = logits.at[eos].set(1e9)
+        return logits, kv
+
+    with patch.object(srv, "_prefill_one", side_effect=fake_prefill):
+        reqs = [Request(prompt="x", max_tokens=5),       # 2 ids -> EOS first
+                Request(prompt="alpha beta", max_tokens=5)]
+        stats = srv.run(reqs)
+    assert reqs[0].output_ids == [eos]
+    assert reqs[0].finished_at > 0
+    assert len(reqs[1].output_ids) > 1
+    assert stats.requests == 2
