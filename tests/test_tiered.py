@@ -238,3 +238,22 @@ def test_tiered_tp_parity(tiny_gguf, resident_model):
                         jnp.asarray([nt], jnp.int32), 3)
     np.testing.assert_allclose(np.asarray(lt2), np.asarray(lr2),
                                rtol=1e-4, atol=5e-4)
+
+
+def test_early_exit_then_next_forward_is_clean(tiny_gguf, resident_model):
+    """After an early-exit break leaves a pending prefetch, the next
+    forward must not race two writers on one staging buffer (code-review
+    fix: prefetch_staging waits out leftover jobs)."""
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=1)  # disk tier => staging used
+    assert tm.tiers.n_disk == 2
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    t = jnp.asarray([1], jnp.int32)
+    # early exit fires at layer 2, leaving layer 3's prefetch pending
+    _, kv_t, _ = forward_tiered(tm, kv_t, t, 0, early_exit_threshold=1e-9)
+    # next forward (no early exit) must produce clean, correct weights
+    kv_t2 = TieredKV.create(tm.arch, tm.tiers)
+    lt, _, _ = forward_tiered(tm, kv_t2, t, 0)
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch), t, 0)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=1e-4, atol=2e-4)
