@@ -133,12 +133,14 @@ class Engine:
     def _prefill(self, kv: KVCache, tokens: list[int], model=None,
                  with_cosine=False):
         """Bucketed prefill; long prompts run as fixed-size chunks so the
-        compiled program set stays bounded at any prompt length. Returns
-        (last logits [1, V], kv, cosines — from the final chunk)."""
-        m = model or self.model
-        sel = self._sel() if m is self.model else None
+        compiled program set stays bounded at any prompt length — ONE
+        implementation shared by all engines (r1 verdict item 8: the
+        tiered/TP overrides had silently lost the chunk loop); subclasses
+        override only `_prefill_chunk`. Returns (last logits [1, V], kv,
+        cosines — from the final chunk)."""
+        arch = model.arch if model is not None else self.arch
         t = len(tokens)
-        S = m.arch.max_seq_len
+        S = arch.max_seq_len
         if t <= self.PREFILL_CHUNK:
             # the padded write extent must stay inside the cache: a bucket
             # larger than max_seq would make dynamic_update_slice CLAMP the
@@ -146,8 +148,7 @@ class Engine:
             p = min(_bucket(t), S)
             padded = np.zeros(p, dtype=np.int32)
             padded[:t] = tokens
-            return forward(m.arch, m.weights, kv, jnp.asarray(padded), 0,
-                           layer_sel=sel, n_valid=t, with_cosine=with_cosine)
+            return self._prefill_chunk(kv, padded, 0, t, model, with_cosine)
         c = self.PREFILL_CHUNK
         logits = cos = None
         for off in range(0, t, c):
@@ -155,10 +156,19 @@ class Engine:
             p = min(c, S - off)  # last chunk may not pad past the cache end
             padded = np.zeros(p, dtype=np.int32)
             padded[: len(chunk)] = chunk
-            logits, kv, cos = forward(
-                m.arch, m.weights, kv, jnp.asarray(padded), off,
-                layer_sel=sel, n_valid=len(chunk), with_cosine=with_cosine)
+            logits, kv, cos = self._prefill_chunk(kv, padded, off, len(chunk),
+                                                  model, with_cosine)
         return logits, kv, cos
+
+    def _prefill_chunk(self, kv, padded: np.ndarray, off: int, n_valid: int,
+                       model=None, with_cosine=False):
+        """One bucketed forward at write offset `off` (overridden per
+        engine; the chunk loop above is shared)."""
+        m = model or self.model
+        sel = self._sel() if m is self.model else None
+        return forward(m.arch, m.weights, kv, jnp.asarray(padded), off,
+                       layer_sel=sel, n_valid=n_valid,
+                       with_cosine=with_cosine)
 
     def _decode_step(self, kv: KVCache, token, pos: int, model=None,
                      with_cosine=False, layer_sel=None):
@@ -219,7 +229,7 @@ class Engine:
             sampler.observe(tid)
             if callback:
                 callback(tok.decode_token(tid))
-            if tid == tok.eos_id:
+            if tid in tok.stop_ids:
                 break
             if pos >= self.arch.max_seq_len:
                 break
@@ -287,7 +297,7 @@ class Engine:
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids) - K - 2)
 
         t0 = time.perf_counter()
-        while len(out_ids) < max_new and out_ids[-1] != tok.eos_id:
+        while len(out_ids) < max_new and out_ids[-1] not in tok.stop_ids:
             # DRAFT: K greedy tokens from the draft
             drafts = []
             dt = out_ids[-1]
@@ -328,7 +338,7 @@ class Engine:
                 out_ids.append(t)
                 if callback:
                     callback(tok.decode_token(t))
-                if t == tok.eos_id:
+                if t in tok.stop_ids:
                     break
             pos += n_acc + 1
         stats.decode_tokens = len(out_ids)
@@ -365,7 +375,7 @@ class Engine:
         pos = jnp.int32(len(ids))
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids) - K - 2)
         t0 = time.perf_counter()
-        while len(out_ids) < max_new and out_ids[-1] != tok.eos_id:
+        while len(out_ids) < max_new and out_ids[-1] not in tok.stop_ids:
             kv, emit, n_acc, anchor, pos = _spec_iter_greedy(
                 self.arch, self.model.weights, kv, anchor, pos, K, n_draft)
             en = int(n_acc) + 1
@@ -377,7 +387,7 @@ class Engine:
                 out_ids.append(int(t))
                 if callback:
                     callback(tok.decode_token(int(t)))
-                if int(t) == tok.eos_id:
+                if int(t) in tok.stop_ids:
                     break
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
@@ -440,11 +450,17 @@ class TPEngine(Engine):
 
     def __init__(self, model: LoadedModel, mesh):
         super().__init__(model, None)
-        from ..parallel.tp import shard_model
+        import dataclasses
+        from ..parallel.tp import shard_weights
         self.mesh = mesh
-        kv0 = KVCache.create(model.arch)
-        self._weights, self._kv0 = shard_model(model.weights, kv0, mesh,
-                                               model.arch)
+        self._weights = shard_weights(model.weights, mesh, model.arch)
+        # a shape/dtype-only template for building shard_map specs; the
+        # unsharded weights are dropped so device 0 never holds a full copy
+        # alongside the shards (advisor finding r1)
+        self._w_template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            model.weights)
+        self.model = dataclasses.replace(model, weights=None)
         self._fwd_cache: dict = {}
 
     @classmethod
@@ -452,7 +468,9 @@ class TPEngine(Engine):
         from ..parallel.multihost import make_mesh
         if mesh is None:
             mesh = make_mesh(tp=tp)
-        return cls(load_model(path, **kw), mesh)
+        # device=False: weights stay host-side until sharded placement, so
+        # the full model never lands unsharded on device 0
+        return cls(load_model(path, device=False, **kw), mesh)
 
     def _make_kv(self):
         from ..parallel.tp import kv_spec
@@ -470,21 +488,25 @@ class TPEngine(Engine):
             from ..parallel.tp import make_tp_forward
             self._fwd_cache[key] = make_tp_forward(
                 self.mesh, self.arch, all_logits=all_logits,
-                with_cosine=with_cosine, weights_template=self.model.weights,
+                with_cosine=with_cosine, weights_template=self._w_template,
                 has_layer_sel=has_sel, has_n_valid=has_nv)
         return self._fwd_cache[key]
 
-    def _prefill(self, kv, tokens, model=None, with_cosine=False):
+    def generate_self_speculative_fused(self, prompt, cfg=None, callback=None,
+                                        draft_layers=None):
+        """The fused on-device iteration assumes unsharded weights; under TP
+        delegate to the host-driven protocol over the sharded forward."""
+        return self.generate_self_speculative(prompt, cfg, callback,
+                                              draft_layers)
+
+    def _prefill_chunk(self, kv, padded, off, n_valid, model=None,
+                       with_cosine=False):
         assert model is None, "TPEngine has no separate draft model"
-        t = len(tokens)
-        p = min(_bucket(t), self.arch.max_seq_len)
-        padded = np.zeros(p, dtype=np.int32)
-        padded[:t] = tokens
         sel = self._sel()
         fwd = self._fwd(with_cosine=with_cosine, has_nv=True,
                         has_sel=sel is not None)
-        args = [self._weights, kv, jnp.asarray(padded), jnp.int32(0),
-                jnp.int32(t)]
+        args = [self._weights, kv, jnp.asarray(padded), jnp.int32(off),
+                jnp.int32(n_valid)]
         if sel is not None:
             args.append(sel)
         return fwd(*args)
@@ -537,7 +559,7 @@ class TieredEngine(Engine):
     drops streamed I/O, and self-speculation drafting on the resident prefix
     (the tier-A draft of engine.cpp:357-545)."""
 
-    def __init__(self, tiered):
+    def __init__(self, tiered, kv_quant: bool = False):
         self.tm = tiered
         self.model = None
         self.draft = None
@@ -546,25 +568,25 @@ class TieredEngine(Engine):
         self.layer_sel = None
         self.skip: frozenset = frozenset()
         self.early_exit_threshold = 0.0  # set per-generate from cfg
+        self.kv_quant = kv_quant  # int8 KV (halves the cache's HBM reserve)
 
     @classmethod
-    def load(cls, path: str, **kw) -> "TieredEngine":
+    def load(cls, path: str, kv_quant: bool = False, **kw) -> "TieredEngine":
         from ..models.tiered import load_model_tiered
-        return cls(load_model_tiered(path, **kw))
+        return cls(load_model_tiered(path, **kw), kv_quant=kv_quant)
 
     def _make_kv(self):
         from ..models.tiered import TieredKV
-        return TieredKV.create(self.arch, self.tm.tiers, tp=self.tm.tp)
+        return TieredKV.create(self.arch, self.tm.tiers, tp=self.tm.tp,
+                               quant=self.kv_quant)
 
-    def _prefill(self, kv, tokens, model=None, with_cosine=False):
+    def _prefill_chunk(self, kv, padded, off, n_valid, model=None,
+                       with_cosine=False):
         from ..models.tiered import forward_tiered
         assert model is None, "TieredEngine has no separate draft model"
-        t = len(tokens)
-        p = min(_bucket(t), self.arch.max_seq_len)  # never pad past the cache
-        padded = np.zeros(p, np.int32)
-        padded[:t] = tokens
-        return forward_tiered(self.tm, kv, jnp.asarray(padded), 0, n_valid=t,
-                              with_cosine=with_cosine, skip=self.skip)
+        return forward_tiered(self.tm, kv, jnp.asarray(padded), off,
+                              n_valid=n_valid, with_cosine=with_cosine,
+                              skip=self.skip)
 
     def _decode_step(self, kv, token, pos, model=None, with_cosine=False,
                      layer_sel=None):
@@ -603,6 +625,14 @@ class TieredEngine(Engine):
         # the resident prefix IS the draft; draft_layers is implied
         return self._speculate(prompt, cfg, callback, self_spec=True,
                                draft_layers=self.tm.n_resident or 1)
+
+    def generate_self_speculative_fused(self, prompt, cfg=None, callback=None,
+                                        draft_layers=None):
+        """The fused on-device iteration needs the whole stack resident in
+        one weights pytree; on the tiered path delegate to the host-driven
+        protocol (draft = resident prefix, verify = streamed full pass)."""
+        return self.generate_self_speculative(prompt, cfg, callback,
+                                              draft_layers)
 
     def benchmark(self, prompt: str = "The capital of France is",
                   n_tokens: int = 64, on_device_loop: bool = False) -> Stats:

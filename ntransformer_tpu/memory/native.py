@@ -8,6 +8,7 @@ idiom (SURVEY.md §5.3).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -23,12 +24,20 @@ _lib_tried = False
 
 
 def _build_lib() -> str | None:
+    """Build (or reuse) the shared library, keyed on a SOURCE HASH — a
+    stale or foreign binary can never be picked up (mtime comparisons are
+    unreliable after a fresh clone; advisor finding r1). Binaries are never
+    committed (gitignored)."""
     src = os.path.abspath(_SRC)
+    try:
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    except OSError:
+        return None
     for d in (os.path.dirname(src), os.path.join(tempfile.gettempdir(), "ntstage")):
-        so = os.path.join(d, "libntstage.so")
+        so = os.path.join(d, f"libntstage-{tag}.so")
         try:
-            if (os.path.exists(so)
-                    and os.path.getmtime(so) >= os.path.getmtime(src)):
+            if os.path.exists(so):
                 return so
             os.makedirs(d, exist_ok=True)
             subprocess.run(

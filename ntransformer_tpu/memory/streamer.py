@@ -70,7 +70,11 @@ class _Slot:
     device: LayerWeights | None = None   # device arrays of the current layer
     layer: int = -1
     stage_job: object = None             # StagePool handle for pending read
-    host_src: np.ndarray | None = None   # host blob backing the current H2D
+    # Device arrays whose H2D read from `staging` — survives
+    # signal_compute_done so the fence covers cross-forward reuse (the
+    # token-boundary hazard: slot.device is cleared per token, but the
+    # device_put sourced from staging may still be in flight)
+    staging_consumer: LayerWeights | None = None
 
 
 class LayerStreamer:
@@ -129,13 +133,15 @@ class LayerStreamer:
         if layer in self.ram_blobs:
             return
         meta = self.pack.layer_meta(layer)
-        prev_device = slot.device
-        prev_layer_in_staging = slot.host_src is slot.staging
+        consumer = slot.staging_consumer
+        slot.staging_consumer = None  # ownership passes to the job
 
         def job():
-            # fence the H2D that last read this staging buffer
-            if prev_device is not None and prev_layer_in_staging:
-                _hard_fence(jax.tree.leaves(prev_device))
+            # fence the H2D that last read this staging buffer (regardless of
+            # slot.device — that field is cleared every token by
+            # signal_compute_done while the device_put can still be in flight)
+            if consumer is not None:
+                _hard_fence(jax.tree.leaves(consumer))
             h = self.pool.read(self.pack.path, meta["offset"], meta["size"],
                                slot.staging)
             self.pool.wait(h)
@@ -166,7 +172,8 @@ class LayerStreamer:
             else:
                 slot.device = jax.tree.map(jax.device_put, host_lw)
         slot.layer = layer
-        slot.host_src = blob
+        if blob is slot.staging:
+            slot.staging_consumer = slot.device
         if self.synchronous:
             _hard_fence(jax.tree.leaves(slot.device))
 

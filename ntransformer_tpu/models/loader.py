@@ -26,7 +26,7 @@ from ..inference.tokenizer import Tokenizer
 from ..ops.layers import rope_table
 from ..ops.linear import QLinear
 from .config import ModelConfig
-from .llama import Arch, LayerWeights, ModelWeights, stack_layers
+from .llama import Arch, LayerWeights, ModelWeights
 
 LAYER_TENSORS = ("attn_q", "attn_k", "attn_v", "attn_output",
                  "ffn_gate", "ffn_up", "ffn_down")
@@ -103,12 +103,14 @@ class LoadedModel:
 
 def load_model(path: str, *, max_seq_len: int | None = None,
                compute: str = "quant", n_layers: int | None = None,
-               with_tokenizer: bool = True) -> LoadedModel:
+               with_tokenizer: bool = True, device: bool = True) -> LoadedModel:
     """Load a GGUF model fully resident in device memory.
 
     compute: "quant" keeps quantized planes (Pallas kernels dequant on the
     fly); "bf16" dequantizes at load (reference's resident-f16 analogue).
     n_layers limits the stack (debug / draft experiments).
+    device=False keeps all weights as host numpy arrays — used by TPEngine
+    so sharded device_put never coexists with a full unsharded device copy.
     """
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
@@ -116,14 +118,24 @@ def load_model(path: str, *, max_seq_len: int | None = None,
         cfg.n_layers = n_layers
     arch = Arch.from_config(cfg)
 
-    embed = _to_device(load_qlinear_host(reader, "token_embd.weight", compute))
+    put_layer = ((lambda lw: jax.tree.map(jnp.asarray, lw)) if device
+                 else (lambda lw: lw))
+    stack = jnp.stack if device else np.stack
+
+    embed = load_qlinear_host(reader, "token_embd.weight", compute)
+    if device:
+        embed = _to_device(embed)
     layers = []
     for i in range(cfg.n_layers):
-        layers.append(jax.tree.map(jnp.asarray, load_layer_host(reader, i, compute)))
-    stacked = stack_layers(layers)
-    output_norm = jnp.asarray(load_norm(reader, "output_norm.weight"))
+        layers.append(put_layer(load_layer_host(reader, i, compute)))
+    stacked = jax.tree.map(lambda *xs: stack(xs), *layers)
+    output_norm = load_norm(reader, "output_norm.weight")
+    if device:
+        output_norm = jnp.asarray(output_norm)
     if "output.weight" in reader:
-        lm_head = _to_device(load_qlinear_host(reader, "output.weight", compute))
+        lm_head = load_qlinear_host(reader, "output.weight", compute)
+        if device:
+            lm_head = _to_device(lm_head)
     else:
         lm_head = embed  # tied embeddings (transformer.cpp:92-99)
     cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta,

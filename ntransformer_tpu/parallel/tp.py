@@ -109,9 +109,10 @@ def check_shardable(arch: Arch, weights: ModelWeights, tp: int,
                 f"{name}: N/tp = {ql.n}/{tp} not a multiple of 128"
 
 
-def shard_model(weights: ModelWeights, kv: KVCache, mesh: Mesh,
-                arch: Arch) -> tuple[ModelWeights, KVCache]:
-    """Place weights/KV on the mesh with the TP sharding plan."""
+def shard_weights(weights: ModelWeights, mesh: Mesh, arch: Arch) -> ModelWeights:
+    """Place weights on the mesh with the TP sharding plan. Host (numpy)
+    weights go straight to their shards — no unsharded device copy ever
+    exists (load_model(device=False) → here is the TPEngine load path)."""
     tp = mesh.shape[TP_AXIS]
     kernel_alignment = None
     if mesh.devices.flat[0].platform != "tpu":
@@ -124,7 +125,15 @@ def shard_model(weights: ModelWeights, kv: KVCache, mesh: Mesh,
     new_w = jax.tree.map(put, weights, wspecs)
     if tied:
         new_w = dataclasses.replace(new_w, lm_head=new_w.embed)
-    new_kv = jax.tree.map(put, kv, kv_spec())
+    return new_w
+
+
+def shard_model(weights: ModelWeights, kv: KVCache, mesh: Mesh,
+                arch: Arch) -> tuple[ModelWeights, KVCache]:
+    """Place weights/KV on the mesh with the TP sharding plan."""
+    new_w = shard_weights(weights, mesh, arch)
+    new_kv = jax.tree.map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), kv, kv_spec())
     return new_w, new_kv
 
 

@@ -197,6 +197,69 @@ def test_tiered_early_exit(tiny_gguf, resident_model):
                                rtol=1e-4, atol=2e-4)
 
 
+def test_tiered_int8_kv_close_to_bf16(tiny_gguf, resident_model):
+    """int8 KV on the TIERED path (r1 verdict item 7): logits stay within
+    the documented ~0.3% error of the bf16-cache tiered forward, across a
+    prefill + decode step through hbm/ram/disk tiers."""
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=2, max_ram=1)  # all three tiers in play
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+    kv_q = TieredKV.create(tm.arch, tm.tiers, quant=True)
+    assert kv_q.res.quantized and kv_q.str.quantized
+    lq, kv_q, _ = forward_tiered(tm, kv_q, toks, 0)
+    lr, kv_r, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch),
+                          toks, 0)
+    rel = float(jnp.max(jnp.abs(lq - lr)) / (jnp.max(jnp.abs(lr)) + 1e-9))
+    assert rel < 0.02, rel
+    nxt = int(jnp.argmax(lr[0]))
+    lq2, kv_q, _ = forward_tiered(tm, kv_q, jnp.asarray([nxt], jnp.int32), 3)
+    lr2, _, _ = forward(rm.arch, rm.weights, kv_r,
+                        jnp.asarray([nxt], jnp.int32), 3)
+    rel2 = float(jnp.max(jnp.abs(lq2 - lr2)) / (jnp.max(jnp.abs(lr2)) + 1e-9))
+    assert rel2 < 0.02, rel2
+
+
+def test_tiered_int8_kv_with_skip(tiny_gguf, resident_model):
+    """layer_sel gather/scatter works on the (codes, scales) tuple cache."""
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=2, max_ram=8)
+    toks = jnp.asarray([1, 5], jnp.int32)
+    kv_q = TieredKV.create(tm.arch, tm.tiers, quant=True)
+    lq, _, _ = forward_tiered(tm, kv_q, toks, 0, skip=frozenset({1}))
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch), toks,
+                       0, layer_sel=jnp.asarray([0, 2, 3], jnp.int32))
+    rel = float(jnp.max(jnp.abs(lq - lr)) / (jnp.max(jnp.abs(lr)) + 1e-9))
+    assert rel < 0.02, rel
+
+
+def test_tiered_int8_kv_tp_refused(tiny_gguf):
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=8)
+
+    class FakeTP:
+        mesh = None
+        kv_spec = None
+    with pytest.raises(NotImplementedError):
+        TieredKV.create(tm.arch, tm.tiers, tp=FakeTP(), quant=True)
+
+
+def test_tiered_chunked_prefill_matches_single_shot(tiny_gguf, resident_model):
+    """TieredEngine inherits the shared PREFILL_CHUNK loop (r1 verdict item
+    8): a prompt longer than the chunk size prefills in chunks and matches
+    the resident single-shot forward."""
+    from ntransformer_tpu.inference.engine import TieredEngine
+    rm = resident_model
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=8)
+    eng = TieredEngine(tm)
+    eng.PREFILL_CHUNK = 8  # force chunking on the tiny model
+    ids = [(i * 7 + 3) % 50 for i in range(20)]
+    kv = eng._make_kv()
+    logits, kv, _ = eng._prefill(kv, ids)
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch),
+                       jnp.asarray(ids, jnp.int32), 0)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(lr),
+                               rtol=1e-4, atol=5e-4)
+
+
 def test_multihost_mesh_cpu():
     """make_mesh builds (dp, tp) with TP innermost on the 8-device CPU mesh."""
     from ntransformer_tpu.parallel.multihost import make_mesh, TP_AXIS, DP_AXIS
@@ -238,6 +301,41 @@ def test_tiered_tp_parity(tiny_gguf, resident_model):
                         jnp.asarray([nt], jnp.int32), 3)
     np.testing.assert_allclose(np.asarray(lt2), np.asarray(lr2),
                                rtol=1e-4, atol=5e-4)
+
+
+def test_staging_fence_survives_signal_compute_done(tiny_gguf, monkeypatch):
+    """The staging-reuse fence must fire on the NEXT token's prefetch even
+    though signal_compute_done cleared slot.device at the end of this
+    token's forward (advisor finding r1: slot.host_src-based fencing was
+    skipped across forward calls, letting the pread overwrite the staging
+    buffer while the prior device_put was still in flight)."""
+    from ntransformer_tpu.memory import streamer as streamer_mod
+
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=1)  # layer 3 = disk tier
+    st = tm.streamer
+    disk_layer = 3
+    assert tm.tiers.tier_of(disk_layer) == "disk"
+
+    fenced = []
+    monkeypatch.setattr(streamer_mod, "_hard_fence",
+                        lambda leaves: fenced.append(len(list(leaves))))
+
+    # token 1: stage + H2D the disk layer through slot 0, then end-of-token
+    st.prefetch_staging(disk_layer, 0)
+    st.begin_h2d(disk_layer, 0)
+    assert st.slots[0].staging_consumer is not None
+    st.signal_compute_done(0)
+    assert st.slots[0].device is None
+    # the consumer record must survive the per-token clear
+    assert st.slots[0].staging_consumer is not None
+
+    # token 2: the next prefetch into the same staging buffer must fence
+    # the prior H2D before the pread overwrites the buffer
+    st.prefetch_staging(disk_layer, 0)
+    st.pool.wait(st.slots[0].stage_job)
+    st.slots[0].stage_job = None
+    assert fenced, "prefetch_staging did not fence the prior staging H2D"
+    assert st.slots[0].staging_consumer is None
 
 
 def test_early_exit_then_next_forward_is_clean(tiny_gguf, resident_model):
