@@ -84,13 +84,42 @@ class Tokenizer:
                 left, _, right = m.partition(" ")
                 self.merge_rank[(left, right)] = rank
         self.max_token_chars = max((len(t) for t in self.tokens), default=1)
+        # Special tokens (CONTROL/USER_DEFINED) are matched literally BEFORE
+        # pretokenization — the LLAMA3 regex would split '<|eot_id|>' into
+        # punctuation pieces that can never BPE back to the control id (the
+        # reference gets this right via longest-match seeding,
+        # tokenizer.cpp:121-166; the exact-BPE path needs pre-segmentation)
+        self.special_ids: dict[str, int] = {}
+        if self.token_types is not None:
+            for i, t in enumerate(self.tokens):
+                if i < len(self.token_types) and self.token_types[i] in (
+                        TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED):
+                    self.special_ids[t] = i
+        else:  # no type array: recognize the conventional special shapes
+            for t, i in self.token_to_id.items():
+                if (t.startswith("<|") and t.endswith("|>")) or t in (
+                        "<s>", "</s>", "<unk>", "<pad>"):
+                    self.special_ids[t] = i
+        self._special_re = None
+        if self.special_ids and _regex is not None:
+            alts = sorted(self.special_ids, key=len, reverse=True)
+            self._special_re = _regex.compile(
+                "|".join(_regex.escape(t) for t in alts))
+        # Generation stop set: eos plus end-of-turn style control tokens
+        # (Llama-3 chat emits <|eot_id|>, never <|end_of_text|>)
+        self.stop_ids: set[int] = {self.eos_id}
+        for name in ("<|eot_id|>", "<|end_of_text|>", "<|eom_id|>",
+                     "<|im_end|>", "<|endoftext|>", "</s>"):
+            tid = self.token_to_id.get(name)
+            if tid is not None:
+                self.stop_ids.add(tid)
 
     @classmethod
     def from_gguf_metadata(cls, md: dict) -> "Tokenizer":
         tokens = md.get("tokenizer.ggml.tokens")
         if tokens is None:
             raise ValueError("GGUF has no tokenizer.ggml.tokens vocabulary")
-        return cls(
+        tok = cls(
             tokens=tokens,
             scores=md.get("tokenizer.ggml.scores"),
             token_types=md.get("tokenizer.ggml.token_type"),
@@ -98,6 +127,10 @@ class Tokenizer:
             bos_id=int(md.get("tokenizer.ggml.bos_token_id", 1)),
             eos_id=int(md.get("tokenizer.ggml.eos_token_id", 2)),
         )
+        eot = md.get("tokenizer.ggml.eot_token_id")
+        if eot is not None:
+            tok.stop_ids.add(int(eot))
+        return tok
 
     @property
     def vocab_size(self) -> int:
@@ -115,6 +148,18 @@ class Tokenizer:
             tid = self.token_to_id.get(ch)
             if tid is not None:
                 return tid
+            # ch is a GPT-2 PROXY character — map it back to the original
+            # byte before forming the <0xXX> lookup (UTF-8-encoding the proxy
+            # itself would look up the wrong byte tokens; advisor finding r1)
+            u2b = gpt2_unicode_to_byte()
+            for c in ch:
+                b = u2b.get(c)
+                if b is None:
+                    continue
+                tid = self.token_to_id.get(f"<0x{b:02X}>")
+                if tid is not None:
+                    return tid
+            return 0
         # SentencePiece byte token <0xXX>
         for b in ch.encode("utf-8"):
             name = f"<0x{b:02X}>"
@@ -149,13 +194,34 @@ class Tokenizer:
                 out.append(tid if tid is not None else self._byte_fallback_id(p))
         return out
 
-    def encode(self, text: str, add_bos: bool = True) -> list[int]:
+    def encode(self, text: str, add_bos: bool = True,
+               parse_special: bool = True) -> list[int]:
+        """parse_special: match CONTROL/USER_DEFINED vocab entries literally
+        (chat templates need this; the reference always does, via its
+        longest-match seeding). False treats them as plain text."""
         out = [self.bos_id] if add_bos else []
         if not text:
             return out
-        if self.use_gpt2 and self.merge_rank and _LLAMA3_PRETOK is not None:
-            out.extend(self._encode_bpe_exact(text))
+        if parse_special and self._special_re is not None:
+            pos = 0
+            for m in self._special_re.finditer(text):
+                if m.start() > pos:
+                    out.extend(self._encode_text(text[pos:m.start()]))
+                out.append(self.special_ids[m.group()])
+                pos = m.end()
+            if pos < len(text):
+                out.extend(self._encode_text(text[pos:]))
             return out
+        out.extend(self._encode_text(text))
+        return out
+
+    def _encode_text(self, text: str) -> list[int]:
+        """Encode a special-token-free span."""
+        if not text:
+            return []
+        if self.use_gpt2 and self.merge_rank and _LLAMA3_PRETOK is not None:
+            return self._encode_bpe_exact(text)
+        out: list[int] = []
         enc = self._to_internal(text)
         # Greedy longest-match seeding (tokenizer.cpp:121-166)
         parts: list[str] = []

@@ -121,6 +121,98 @@ def test_exact_bpe_rank_merges_beat_greedy_seeding():
     assert all("Ġ" not in t or t.startswith("Ġ") for t in texts)
 
 
+def _llama3_like_tokenizer():
+    """Exact-BPE (merges present) vocab with Llama-3-style control tokens."""
+    b2u = gpt2_byte_to_unicode()
+    tokens = [b2u[b] for b in range(256)]
+    types = [1] * 256
+    words = ["he", "ll", "hell", "hello", "Ġ"]
+    merges = ["h e", "l l", "he ll", "hell o"]
+    tokens += words
+    types += [1] * len(words)
+    specials = ["<|begin_of_text|>", "<|end_of_text|>",
+                "<|start_header_id|>", "<|end_header_id|>", "<|eot_id|>"]
+    for s in specials:
+        tokens.append(s)
+        types.append(3)  # CONTROL
+    t = Tokenizer(tokens, None, types, merges=merges,
+                  bos_id=tokens.index("<|begin_of_text|>"),
+                  eos_id=tokens.index("<|end_of_text|>"))
+    return t, tokens
+
+
+def test_exact_bpe_special_tokens_single_id():
+    """Special tokens must encode to their single control ids, not be
+    regex-split and BPE'd (r1 verdict: the LLAMA3 pretokenizer shredded
+    '<|eot_id|>' into punctuation pieces). Ref: tokenizer.cpp:101-217
+    longest-match seeding gets this right."""
+    t, toks = _llama3_like_tokenizer()
+    assert t.use_gpt2 and t.merge_rank
+    ids = t.encode("<|eot_id|>", add_bos=False)
+    assert ids == [toks.index("<|eot_id|>")], ids
+
+
+def test_exact_bpe_chat_template_golden():
+    """A Llama-3 chat template round-trips with control ids intact and the
+    text between them BPE'd normally."""
+    t, toks = _llama3_like_tokenizer()
+    text = ("<|begin_of_text|><|start_header_id|>user<|end_header_id|>"
+            "hello<|eot_id|>")
+    ids = t.encode(text, add_bos=False)
+    want_controls = [toks.index("<|begin_of_text|>"),
+                     toks.index("<|start_header_id|>"),
+                     toks.index("<|end_header_id|>"),
+                     toks.index("<|eot_id|>")]
+    assert ids[0] == want_controls[0]
+    assert ids[1] == want_controls[1]
+    assert toks.index("<|end_header_id|>") in ids
+    assert ids[-1] == want_controls[3]
+    # 'user' between the header markers, 'hello' merged to its token
+    assert toks.index("hello") in ids
+    # decode drops control tokens, keeps the text
+    assert t.decode(ids) == "userhello"
+
+
+def test_parse_special_false_treats_specials_as_text():
+    t, toks = _llama3_like_tokenizer()
+    ids = t.encode("<|eot_id|>", add_bos=False, parse_special=False)
+    assert toks.index("<|eot_id|>") not in ids
+    assert t.decode(ids) == "<|eot_id|>"
+
+
+def test_stop_ids_include_eot():
+    t, toks = _llama3_like_tokenizer()
+    assert toks.index("<|eot_id|>") in t.stop_ids
+    assert t.eos_id in t.stop_ids
+
+
+def test_special_tokens_greedy_path():
+    """The greedy (scores) path also pre-segments specials."""
+    t = _sp_tokenizer()
+    ids = t.encode("</s>", add_bos=False)
+    assert ids == [2], ids
+
+
+def test_gpt2_byte_fallback_recovers_original_byte():
+    """A byte-mapped proxy char missing from the vocab must map back
+    through gpt2_unicode_to_byte before the <0xXX> lookup (advisor r1:
+    UTF-8-encoding the proxy char looked up the wrong byte tokens)."""
+    b2u = gpt2_byte_to_unicode()
+    # vocab: all bytes EXCEPT 0xFF's proxy; SP-style <0xFF> present
+    tokens = []
+    types = []
+    for b in range(255):
+        tokens.append(b2u[b])
+        types.append(1)
+    tokens.append("<0xFF>")
+    types.append(6)
+    t = Tokenizer(tokens, None, types, bos_id=0, eos_id=0)
+    assert t.use_gpt2
+    missing_proxy = b2u[0xFF]
+    tid = t._byte_fallback_id(missing_proxy)
+    assert t.tokens[tid] == "<0xFF>"
+
+
 def test_exact_bpe_roundtrip():
     from ntransformer_tpu.inference.tokenizer import Tokenizer
     toks = (["<unk>", "<s>", "</s>"]
