@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "wo/down row-parallel)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves KV "
-                        "memory; resident engine only)")
+                        "memory; resident, tiered and serve paths)")
     p.add_argument("--serve", default=None, metavar="PROMPTS_FILE",
                    help="continuous-batching mode: one prompt per line; "
                         "prints completions + aggregate throughput")
@@ -110,6 +110,7 @@ def main(argv=None) -> int:
         from .models.loader import load_model
         model = load_model(args.model, max_seq_len=args.ctx_size)
         srv = BatchServer(model, batch_size=args.batch_size,
+                          kv_quant=args.kv_int8,
                           sampler_cfg=SamplerConfig(
                               temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p,
@@ -133,7 +134,8 @@ def main(argv=None) -> int:
             args.model, max_seq_len=args.ctx_size,
             requant=DType.Q4_K if args.requant_q4k else None,
             max_hbm_layers=args.max_hbm_layers,
-            max_ram_layers=args.max_ram_layers)
+            max_ram_layers=args.max_ram_layers,
+            kv_quant=args.kv_int8)
         if args.draft_model:
             log.warn("--draft-model requires the resident engine; using "
                      "--self-spec instead")

@@ -31,17 +31,35 @@ from .llama import Arch, KVCache, LayerWeights, ModelWeights, _register
 class BatchedKV:
     k: jnp.ndarray  # [L, B, Hkv, S, D]
     v: jnp.ndarray
+    # int8-quantized cache (quant=True): codes int8 + per-(seq, head,
+    # position) absmax scales [L, B, Hkv, S, 1] f32 — halves the dominant
+    # HBM cost of large-B serving (r1 verdict item 7)
+    ks: jnp.ndarray | None = None
+    vs: jnp.ndarray | None = None
 
     @classmethod
-    def create(cls, arch: Arch, batch: int, dtype=jnp.bfloat16):
+    def create(cls, arch: Arch, batch: int, dtype=jnp.bfloat16,
+               quant: bool = False):
         shape = (arch.n_layers, batch, arch.n_kv_heads, arch.max_seq_len,
                  arch.head_dim)
+        if quant:
+            sshape = shape[:-1] + (1,)
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
 
     def insert(self, slot, kv: KVCache) -> "BatchedKV":
         """Place a single-sequence cache (from prefill) into batch slot
         `slot` IN PLACE (jitted with donation — a host-side .at[].set would
-        copy the whole batched cache)."""
+        copy the whole batched cache). The inserted cache's quantization
+        must match (both int8 or both bf16)."""
+        assert kv.quantized == self.quantized, \
+            "prefill cache quantization must match the batched cache"
         return _insert(self, kv, slot)
 
 
@@ -70,18 +88,36 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
                                               arch.rope_interleaved)
 
     def write(cache, new, p, act):
-        # cache [Hkv, S, D]; new [Hkv, 1, D]; frozen when inactive
-        cur = jax.lax.dynamic_slice(cache, (0, p, 0), (Hkv, 1, D))
+        # cache [Hkv, S, Dc]; new [Hkv, 1, Dc]; frozen when inactive
+        dc = cache.shape[-1]
+        cur = jax.lax.dynamic_slice(cache, (0, p, 0), (Hkv, 1, dc))
         return jax.lax.dynamic_update_slice(
-            cache, jnp.where(act, new, cur), (0, p, 0))
+            cache, jnp.where(act, new.astype(cache.dtype), cur), (0, p, 0))
 
-    k_t = jnp.swapaxes(k.reshape(B, 1, Hkv, D).astype(kv_k.dtype), 1, 2)
-    v_t = jnp.swapaxes(v.reshape(B, 1, Hkv, D).astype(kv_v.dtype), 1, 2)
-    kv_k = jax.vmap(write)(kv_k, k_t, pos, active)
-    kv_v = jax.vmap(write)(kv_v, v_t, pos, active)
+    k_t = jnp.swapaxes(k.reshape(B, 1, Hkv, D), 1, 2)  # [B, Hkv, 1, D] f32
+    v_t = jnp.swapaxes(v.reshape(B, 1, Hkv, D), 1, 2)
+    if isinstance(kv_k, tuple):
+        # int8 cache: (codes, scales); per-(seq, head, position) absmax
+        kc, ksc = kv_k
+        vc, vsc = kv_v
+        ks_new = jnp.max(jnp.abs(k_t), -1, keepdims=True) / 127.0 + 1e-9
+        vs_new = jnp.max(jnp.abs(v_t), -1, keepdims=True) / 127.0 + 1e-9
+        kq = jnp.round(k_t / ks_new).astype(jnp.int8)
+        vq = jnp.round(v_t / vs_new).astype(jnp.int8)
+        kc = jax.vmap(write)(kc, kq, pos, active)
+        ksc = jax.vmap(write)(ksc, ks_new, pos, active)
+        vc = jax.vmap(write)(vc, vq, pos, active)
+        vsc = jax.vmap(write)(vsc, vs_new, pos, active)
+        kf = kc.astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
+        vf = vc.astype(jnp.bfloat16) * vsc.astype(jnp.bfloat16)
+        kv_k, kv_v = (kc, ksc), (vc, vsc)
+    else:
+        kv_k = jax.vmap(write)(kv_k, k_t, pos, active)
+        kv_v = jax.vmap(write)(kv_v, v_t, pos, active)
+        kf, vf = kv_k, kv_v
 
     att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None))(
-        q.reshape(B, 1, Hq, D), kv_k, kv_v, pos, 1,
+        q.reshape(B, 1, Hq, D), kf, vf, pos, 1,
         1.0 / math.sqrt(D))                      # [B, 1, Hq, D]
     o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo,
                 layer=layer)
@@ -100,6 +136,11 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
 
 @partial(jax.jit, donate_argnames=("bkv",))
 def _insert(bkv: "BatchedKV", kv: KVCache, slot):
+    if bkv.ks is not None:
+        return BatchedKV(bkv.k.at[:, slot].set(kv.k),
+                         bkv.v.at[:, slot].set(kv.v),
+                         bkv.ks.at[:, slot].set(kv.ks),
+                         bkv.vs.at[:, slot].set(kv.vs))
     return BatchedKV(bkv.k.at[:, slot].set(kv.k),
                      bkv.v.at[:, slot].set(kv.v))
 
@@ -134,7 +175,9 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         return x, (kk, vv)
 
     indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
-    x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv.k, kv.v))
+    kv_k = (kv.k, kv.ks) if kv.quantized else kv.k
+    kv_v = (kv.v, kv.vs) if kv.quantized else kv.v
+    x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
     x = rms_norm(x, weights.output_norm, arch.norm_eps)
     if tp_axis is not None:
         from ..ops.linear import plane_dims
@@ -145,4 +188,8 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
             qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
     else:
         logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
-    return logits, BatchedKV(new_k, new_v)
+    if kv.quantized:
+        new_bkv = BatchedKV(new_k[0], new_v[0], new_k[1], new_v[1])
+    else:
+        new_bkv = BatchedKV(new_k, new_v)
+    return logits, new_bkv

@@ -47,9 +47,17 @@ class TieredKV:
 
     @classmethod
     def create(cls, arch: Arch, tiers: TierConfig, dtype=jnp.bfloat16,
-               tp=None):
-        res = KVCache.create(arch, dtype, tiers.n_hbm) if tiers.n_hbm else None
-        st = (KVCache.create(arch, dtype, tiers.n_streamed)
+               tp=None, quant: bool = False):
+        """quant=True: int8 codes + per-(head, position) scales — halves
+        cache bytes on exactly the configs where tiering exists because HBM
+        is tight (the 70B case; r1 verdict item 7)."""
+        if quant and tp is not None:
+            raise NotImplementedError(
+                "int8 KV + tensor-parallel tiered streaming not supported "
+                "yet — use one or the other")
+        res = (KVCache.create(arch, dtype, tiers.n_hbm, quant=quant)
+               if tiers.n_hbm else None)
+        st = (KVCache.create(arch, dtype, tiers.n_streamed, quant=quant)
               if tiers.n_streamed else None)
         if tp is not None:
             from jax.sharding import NamedSharding
@@ -242,14 +250,16 @@ def _embed_fwd(arch: Arch, weights: ModelWeights, tokens, pos):
 def _resident_scan(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
                    cos_t, sin_t, n_valid=None, with_cosine: bool = False,
                    layer_sel=None, tp_axis: str | None = None):
+    """kv_k/kv_v: [L, Hkv, S, D] arrays, or (codes, scales) tuples for the
+    int8-quantized cache (tree-mapped so both forms share this code)."""
     if layer_sel is not None:
-        kk = jnp.take(kv_k, layer_sel, axis=0)
-        vv = jnp.take(kv_v, layer_sel, axis=0)
+        kk = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), kv_k)
+        vv = jax.tree.map(lambda a: jnp.take(a, layer_sel, axis=0), kv_v)
         x, nk, nv, cos = scan_layers(arch, layers, x, kk, vv, pos,
                                      cos_t, sin_t, n_valid, with_cosine,
                                      tp_axis, indices=layer_sel.astype(jnp.int32))
-        kv_k = kv_k.at[layer_sel].set(nk)
-        kv_v = kv_v.at[layer_sel].set(nv)
+        kv_k = jax.tree.map(lambda c, n: c.at[layer_sel].set(n), kv_k, nk)
+        kv_v = jax.tree.map(lambda c, n: c.at[layer_sel].set(n), kv_v, nv)
         return x, kv_k, kv_v, cos
     x, kv_k, kv_v, cos = scan_layers(arch, layers, x, kv_k, kv_v, pos,
                                      cos_t, sin_t, n_valid, with_cosine,
@@ -263,13 +273,22 @@ def _stream_step(arch: Arch, lw: LayerWeights, x, kv_k, kv_v, idx, pos,
                  cos_t, sin_t, n_valid=None, with_cosine: bool = False,
                  tp_axis: str | None = None):
     """One streamed layer: idx is the layer's slot in the streamed KV stack
-    (traced, so every streamed layer reuses one compilation)."""
-    kk = jax.lax.dynamic_index_in_dim(kv_k, idx, 0, keepdims=False)
-    vv = jax.lax.dynamic_index_in_dim(kv_v, idx, 0, keepdims=False)
+    (traced, so every streamed layer reuses one compilation). kv_k/kv_v may
+    be (codes, scales) tuples for the int8 cache."""
+    kk = jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
+        kv_k)
+    vv = jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
+        kv_v)
     x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t, n_valid,
                             tp_axis)
-    kv_k = jax.lax.dynamic_update_index_in_dim(kv_k, kk, idx, 0)
-    kv_v = jax.lax.dynamic_update_index_in_dim(kv_v, vv, idx, 0)
+    kv_k = jax.tree.map(
+        lambda c, n: jax.lax.dynamic_update_index_in_dim(c, n, idx, 0),
+        kv_k, kk)
+    kv_v = jax.tree.map(
+        lambda c, n: jax.lax.dynamic_update_index_in_dim(c, n, idx, 0),
+        kv_v, vv)
     cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
     return x2, kv_k, kv_v, cos
 
@@ -312,6 +331,18 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
     cos_res = cos_str = None
     kv_res, kv_str = kv.res, kv.str
 
+    def kv_in(kvc: KVCache):
+        """(kv_k, kv_v) in the form layer_step understands: plain arrays,
+        or (codes, scales) tuples for the int8 cache."""
+        if kvc.quantized:
+            return (kvc.k, kvc.ks), (kvc.v, kvc.vs)
+        return kvc.k, kvc.v
+
+    def kv_out(kk, vv) -> KVCache:
+        if isinstance(kk, tuple):
+            return KVCache(kk[0], vv[0], kk[1], vv[1])
+        return KVCache(kk, vv)
+
     if tm.tiers.n_hbm:
         resident_sel = None
         if skip:
@@ -319,8 +350,9 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
             if len(keep) < tm.tiers.n_hbm:
                 resident_sel = jnp.asarray(keep, jnp.int32)
         if tpf is None:
+            rk, rv = kv_in(kv_res)
             x, kk, vv, cos_res = _resident_scan(
-                arch, tm.resident.layers, x, kv_res.k, kv_res.v, pos,
+                arch, tm.resident.layers, x, rk, rv, pos,
                 cos_t, sin_t, n_valid, with_cosine, resident_sel)
         else:
             fn = tpf.res_scan_fn(tpf.resident_specs, n_valid is not None,
@@ -332,7 +364,7 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
             if resident_sel is not None:
                 args.append(resident_sel)
             x, kk, vv, cos_res = fn(*args)
-        kv_res = KVCache(kk, vv)
+        kv_res = kv_out(kk, vv)
 
     if not draft_only and tm.streamer is not None:
         s = tm.streamer
@@ -343,7 +375,7 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
             s.begin_h2d(sched[0], 0)
             if len(sched) > 1:
                 s.prefetch_staging(sched[1], 1)
-            kk, vv = kv_str.k, kv_str.v
+            kk, vv = kv_in(kv_str)
             half = tm.arch.n_layers // 2
             want_cos = with_cosine or early_exit_threshold > 0
             for i, layer in enumerate(sched):
@@ -370,7 +402,7 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
                 if (early_exit_threshold > 0 and layer >= half
                         and float(cos_l) > early_exit_threshold):
                     break  # remaining layers' streaming I/O skipped
-            kv_str = KVCache(kk, vv)
+            kv_str = kv_out(kk, vv)
         cos_str = cos_parts
 
     if tpf is None:
