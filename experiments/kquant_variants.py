@@ -88,10 +88,11 @@ def q4k_v1(vals, tkh, tn):
     s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
     m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
     m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
-    # uint8 & only; hi keeps its <<4 which the scale/16 cancels (exact:
-    # (q & 0xF0) = 16*hi and s/16 * 16*hi == s*hi in f32, powers of two)
-    w_lo = (qs & 0x0F).astype(F32) * _rep(s_lo, 32, tkh, tn)
-    w_hi = (qs & 0xF0).astype(F32) * _rep(s_hi, 32, tkh, tn)
+    # single int32 widen; no shift — the hi nibble keeps its <<4, which
+    # the scale/16 cancels exactly (powers of two in f32)
+    q = qs.astype(jnp.int32)
+    w_lo = (q & 0x0F).astype(F32) * _rep(s_lo, 32, tkh, tn)
+    w_hi = (q & 0xF0).astype(F32) * _rep(s_hi, 32, tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
     corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
@@ -131,8 +132,9 @@ def q4k_v3(vals, tkh, tn):
     s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
     m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
     m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
-    lo3 = (qs & 0x0F).astype(F32).reshape(g, 32, tn)
-    hi3 = (qs & 0xF0).astype(F32).reshape(g, 32, tn)
+    q = qs.astype(jnp.int32)
+    lo3 = (q & 0x0F).astype(F32).reshape(g, 32, tn)
+    hi3 = (q & 0xF0).astype(F32).reshape(g, 32, tn)
     w_lo = (lo3 * s_lo[:, None, :]).reshape(tkh, tn)
     w_hi = (hi3 * s_hi[:, None, :]).reshape(tkh, tn)
     xlf = x_lo.astype(F32)
@@ -152,8 +154,9 @@ def q4k_v4(vals, tkh, tn):
     s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
     m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
     m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
-    lo3 = (qs & 0x0F).astype(F32).reshape(g, 32, tn)
-    hi3 = (qs & 0xF0).astype(F32).reshape(g, 32, tn)
+    q = qs.astype(jnp.int32)
+    lo3 = (q & 0x0F).astype(F32).reshape(g, 32, tn)
+    hi3 = (q & 0xF0).astype(F32).reshape(g, 32, tn)
     w_lo = (lo3 * s_lo[:, None, :]).reshape(tkh, tn)
     w_hi = (hi3 * s_hi[:, None, :]).reshape(tkh, tn)
     xlf = x_lo.astype(F32)
@@ -169,8 +172,9 @@ def q4k_v5(vals, tkh, tn):
     """Ceiling probe: scales/mins arrive as READY f32 [K/64, N] planes."""
     x_lo, x_hi, qs, s_lo_p, s_hi_p, m_lo_p, m_hi_p = vals
     g = tkh // 32
-    lo3 = (qs & 0x0F).astype(F32).reshape(g, 32, tn)
-    hi3 = (qs & 0xF0).astype(F32).reshape(g, 32, tn)
+    q = qs.astype(jnp.int32)
+    lo3 = (q & 0x0F).astype(F32).reshape(g, 32, tn)
+    hi3 = (q & 0xF0).astype(F32).reshape(g, 32, tn)
     w_lo = (lo3 * s_lo_p.reshape(g, 1, tn)).reshape(tkh, tn)
     w_hi = (hi3 * s_hi_p.reshape(g, 1, tn)).reshape(tkh, tn)
     xlf = x_lo.astype(F32)
@@ -213,20 +217,18 @@ def q6k_v3(vals, tkh, tn):
     for qh (2-bit fields at 4 positions)."""
     x_lo, x_hi, ql, qh, sc_lo, sc_hi, d = vals
     nh = tkh // 64
-    qh3 = qh.reshape(nh, 32, tn)
-    # uint8 & with shifted masks; multiply by power-of-two later via scale
-    hb_lo = jnp.concatenate([(qh3 & 0x03).astype(jnp.int32) << 4,
-                             (qh3 & 0x0C).astype(jnp.int32) << 2],
+    qh3 = qh.reshape(nh, 32, tn).astype(jnp.int32)
+    hb_lo = jnp.concatenate([(qh3 & 0x03) << 4, (qh3 & 0x0C) << 2],
                             axis=1).reshape(tkh, tn)
-    hb_hi = jnp.concatenate([(qh3 & 0x30).astype(jnp.int32),
-                             (qh3 & 0xC0).astype(jnp.int32) >> 2],
+    hb_hi = jnp.concatenate([(qh3 & 0x30), (qh3 & 0xC0) >> 2],
                             axis=1).reshape(tkh, tn)
     g = tkh // 16
     df = _rep(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
     s_lo = df * sc_lo.astype(jnp.int32).astype(F32)
     s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
-    lo = ((ql & 0x0F).astype(jnp.int32) | hb_lo).astype(F32)
-    hi = ((ql & 0xF0).astype(jnp.int32) >> 4 | hb_hi).astype(F32)
+    qli = ql.astype(jnp.int32)
+    lo = ((qli & 0x0F) | hb_lo).astype(F32)
+    hi = ((qli & 0xF0) >> 4 | hb_hi).astype(F32)
     gl = g
     w_lo = (lo.reshape(gl, 16, tn) * s_lo.reshape(gl, 1, tn)).reshape(tkh, tn)
     w_hi = (hi.reshape(gl, 16, tn) * s_hi.reshape(gl, 1, tn)).reshape(tkh, tn)
@@ -283,6 +285,10 @@ def run_variant(name, tile_fn, x_inputs, planes, rows_div, tk, tn=512,
         out[:] += tile_fn(xs + ps, tkh, tn)
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # NOTE: the axon sitecustomize pins the TPU default backend even under
+    # JAX_PLATFORMS=cpu — decide interpret mode explicitly via env
+    import os
+    interp = os.environ.get("KQV_INTERPRET", "0") == "1"
 
     def call(xs):
         return pl.pallas_call(
@@ -292,6 +298,7 @@ def run_variant(name, tile_fn, x_inputs, planes, rows_div, tk, tn=512,
             out_specs=pl.BlockSpec((t, tn), lambda i, j: (0, i),
                                    memory_space=pltpu.VMEM),
             compiler_params=cparams,
+            interpret=interp,
         )(*xs, *planes)
 
     nbytes = sum(int(p.size) * p.dtype.itemsize for p in planes)

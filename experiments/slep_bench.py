@@ -139,7 +139,57 @@ def main():
           file=sys.stderr)
     print(json.dumps({"metric": "slep_overlap_speedup",
                       "value": round(dt_serial / dt, 3), "unit": "x"}))
+    streamer.close()
+
+
+def disk_tier_bench():
+    """Forced-disk-tier read throughput: stage every layer from DISK
+    (NT_MAX_RAM_LAYERS=0 semantics) and measure pread GB/s with the page
+    cache bypassed (O_DIRECT) vs through it — the reference's tier-C
+    rationale made measurable (docs/TIERED_CACHING.md:5: page-cache thrash
+    gave 0.006 tok/s at 70B; its VFIO NVMe driver hit 3.35 GB/s)."""
+    cfg, arch, weights = synth_model(PRESET, DTYPE.value, max_seq_len=MAX_SEQ)
+    pack_path = "/root/models_1b/slep_1b.ntp"
+    os.makedirs(os.path.dirname(pack_path), exist_ok=True)
+    pack = synth_pack(pack_path, cfg)
+    L = cfg.n_layers
+    size = pack.layer_nbytes(0)
+
+    from ntransformer_tpu.memory.native import StagePool, aligned_empty
+    pool = StagePool(8)
+    buf = aligned_empty((size + 4095) // 4096 * 4096)
+    results = {}
+    for name, direct, drop in (("page-cache-warm", False, False),
+                               ("page-cache-cold", False, True),
+                               ("o-direct", True, True)):
+        if drop:
+            # drop this file from the page cache (posix_fadvise DONTNEED)
+            fd = os.open(pack_path, os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+        t0 = time.perf_counter()
+        nbytes = 0
+        for layer in range(L):
+            meta = pack.layer_meta(layer)
+            h = pool.read(pack_path, meta["offset"], meta["size"], buf,
+                          direct=direct)
+            pool.wait(h)
+            nbytes += meta["size"]
+        dt = time.perf_counter() - t0
+        results[name] = nbytes / dt / 1e9
+        print(f"disk tier [{name:16s}]: {nbytes/1e6:.0f} MB in {dt:.2f}s "
+              f"= {results[name]:.2f} GB/s", file=sys.stderr)
+    pool.close()
+    print(json.dumps({"metric": "tier_c_read_gbps",
+                      "value": round(results["o-direct"], 3), "unit": "GB/s",
+                      "page_cache_cold": round(results["page-cache-cold"], 3),
+                      "page_cache_warm": round(results["page-cache-warm"], 3)}))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "disk":
+        disk_tier_bench()
+    else:
+        main()

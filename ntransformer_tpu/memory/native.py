@@ -84,6 +84,18 @@ def get_lib():
         return _lib
 
 
+DIRECT_ALIGN = 4096
+
+
+def aligned_empty(size: int, align: int = DIRECT_ALIGN) -> np.ndarray:
+    """An uninitialized uint8 buffer whose data pointer is `align`-aligned
+    (O_DIRECT requires aligned destination addresses). The returned view
+    keeps the over-allocated base alive."""
+    raw = np.empty(size + align, np.uint8)
+    off = (-raw.ctypes.data) % align
+    return raw[off: off + size]
+
+
 class StagePool:
     """Thread-pooled chunked file reads / memcpys into preallocated staging
     buffers. Native when available; a Python ThreadPoolExecutor otherwise."""
@@ -94,7 +106,8 @@ class StagePool:
         self._lib = get_lib()
         if self._lib is not None:
             self._pool = self._lib.ntstage_create(n_threads)
-            self._fds: dict[str, int] = {}
+            self._fds: dict[tuple[str, bool], int] = {}
+            self._fsizes: dict[str, int] = {}
         else:
             from concurrent.futures import ThreadPoolExecutor
             self._exec = ThreadPoolExecutor(max_workers=n_threads,
@@ -104,22 +117,52 @@ class StagePool:
     def native(self) -> bool:
         return self._lib is not None
 
-    def _fd(self, path: str) -> int:
-        fd = self._fds.get(path)
+    def _fd(self, path: str, direct: bool = False) -> int:
+        key = (path, direct)
+        fd = self._fds.get(key)
         if fd is None:
-            fd = self._lib.ntstage_open(path.encode(), 0)
+            fd = self._lib.ntstage_open(path.encode(), 1 if direct else 0)
             if fd < 0:
                 raise OSError(f"ntstage_open failed for {path}")
-            self._fds[path] = fd
+            self._fds[key] = fd
         return fd
 
-    def read(self, path: str, offset: int, size: int, dest: np.ndarray):
+    def _fsize(self, path: str) -> int:
+        s = self._fsizes.get(path)
+        if s is None:
+            s = os.path.getsize(path)
+            self._fsizes[path] = s
+        return s
+
+    def read(self, path: str, offset: int, size: int, dest: np.ndarray,
+             direct: bool = False):
         """Async read file[offset:offset+size] -> dest[:size]. Returns a
-        wait() handle."""
+        wait() handle.
+
+        direct=True requests an O_DIRECT (page-cache-bypass) read — the
+        reference's whole tier-C design exists because page-cache thrash
+        collapses streaming throughput (docs/TIERED_CACHING.md:5,
+        streamer.cu:384-525). Falls back to the buffered path whenever any
+        O_DIRECT precondition fails (unaligned offset/buffer, rounded
+        extent past EOF, filesystem without O_DIRECT — the C side already
+        reopens buffered in that case): §5.3 graceful-fallback idiom."""
         assert dest.nbytes >= size
         if self._lib is not None:
+            fd = None
+            rd_size = size
+            if direct:
+                rounded = (size + DIRECT_ALIGN - 1) // DIRECT_ALIGN * DIRECT_ALIGN
+                if (offset % DIRECT_ALIGN == 0
+                        and dest.ctypes.data % DIRECT_ALIGN == 0
+                        and dest.nbytes >= rounded
+                        and offset + rounded <= self._fsize(path)):
+                    fd = self._fd(path, direct=True)
+                    rd_size = rounded
+            if fd is None:
+                fd = self._fd(path)
+                rd_size = size
             job = self._lib.ntstage_submit_read(
-                self._pool, self._fd(path), offset, size,
+                self._pool, fd, offset, rd_size,
                 dest.ctypes.data_as(ctypes.c_void_p), self.chunks)
             return ("native", job)
 

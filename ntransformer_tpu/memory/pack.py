@@ -155,6 +155,11 @@ class PackWriter:
                 f.write(self._layer_blob(i, meta))
                 if progress:
                     progress(i)
+            # pad the file end to ALIGN so O_DIRECT reads of the last
+            # layer's rounded-up extent never hit EOF short
+            end = f.tell()
+            if end % ALIGN:
+                f.write(b"\0" * (_align(end) - end))
         os.replace(tmp, path)
         return PackReader(path)
 

@@ -34,6 +34,7 @@ block_until_ready returns before device execution completes.
 """
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
 
@@ -42,7 +43,7 @@ import numpy as np
 
 from ..models.llama import LayerWeights
 from ..utils.timing import PROFILER
-from .native import StagePool
+from .native import StagePool, aligned_empty
 from .pack import PackReader
 from .tiers import TierConfig
 
@@ -88,9 +89,15 @@ class LayerStreamer:
         self.pool = pool or StagePool(n_threads)
         self.first = tiers.n_hbm                      # first streamed layer
         self.n_streamed = tiers.n_streamed
-        buf = pack.max_layer_nbytes
-        self.slots = [_Slot(np.empty(buf, np.uint8)),
-                      _Slot(np.empty(buf, np.uint8))]
+        # tier-C reads bypass the page cache (O_DIRECT) by default — the
+        # reference's entire tier-C design exists because page-cache thrash
+        # gives 0.006 tok/s at 70B (docs/TIERED_CACHING.md:5); staging
+        # buffers are 4096-aligned for it, rounded extents fit the pack's
+        # padded layout, and every precondition failure falls back buffered
+        self.direct_io = os.environ.get("NT_DIRECT_IO", "1") != "0"
+        buf = (pack.max_layer_nbytes + 4095) // 4096 * 4096
+        self.slots = [_Slot(aligned_empty(buf)),
+                      _Slot(aligned_empty(buf))]
         self.ram_blobs: dict[int, np.ndarray] = {}
         # optional per-leaf shardings (LayerWeights-shaped pytree): under
         # tensor parallelism each shard receives its slice of the layer
@@ -107,11 +114,13 @@ class LayerStreamer:
         jobs = []
         for layer in range(self.first, self.first + self.tiers.n_ram):
             size = self.pack.layer_nbytes(layer)
-            blob = np.empty(size, np.uint8)
+            # full rounded length so the O_DIRECT extent fits the buffer
+            # (layer_weights views only touch the first `size` bytes)
+            blob = aligned_empty((size + 4095) // 4096 * 4096)
             self.ram_blobs[layer] = blob
             meta = self.pack.layer_meta(layer)
             jobs.append(self.pool.read(self.pack.path, meta["offset"],
-                                       size, blob))
+                                       size, blob, direct=self.direct_io))
         for j in jobs:
             self.pool.wait(j)
         if self.ram_blobs:
@@ -143,7 +152,7 @@ class LayerStreamer:
             if consumer is not None:
                 _hard_fence(jax.tree.leaves(consumer))
             h = self.pool.read(self.pack.path, meta["offset"], meta["size"],
-                               slot.staging)
+                               slot.staging, direct=self.direct_io)
             self.pool.wait(h)
 
         slot.stage_job = self.pool.run(job)

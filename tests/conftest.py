@@ -11,7 +11,12 @@ import os
 # The shell presets JAX_PLATFORMS=axon (the real-TPU tunnel) and the axon
 # sitecustomize imports jax before conftest runs, so the env var alone is
 # ignored — force the platform through jax.config as well.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NT_TPU_TESTS=1 keeps the real TPU visible (tests/test_tpu_kernels.py, the
+# compiled-Mosaic parity smoke tests) — everything else still runs CPU-side
+# because those tests pin devices explicitly.
+_TPU_TESTS = bool(os.environ.get("NT_TPU_TESTS"))
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -23,7 +28,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

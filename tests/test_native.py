@@ -58,6 +58,100 @@ def test_stagepool_read_error():
     pool.close()
 
 
+def test_aligned_empty_alignment():
+    from ntransformer_tpu.memory.native import aligned_empty
+    for size in (1, 4095, 4096, 1 << 20):
+        a = aligned_empty(size)
+        assert a.ctypes.data % 4096 == 0
+        assert a.nbytes == size
+        a[:] = 7  # writable, base kept alive
+        assert int(a[0]) == 7
+
+
+def test_stagepool_direct_read_correct_and_falls_back():
+    """O_DIRECT reads (tier-C page-cache bypass, ref streamer.cu:384-525):
+    aligned request reads exactly; every misaligned precondition falls back
+    to the buffered path and still reads exactly."""
+    from ntransformer_tpu.memory.native import DIRECT_ALIGN, aligned_empty
+    pool = StagePool(4)
+    rng = np.random.default_rng(1)
+    n = 64 * 4096 + 512  # unaligned tail like a real pack's last bytes
+    data = rng.integers(0, 255, n, dtype=np.uint8)
+    f = tempfile.NamedTemporaryFile(delete=False)
+    f.write(data.tobytes())
+    f.close()
+    try:
+        # aligned offset + aligned buffer + extent within file -> direct
+        dest = aligned_empty(8 * 4096)
+        h = pool.read(f.name, 4096, 8 * 4096, dest, direct=True)
+        pool.wait(h)
+        np.testing.assert_array_equal(dest, data[4096: 9 * 4096])
+
+        # unaligned offset -> buffered fallback, still exact
+        dest2 = aligned_empty(4096)
+        h = pool.read(f.name, 100, 4096, dest2, direct=True)
+        pool.wait(h)
+        np.testing.assert_array_equal(dest2, data[100: 100 + 4096])
+
+        # unaligned destination buffer -> buffered fallback
+        dest3 = np.empty(4096 + 1, np.uint8)[1:]
+        if dest3.ctypes.data % DIRECT_ALIGN == 0:  # (unlucky alignment)
+            dest3 = np.empty(4096 + 3, np.uint8)[3:]
+        h = pool.read(f.name, 4096, 4096, dest3, direct=True)
+        pool.wait(h)
+        np.testing.assert_array_equal(dest3, data[4096: 2 * 4096])
+
+        # rounded extent past EOF (unpadded tail) -> buffered fallback
+        tail_off = (n // 4096) * 4096
+        tail_len = n - tail_off
+        dest4 = aligned_empty(4096)
+        h = pool.read(f.name, tail_off, tail_len, dest4, direct=True)
+        pool.wait(h)
+        np.testing.assert_array_equal(dest4[:tail_len], data[tail_off:])
+    finally:
+        os.unlink(f.name)
+        pool.close()
+
+
+def test_pack_file_padded_for_direct(tmp_path):
+    """PackWriter pads the file end to 4096 so every layer's rounded
+    O_DIRECT extent stays inside the file."""
+    from ntransformer_tpu.core.gguf import GGUFReader
+    from ntransformer_tpu.memory.pack import PackWriter
+    from tools.make_test_gguf import write_model
+    g = str(tmp_path / "tiny.gguf")
+    write_model(g, "tiny", "q8_0", seed=2)
+    pack = PackWriter(GGUFReader(g)).write(str(tmp_path / "t.ntp"))
+    assert os.path.getsize(pack.path) % 4096 == 0
+    last = pack.layer_meta(pack.n_layers - 1)
+    rounded = (last["size"] + 4095) // 4096 * 4096
+    assert last["offset"] + rounded <= os.path.getsize(pack.path)
+
+
+def test_streamer_direct_io_roundtrip(tmp_path, monkeypatch):
+    """Tiered forward with NT_DIRECT_IO on (default) matches the resident
+    forward — the full direct-I/O staging path end to end."""
+    import jax.numpy as jnp
+    from ntransformer_tpu.core.gguf import GGUFReader
+    from ntransformer_tpu.models.llama import KVCache, forward
+    from ntransformer_tpu.models.loader import load_model
+    from ntransformer_tpu.models.tiered import (TieredKV, forward_tiered,
+                                                load_model_tiered)
+    from tools.make_test_gguf import write_model
+    g = str(tmp_path / "tiny.gguf")
+    write_model(g, "tiny", "q8_0", seed=6)
+    monkeypatch.setenv("NT_DIRECT_IO", "1")
+    tm = load_model_tiered(g, max_hbm_layers=1, max_ram_layers=1,
+                           hbm_bytes=64 << 30, ram_bytes=64 << 30)
+    assert tm.streamer.direct_io
+    rm = load_model(g)
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+    lt, _, _ = forward_tiered(tm, TieredKV.create(tm.arch, tm.tiers), toks, 0)
+    lr, _, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch), toks, 0)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                               rtol=1e-4, atol=2e-4)
+
+
 TSAN_DRIVER = r"""
 // pure-C++ TSAN driver: hammer the pool with overlapping reads + copies
 #include <cassert>

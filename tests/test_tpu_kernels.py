@@ -1,0 +1,125 @@
+"""On-TPU compiled-kernel parity smoke tests (r1 verdict item 9).
+
+The rest of the suite runs the Pallas kernels with interpret=True on CPU
+(tests/conftest.py forces the CPU platform), so real Mosaic compilation was
+only exercised by benches. This module runs OUTSIDE the CPU conftest
+default: it asks for the TPU backend explicitly and SKIPS GRACEFULLY when
+none is present — the reference's graceful-skip pattern
+(/root/reference/tests/test_gemm.cpp:21-24: `if (!CUDADevice::init()) SKIP`).
+
+Run on the TPU rig with:
+    NT_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
+(without NT_TPU_TESTS the conftest pins the CPU platform and this module
+skips — CI stays hermetic).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def _tpu_devices():
+    try:
+        devs = jax.devices("tpu")
+    except RuntimeError:
+        return []
+    return devs
+
+
+TPU = _tpu_devices()
+pytestmark = pytest.mark.skipif(
+    not TPU, reason="no TPU available (graceful skip, ref test_gemm.cpp:21-24)")
+
+# shapes chosen small to keep remote compiles quick but still exercise
+# multi-tile grids (N multiple of 512, K of 2048)
+N, K = 1024, 2048
+
+
+def _quant_planes(dtype):
+    from ntransformer_tpu.core import quantize
+    from ntransformer_tpu.core.layout import dequant_planes, relayout
+    rng = np.random.default_rng(42)
+    w = (rng.standard_normal((N, K)) * 0.1).astype(np.float32)
+    raw = quantize(w, dtype)
+    planes = relayout(raw, dtype, N, K)
+    golden_wt = dequant_planes(planes, dtype, K, N)  # [K, N] f32, bit-exact
+    return planes, golden_wt
+
+
+@pytest.mark.parametrize("dtype_name", ["Q8_0", "Q4_0", "Q4_K", "Q5_K", "Q6_K"])
+def test_compiled_quant_matmul_parity(dtype_name):
+    """Mosaic-compiled fused dequant+matmul == golden CPU dequant matmul."""
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.ops.linear import QLinear
+    from ntransformer_tpu.ops.pallas.matmul import quant_matmul_pallas
+
+    dtype = DType[dtype_name]
+    planes, golden_wt = _quant_planes(dtype)
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((1, K)) * 0.5).astype(np.float32)
+    want = x @ golden_wt
+
+    dev = TPU[0]
+    ql = QLinear(dtype, K, N,
+                 {nm: jax.device_put(v, dev) for nm, v in planes.items()})
+    got = quant_matmul_pallas(jax.device_put(jnp.asarray(x), dev), ql,
+                              interpret=False)
+    got = np.asarray(got)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_compiled_quant_matmul_stacked_layer_select():
+    """The scalar-prefetch stacked path (zero-copy layer scan) compiled on
+    TPU selects the right layer."""
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.ops.linear import QLinear
+    from ntransformer_tpu.ops.pallas.matmul import quant_matmul_pallas
+
+    dtype = DType.Q8_0
+    planes0, wt0 = _quant_planes(dtype)
+    # layer 1 = negated weights (distinct result, same scales)
+    planes1 = dict(planes0)
+    planes1["qs"] = (-planes0["qs"].astype(np.int16)).clip(-127, 127).astype(np.int8)
+    from ntransformer_tpu.core.layout import dequant_planes
+    wt1 = dequant_planes(planes1, dtype, K, N)
+
+    dev = TPU[0]
+    stacked = {nm: jax.device_put(np.stack([planes0[nm], planes1[nm]]), dev)
+               for nm in planes0}
+    ql = QLinear(dtype, K, N, stacked)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((1, K)) * 0.5).astype(np.float32)
+    xd = jax.device_put(jnp.asarray(x), dev)
+    got0 = np.asarray(quant_matmul_pallas(xd, ql, interpret=False,
+                                          layer=jnp.int32(0)))
+    got1 = np.asarray(quant_matmul_pallas(xd, ql, interpret=False,
+                                          layer=jnp.int32(1)))
+    np.testing.assert_allclose(got0, x @ wt0, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(got1, x @ wt1, rtol=2e-5, atol=2e-4)
+
+
+def test_compiled_flash_attention_parity():
+    """Mosaic-compiled flash attention == jnp reference, prefill shape."""
+    from ntransformer_tpu.ops.layers import attention_jnp
+    from ntransformer_tpu.ops.pallas.attention import flash_attention
+
+    Hq, Hkv, D, S, T = 8, 2, 64, 256, 128
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((T, Hq, D)).astype(np.float32) * 0.3
+    kc = np.zeros((Hkv, S, D), np.float32)
+    vc = np.zeros((Hkv, S, D), np.float32)
+    kc[:, :T] = rng.standard_normal((Hkv, T, D)) * 0.3
+    vc[:, :T] = rng.standard_normal((Hkv, T, D)) * 0.3
+
+    dev = TPU[0]
+    qd = jax.device_put(jnp.asarray(q), dev)
+    kd = jax.device_put(jnp.asarray(kc, dtype=jnp.bfloat16), dev)
+    vd = jax.device_put(jnp.asarray(vc, dtype=jnp.bfloat16), dev)
+    scale = 1.0 / np.sqrt(D)
+    got = np.asarray(flash_attention(qd, kd, vd, 0, T, scale))
+    want = np.asarray(attention_jnp(jnp.asarray(q),
+                                    jnp.asarray(kc, dtype=jnp.bfloat16),
+                                    jnp.asarray(vc, dtype=jnp.bfloat16),
+                                    0, T, scale))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
