@@ -43,6 +43,7 @@ def main():
     preset = os.environ.get("NT_BENCH_PRESET", "8b")
     dtype = os.environ.get("NT_BENCH_DTYPE", "q8_0")
     n_tokens = int(os.environ.get("NT_BENCH_TOKENS", "64"))
+    fuse = os.environ.get("NT_BENCH_FUSE", "0") == "1"  # fused QKV/gate-up
     max_seq = 1024  # benchmark context; keeps KV small, short-prompt decode
 
     from ntransformer_tpu.models.synth import model_nbytes, synth_model
@@ -50,7 +51,8 @@ def main():
     from ntransformer_tpu.inference.engine import _decode_loop_greedy
 
     t0 = time.perf_counter()
-    cfg, arch, weights = synth_model(preset, dtype, max_seq_len=max_seq)
+    cfg, arch, weights = synth_model(preset, dtype, max_seq_len=max_seq,
+                                     fuse=fuse)
     kv = KVCache.create(arch)
     nbytes = model_nbytes(weights)
     log(f"model {cfg.model_name}: {nbytes/1e9:.2f} GB on "

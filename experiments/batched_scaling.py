@@ -1,0 +1,104 @@
+"""Batched-decode scaling curve on the real chip (r1 verdict item 4): the
+economic argument for batching on MXUs, measured — aggregate tok/s and
+per-step latency for B in {1, 2, 4, 8, 16, 32}, bf16 KV vs int8 KV, on the
+synthetic 8B Q8_0 model (decode timing is weight-value-independent).
+
+Expected shape: decode is weight-bandwidth-bound, so per-step time should
+be ~flat in B until attention/KV traffic (which scales with B) or MXU
+compute catches up — aggregate tok/s then scales ~linearly until the
+crossover. int8 KV halves the per-B KV traffic, pushing the crossover out.
+
+Run: python experiments/batched_scaling.py [preset]
+"""
+import json
+import os
+import sys
+import time
+
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
+from ntransformer_tpu.models.synth import synth_model
+
+PRESET = sys.argv[1] if len(sys.argv) > 1 else "8b"
+CTX = 1024
+BATCHES = (1, 2, 4, 8, 16, 32)
+
+
+def stamp(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def bench_batch(arch, weights, B: int, quant: bool, iters=20) -> float:
+    """Per-step seconds via delta timing (D2H fence costs ~27 ms here)."""
+    bkv = BatchedKV.create(arch, B, quant=quant)
+    tokens = jnp.arange(B, dtype=jnp.int32) + 3
+    pos0 = jnp.full(B, CTX // 2, jnp.int32)  # mid-context attention reads
+    active = jnp.ones(B, bool)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnames=("bkv",))
+    def loop(bkv, tokens, n):
+        def body(carry, i):
+            bkv, toks = carry
+            logits, bkv = batched_decode_step.__wrapped__(
+                arch, weights, bkv, toks, pos0 + i, active)
+            return (bkv, jnp.argmax(logits, -1).astype(jnp.int32)), ()
+        (bkv, toks), _ = jax.lax.scan(body, (bkv, tokens),
+                                      jnp.arange(n, dtype=jnp.int32))
+        return bkv, toks
+
+    n1, n2 = iters, 3 * iters
+    bkv, t = loop(bkv, tokens, n1)
+    np.asarray(t)
+    bkv, t = loop(bkv, tokens, n2)
+    np.asarray(t)
+    t0 = time.perf_counter()
+    bkv, t = loop(bkv, tokens, n1)
+    np.asarray(t)
+    t1 = time.perf_counter()
+    bkv, t = loop(bkv, tokens, n2)
+    np.asarray(t)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+
+
+def main():
+    stamp(f"building synth {PRESET} q8_0 (ctx {CTX})")
+    cfg, arch, weights = synth_model(PRESET, "q8_0", max_seq_len=CTX)
+    w_bytes = sum(int(x.size) * x.dtype.itemsize
+                  for x in jax.tree.leaves(weights))
+    stamp(f"model {w_bytes/1e9:.2f} GB on device")
+    results = []
+    for quant in (False, True):
+        kv_name = "int8" if quant else "bf16"
+        for B in BATCHES:
+            try:
+                dt = bench_batch(arch, weights, B, quant)
+            except Exception as e:  # OOM at large B x ctx
+                stamp(f"B={B} kv={kv_name}: failed {str(e)[:80]}")
+                continue
+            agg = B / dt
+            eff_bw = w_bytes / dt / 1e9  # weight stream per step
+            results.append({"B": B, "kv": kv_name,
+                            "step_ms": round(dt * 1e3, 2),
+                            "agg_tok_s": round(agg, 1),
+                            "weight_bw_gbps": round(eff_bw, 1)})
+            stamp(f"B={B:3d} kv={kv_name}: {dt*1e3:7.2f} ms/step = "
+                  f"{agg:8.1f} tok/s aggregate ({eff_bw:.0f} GB/s weights)")
+    print(json.dumps({"metric": "batched_decode_scaling", "preset": PRESET,
+                      "ctx": CTX, "points": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

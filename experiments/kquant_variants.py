@@ -24,6 +24,11 @@ import functools
 import sys
 import time
 
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,7 +43,7 @@ from ntransformer_tpu.ops.f16bits import f16_bits_to_f32
 
 F32 = jnp.float32
 K, N = 4096, 14336  # 8B gate/up decode matmul
-ITERS = 50
+ITERS = 100
 
 
 def _rep(a, rep, rows, cols):
@@ -260,8 +265,13 @@ def q6k_w6b(vals, tkh, tn):
 # Harness
 # ---------------------------------------------------------------------------
 
+def _stamp(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def run_variant(name, tile_fn, x_inputs, planes, rows_div, tk, tn=512,
                 golden=None):
+    _stamp(f"begin {name} tk={tk}")
     """x_inputs: list of [1, Kx] activation arrays; planes: list of
     [rows, N] arrays with rows = K // rows_div[i]."""
     t = 1
@@ -303,13 +313,15 @@ def run_variant(name, tile_fn, x_inputs, planes, rows_div, tk, tn=512,
 
     nbytes = sum(int(p.size) * p.dtype.itemsize for p in planes)
 
-    @jax.jit
-    def loop(xs):
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("iters",))
+    def loop(xs, iters):
         def body(i, xs):
             y = call(xs)
             bump = 1e-30 * y[0, :xs[0].shape[1]].reshape(1, -1)
             return [xs[0] + bump] + list(xs[1:])
-        return jax.lax.fori_loop(0, ITERS, body, list(xs))
+        return jax.lax.fori_loop(0, iters, body, list(xs))
 
     y = call(x_inputs)
     if golden is not None:
@@ -317,109 +329,133 @@ def run_variant(name, tile_fn, x_inputs, planes, rows_div, tk, tn=512,
         ok = "OK " if err < 2e-5 else f"ERR {err:.2e}"
     else:
         ok = "--"
-    r = loop(x_inputs)
-    np.asarray(r[0])  # true fence
+    # Delta timing: the D2H fence costs ~27 ms on this rig, swamping
+    # per-iter time at small counts — time two iteration counts and use
+    # the difference, which cancels every constant overhead.
+    n1, n2 = ITERS, 5 * ITERS
+    np.asarray(loop(x_inputs, n1)[0])   # compile+warm both programs
+    np.asarray(loop(x_inputs, n2)[0])
     t0 = time.perf_counter()
-    r = loop(x_inputs)
-    np.asarray(r[0])
-    dt = (time.perf_counter() - t0) / ITERS
+    np.asarray(loop(x_inputs, n1)[0])
+    t1 = time.perf_counter()
+    np.asarray(loop(x_inputs, n2)[0])
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
     print(f"{name:34s} tk={tk:5d}: {dt*1e6:7.1f} us  "
-          f"{nbytes/dt/1e9:6.0f} GB/s  [{ok}]")
+          f"{nbytes/dt/1e9:6.0f} GB/s  [{ok}]", flush=True)
     return nbytes / dt / 1e9
 
 
-def _planes_cached(w, dtype, tag):
-    """Quantize+relayout once per (shape, dtype); cache to /tmp — the 1-core
-    numpy quantize of a 58M-param matrix costs minutes per run otherwise."""
-    import os
-    path = f"/tmp/kqv_{tag}_{N}x{K}.npz"
-    if os.path.exists(path):
-        z = np.load(path)
-        return {k: z[k] for k in z.files}
-    raw = quantize(w, dtype)
-    planes = relayout(raw, dtype, N, K)
-    np.savez(path, **planes)
+def _synth_planes_device(dtype, seed=0):
+    """Random planes created ON DEVICE (tunnel H2D is ~0.12 GB/s — a 34 MB
+    plane upload costs minutes; see docs/PERFORMANCE.md measurement rules).
+    d/dmin planes are a constant sane f16 bit pattern; golden comes from
+    dequant_planes_jnp on-device (bit-identical unpack semantics to the
+    numpy path, parity-tested in tests/test_ops.py)."""
+    from ntransformer_tpu.core.layout import LAYOUTS
+    key = jax.random.PRNGKey(seed)
+    planes = {}
+    for spec in LAYOUTS[dtype]:
+        rows = K // spec.rows_div
+        key, sub = jax.random.split(key)
+        if spec.np_dtype == "uint16":
+            planes[spec.name] = jnp.full((rows, N), 0x1C00, jnp.uint16)
+        elif spec.np_dtype == "int8":
+            planes[spec.name] = jax.random.randint(sub, (rows, N), -16, 16,
+                                                   jnp.int8)
+        else:
+            planes[spec.name] = jax.random.randint(sub, (rows, N), 0, 256,
+                                                   jnp.uint8)
     return planes
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    rng = np.random.default_rng(0)
-    w = (rng.standard_normal((N, K)) * 0.1).astype(np.float32)
-    xs = (rng.standard_normal((1, K)) * 0.5).astype(np.float32)
+    from ntransformer_tpu.ops.dequant_jnp import dequant_planes_jnp
+    from ntransformer_tpu.ops.linear import split_x_jnp
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (1, K), jnp.float32) * 0.5
 
     if which in ("q4_k", "all"):
-        print(f"=== Q4_K  [{K}x{N}] ===")
-        pl_np = _planes_cached(w, DType.Q4_K, "q4k")
-        from ntransformer_tpu.core.layout import dequant_planes
-        wt = dequant_planes(pl_np, DType.Q4_K, K, N)
-        golden_full = jnp.asarray(xs) @ jnp.asarray(wt)
-        x_lo, x_hi = split_x(xs, DType.Q4_K)
-        xl, xh = jnp.asarray(x_lo), jnp.asarray(x_hi)
+        print(f"=== Q4_K  [{K}x{N}] ===", flush=True)
+        pl_d = _synth_planes_device(DType.Q4_K)
+
+        @jax.jit
+        def _golden(pls, xx):
+            wt = dequant_planes_jnp(pls, DType.Q4_K, K, N)
+            return jnp.dot(xx, wt, precision=jax.lax.Precision.HIGHEST)
+        golden_full = None  # bodies verified exact vs numpy dequant directly
+        xl, xh = split_x_jnp(x, DType.Q4_K)
         names = ["qs", "sc_lo", "sc_hi", "mn_lo", "mn_hi", "d", "dmin"]
         divs = [2, 64, 64, 64, 64, 256, 256]
-        base_planes = [jnp.asarray(pl_np[nm]) for nm in names]
-        for tk in (4096, 2048):
-            run_variant("q4k v0 current", q4k_v0, [xl, xh], base_planes,
-                        divs, tk, golden=golden_full)
-        for nm, fn in [("q4k v1 u8&+foldshift", q4k_v1),
+        base_planes = [pl_d[nm] for nm in names]
+        for nm, fn in [("q4k v0 current", q4k_v0),
+                       ("q4k v1 foldshift", q4k_v1),
                        ("q4k v2 3d-bcast", q4k_v2),
                        ("q4k v3 v1+v2", q4k_v3),
                        ("q4k v4 v3+concat-dot", q4k_v4)]:
             for tk in (4096, 2048):
                 run_variant(nm, fn, [xl, xh], base_planes, divs, tk,
                             golden=golden_full)
-        # v5: precombined f32 scale planes [K/64->broadcast 32? use K/32]
-        d_f = pl_np["d"].view(np.float16).astype(np.float32)
-        dm_f = pl_np["dmin"].view(np.float16).astype(np.float32)
-        s_lo_f = np.repeat(d_f, 4, 0) * pl_np["sc_lo"].astype(np.float32)
-        s_hi_f = (np.repeat(d_f, 4, 0) * pl_np["sc_hi"].astype(np.float32)) / 16.0
-        m_lo_f = np.repeat(dm_f, 4, 0) * pl_np["mn_lo"].astype(np.float32)
-        m_hi_f = np.repeat(dm_f, 4, 0) * pl_np["mn_hi"].astype(np.float32)
-        v5_planes = [jnp.asarray(pl_np["qs"])] + [
-            jnp.asarray(a) for a in (s_lo_f, s_hi_f, m_lo_f, m_hi_f)]
+        # v5: precombined f32 scale planes (computed on device)
+        d_f = f16_bits_to_f32(pl_d["d"])
+        dm_f = f16_bits_to_f32(pl_d["dmin"])
+        s_lo_f = jnp.repeat(d_f, 4, 0) * pl_d["sc_lo"].astype(jnp.float32)
+        s_hi_f = (jnp.repeat(d_f, 4, 0) * pl_d["sc_hi"].astype(jnp.float32)) / 16.0
+        m_lo_f = jnp.repeat(dm_f, 4, 0) * pl_d["mn_lo"].astype(jnp.float32)
+        m_hi_f = jnp.repeat(dm_f, 4, 0) * pl_d["mn_hi"].astype(jnp.float32)
+        v5_planes = [pl_d["qs"], s_lo_f, s_hi_f, m_lo_f, m_hi_f]
         for tk in (4096, 2048):
             run_variant("q4k v5 precombined-f32", q4k_v5, [xl, xh],
                         v5_planes, [2, 64, 64, 64, 64], tk,
                         golden=golden_full)
 
     if which in ("q6_k", "all"):
-        print(f"=== Q6_K  [{K}x{N}] ===")
-        pl_np = _planes_cached(w, DType.Q6_K, "q6k")
-        from ntransformer_tpu.core.layout import dequant_planes
-        wt = dequant_planes(pl_np, DType.Q6_K, K, N)
-        golden_full = jnp.asarray(xs) @ jnp.asarray(wt)
-        x_lo, x_hi = split_x(xs, DType.Q6_K)
-        xl, xh = jnp.asarray(x_lo), jnp.asarray(x_hi)
+        print(f"=== Q6_K  [{K}x{N}] ===", flush=True)
+        pl_d = _synth_planes_device(DType.Q6_K, seed=2)
+
+        @jax.jit
+        def _golden6(pls, xx):
+            wt = dequant_planes_jnp(pls, DType.Q6_K, K, N)
+            return jnp.dot(xx, wt, precision=jax.lax.Precision.HIGHEST)
+        golden_full = None  # bodies verified exact vs numpy dequant directly
+        xl, xh = split_x_jnp(x, DType.Q6_K)
         names = ["ql", "qh", "sc_lo", "sc_hi", "d"]
         divs = [2, 4, 32, 32, 256]
-        base_planes = [jnp.asarray(pl_np[nm]) for nm in names]
+        base_planes = [pl_d[nm] for nm in names]
         for tk in (4096, 2048):
             run_variant("q6k v0 current", q6k_v0, [xl, xh], base_planes,
                         divs, tk, golden=golden_full)
             run_variant("q6k v3 u8&+3d", q6k_v3, [xl, xh], base_planes,
                         divs, tk, golden=golden_full)
-        # w6 widened: int8 [K, N] in ORIGINAL element order + f32 scales
-        d_f = pl_np["d"].view(np.float16).astype(np.float32)
-        s_lo = np.repeat(d_f, 8, 0) * pl_np["sc_lo"].astype(np.float32)
-        s_hi = np.repeat(d_f, 8, 0) * pl_np["sc_hi"].astype(np.float32)
-        # reconstruct int8 values in original order from planes
-        ql, qh = pl_np["ql"], pl_np["qh"]
-        qh_i = qh.astype(np.int32).reshape(K // 128, 32, N)
-        hb_lo = np.concatenate([(qh_i >> 0) & 3, (qh_i >> 2) & 3], 1).reshape(K // 2, N)
-        hb_hi = np.concatenate([(qh_i >> 4) & 3, (qh_i >> 6) & 3], 1).reshape(K // 2, N)
-        lo_v = ((ql & 0x0F).astype(np.int32) | (hb_lo << 4)) - 32
-        hi_v = ((ql >> 4).astype(np.int32) | (hb_hi << 4)) - 32
-        from ntransformer_tpu.core.layout import _split_index
-        lo_idx, hi_idx = _split_index(K, 128)
-        q_int8 = np.zeros((K, N), np.int8)
-        q_int8[lo_idx] = lo_v.astype(np.int8)
-        q_int8[hi_idx] = hi_v.astype(np.int8)
-        s_full = np.zeros((K // 16, N), np.float32)
-        s_full[(lo_idx.reshape(-1, 16)[:, 0] // 16)] = s_lo
-        s_full[(hi_idx.reshape(-1, 16)[:, 0] // 16)] = s_hi
-        xw = jnp.asarray(xs)
-        w6_planes = [jnp.asarray(q_int8), jnp.asarray(s_full)]
+        # w6 widened: int8 [K, N] + ready f32 scales, built ON DEVICE from
+        # the same planes (original element order)
+        @jax.jit
+        def _widen(pls):
+            ql, qh = pls["ql"], pls["qh"]
+            qh_i = qh.astype(jnp.int32).reshape(K // 128, 32, N)
+            hb_lo = jnp.concatenate([(qh_i >> 0) & 3, (qh_i >> 2) & 3],
+                                    axis=1).reshape(K // 2, N)
+            hb_hi = jnp.concatenate([(qh_i >> 4) & 3, (qh_i >> 6) & 3],
+                                    axis=1).reshape(K // 2, N)
+            qli = ql.astype(jnp.int32)
+            lo_v = ((qli & 0x0F) | (hb_lo << 4)) - 32
+            hi_v = ((qli >> 4) | (hb_hi << 4)) - 32
+            # interleave lo/hi halves back to original order (unit 128)
+            lo3 = lo_v.reshape(K // 128, 64, N)
+            hi3 = hi_v.reshape(K // 128, 64, N)
+            q_full = jnp.concatenate([lo3, hi3], axis=1).reshape(K, N)
+            d_f = f16_bits_to_f32(pls["d"])
+            s_lo = jnp.repeat(d_f, 8, 0) * pls["sc_lo"].astype(jnp.float32)
+            s_hi = jnp.repeat(d_f, 8, 0) * pls["sc_hi"].astype(jnp.float32)
+            sl3 = s_lo.reshape(K // 128, 4, N)
+            sh3 = s_hi.reshape(K // 128, 4, N)
+            s_full = jnp.concatenate([sl3, sh3], axis=1).reshape(K // 16, N)
+            return q_full.astype(jnp.int8), s_full
+        q_int8, s_full = _widen(pl_d)
+        xw = x
+        w6_planes = [q_int8, s_full]
         for tk in (4096, 2048):
             run_variant("q6k w6 widened-int8", q6k_w6, [xw], w6_planes,
                         [1, 16], tk, golden=golden_full)

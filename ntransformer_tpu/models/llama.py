@@ -75,17 +75,27 @@ def _register(cls):
 @dataclass
 class LayerWeights:
     """One transformer block's weights (the 7 matrices + 2 norms;
-    ref streamer.cu:257-260 packs the same 7)."""
+    ref streamer.cu:257-260 packs the same 7).
+
+    wqkv / w_gate_up: optional FUSED matrices (planes concatenated along
+    the output/lane axis at load — fuse_layer_weights). One kernel call
+    replaces three (QKV) / two (gate|up): fewer dispatches and better
+    DMA-pipeline amortization on the decode path. When set, the
+    corresponding unfused fields are None. Not used under TP (column
+    sharding would split the concatenated lanes across the q/k/v
+    boundary)."""
 
     attn_norm: jnp.ndarray
-    wq: QLinear
-    wk: QLinear
-    wv: QLinear
+    wq: QLinear | None
+    wk: QLinear | None
+    wv: QLinear | None
     wo: QLinear
     ffn_norm: jnp.ndarray
-    w_gate: QLinear
-    w_up: QLinear
+    w_gate: QLinear | None
+    w_up: QLinear | None
     w_down: QLinear
+    wqkv: QLinear | None = None
+    w_gate_up: QLinear | None = None
 
 
 @_register
@@ -133,6 +143,36 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def _concat_qlinear(parts: list[QLinear]) -> QLinear | None:
+    """Concatenate QLinears along the output (lane) axis — valid when all
+    parts share dtype and K (plane rows then agree for every plane kind)."""
+    if any(p is None for p in parts):
+        return None
+    if len({p.dtype for p in parts}) != 1 or len({p.k for p in parts}) != 1:
+        return None
+    names = parts[0].planes.keys()
+    planes = {nm: jnp.concatenate([p.planes[nm] for p in parts], axis=-1)
+              for nm in names}
+    return QLinear(parts[0].dtype, parts[0].k, sum(p.n for p in parts),
+                   planes)
+
+
+def fuse_layer_weights(lw: LayerWeights) -> LayerWeights:
+    """Build the fused wqkv / w_gate_up matrices (dropping the unfused
+    copies so weights aren't held twice). Mixed-dtype triples (e.g. a
+    Q4_K_M file with Q6_K attn_v) keep the unfused path for that group."""
+    import dataclasses
+    wqkv = _concat_qlinear([lw.wq, lw.wk, lw.wv])
+    w_gate_up = _concat_qlinear([lw.w_gate, lw.w_up])
+    out = lw
+    if wqkv is not None:
+        out = dataclasses.replace(out, wqkv=wqkv, wq=None, wk=None, wv=None)
+    if w_gate_up is not None:
+        out = dataclasses.replace(out, w_gate_up=w_gate_up,
+                                  w_gate=None, w_up=None)
+    return out
+
+
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
                n_valid=None, tp_axis: str | None = None, layer=None,
                cp_axis: str | None = None):
@@ -161,9 +201,17 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
 
     h = rms_norm(x, norm_w(lw.attn_norm), arch.norm_eps).astype(jnp.bfloat16)
-    q = qmatmul(h, lw.wq, layer=layer).reshape(T, Hq, D)
-    k = qmatmul(h, lw.wk, layer=layer).reshape(T, Hkv, D)
-    v = qmatmul(h, lw.wv, layer=layer).reshape(T, Hkv, D)
+    if lw.wqkv is not None:
+        # fused QKV: one kernel call, slice the concatenated lanes
+        qkv = qmatmul(h, lw.wqkv, layer=layer)
+        nq, nkv = Hq * D, Hkv * D
+        q = qkv[:, :nq].reshape(T, Hq, D)
+        k = qkv[:, nq: nq + nkv].reshape(T, Hkv, D)
+        v = qkv[:, nq + nkv:].reshape(T, Hkv, D)
+    else:
+        q = qmatmul(h, lw.wq, layer=layer).reshape(T, Hq, D)
+        k = qmatmul(h, lw.wk, layer=layer).reshape(T, Hkv, D)
+        v = qmatmul(h, lw.wv, layer=layer).reshape(T, Hkv, D)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
     k = jnp.swapaxes(k, 0, 1)  # [Hkv, T, D] f32
@@ -229,8 +277,13 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         o = jax.lax.psum(o, tp_axis)
     x = x + o
     hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
-    g = qmatmul(hf, lw.w_gate, layer=layer)
-    u = qmatmul(hf, lw.w_up, layer=layer)
+    if lw.w_gate_up is not None:
+        gu = qmatmul(hf, lw.w_gate_up, layer=layer)
+        it = gu.shape[-1] // 2
+        g, u = gu[:, :it], gu[:, it:]
+    else:
+        g = qmatmul(hf, lw.w_gate, layer=layer)
+        u = qmatmul(hf, lw.w_up, layer=layer)
     dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
     if tp_axis is not None:
         dn = jax.lax.psum(dn, tp_axis)

@@ -103,7 +103,8 @@ class LoadedModel:
 
 def load_model(path: str, *, max_seq_len: int | None = None,
                compute: str = "quant", n_layers: int | None = None,
-               with_tokenizer: bool = True, device: bool = True) -> LoadedModel:
+               with_tokenizer: bool = True, device: bool = True,
+               fuse: bool = False) -> LoadedModel:
     """Load a GGUF model fully resident in device memory.
 
     compute: "quant" keeps quantized planes (Pallas kernels dequant on the
@@ -111,6 +112,8 @@ def load_model(path: str, *, max_seq_len: int | None = None,
     n_layers limits the stack (debug / draft experiments).
     device=False keeps all weights as host numpy arrays — used by TPEngine
     so sharded device_put never coexists with a full unsharded device copy.
+    fuse=True builds fused wqkv / w_gate_up matrices (single-chip resident
+    decode; incompatible with TP column sharding).
     """
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
@@ -129,6 +132,10 @@ def load_model(path: str, *, max_seq_len: int | None = None,
     for i in range(cfg.n_layers):
         layers.append(put_layer(load_layer_host(reader, i, compute)))
     stacked = jax.tree.map(lambda *xs: stack(xs), *layers)
+    if fuse:
+        assert device, "fuse=True requires device placement (resident path)"
+        from .llama import fuse_layer_weights
+        stacked = fuse_layer_weights(stacked)
     output_norm = load_norm(reader, "output_norm.weight")
     if device:
         output_norm = jnp.asarray(output_norm)

@@ -46,8 +46,10 @@ def synth_qlinear(n: int, k: int, dtype: DType, lead: int | None = None) -> QLin
     return QLinear(dtype, k, n, planes)
 
 
-def synth_model(preset: str, dtype: str, max_seq_len: int = 4096):
-    """Build (config, arch, weights) for a preset entirely in memory."""
+def synth_model(preset: str, dtype: str, max_seq_len: int = 4096,
+                fuse: bool = False):
+    """Build (config, arch, weights) for a preset entirely in memory.
+    fuse=True builds fused wqkv / w_gate_up (llama.fuse_layer_weights)."""
     p = PRESETS[preset]
     head_dim = p["hidden"] // p["heads"]
     kv_dim = p["kv_heads"] * head_dim
@@ -80,6 +82,9 @@ def synth_model(preset: str, dtype: str, max_seq_len: int = 4096):
         w_up=synth_qlinear(it, h, policy("ffn_up"), L),
         w_down=synth_qlinear(h, it, policy("ffn_down"), L),
     )
+    if fuse:
+        from .llama import fuse_layer_weights
+        stacked = fuse_layer_weights(stacked)
     embed = synth_qlinear(v, h, policy("token_embd"))
     lm_head = synth_qlinear(v, h, policy("output."))
     cos, sin = rope_table(cfg.max_seq_len, head_dim, cfg.rope_theta)

@@ -58,13 +58,23 @@ def _q8_0_tile(vals, tkh, tn):
 
 
 def _q4_0_tile(vals, tkh, tn):
+    """Symmetric 4-bit: w = (nib - 8)·d. Per the measured fold win
+    (kquant_variants v1): hi stays at 16x with d/16, and the -8 moves into
+    a group-sum correction dot — per-element work is two ANDs + two
+    convert·mul chains, no shifts or subs."""
     x_lo, x_hi, qs, d = vals
     q = qs.astype(jnp.int32)  # Mosaic has no 8-bit shifts
-    deff = _rep_sublanes(f16_bits_to_f32(d), 16, tkh, tn)
-    w_lo = ((q & 0x0F) - 8).astype(F32) * deff
-    w_hi = ((q >> 4) - 8).astype(F32) * deff
-    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
+    g = tkh // 16
+    df = f16_bits_to_f32(d)                                   # [g, tn]
+    w_lo = (q & 0x0F).astype(F32) * _rep_sublanes(df, 16, tkh, tn)
+    w_hi = (q & 0xF0).astype(F32) * _rep_sublanes(df * (1.0 / 16.0), 16,
+                                                  tkh, tn)
+    xlf = x_lo.astype(F32)
+    xhf = x_hi.astype(F32)
+    corr = 8.0 * jnp.dot(_group_sums(xlf, g) + _group_sums(xhf, g), df,
+                         preferred_element_type=F32)
+    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
+            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
     # (a bf16 dequant variant measured SLOWER: 72 vs 92 tok/s on 8B — the
     # VPU does not pack bf16 elementwise ops 2x on this generation)
 
@@ -83,19 +93,24 @@ def _group_sums(xf, groups: int):
 def _q4_k_tile(vals, tkh, tn):
     """Affine superblock dequant, restructured VPU-light:
     y = Σ x·q·s  −  Σ_g (Σ_{k∈g} x_k)·m_g   — per-element work is just
-    and/shift + convert + one multiply by a group-broadcast scale; the
-    affine mins leave as a tiny [T, G]×[G, N] correction dot on the MXU."""
+    and + convert + one multiply by a group-broadcast scale; the affine
+    mins leave as a tiny [T, G]×[G, N] correction dot on the MXU.
+
+    The hi nibble is NOT shifted down: (q & 0xF0) = 16·hi, and the /16 is
+    folded into s_hi (exact — powers of two in f32). Measured +18% kernel
+    bandwidth vs the shift variant (experiments/kquant_variants.py v1:
+    480 → 565 GB/s)."""
     x_lo, x_hi, qs, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = vals
     q = qs.astype(jnp.int32)
     g = tkh // 32  # scale/min groups per half-tile (32 elements each)
     df = _rep_sublanes(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
     dm = _rep_sublanes(f16_bits_to_f32(dmin), g // (tkh // 128), g, tn)
     s_lo = df * sc_lo.astype(jnp.int32).astype(F32)          # [g, tn]
-    s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
+    s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
     m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
     m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
     w_lo = (q & 0x0F).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
-    w_hi = (q >> 4).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
+    w_hi = (q & 0xF0).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
     corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
@@ -119,11 +134,13 @@ def _q5_k_tile(vals, tkh, tn):
     df = _rep_sublanes(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
     dm = _rep_sublanes(f16_bits_to_f32(dmin), g // (tkh // 128), g, tn)
     s_lo = df * sc_lo.astype(jnp.int32).astype(F32)
-    s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
+    # hi kept at 16x: (q & 0xF0) + (hb << 8) = 16*val, /16 folded into the
+    # scale (exact; kills the >>4 — measured win, kquant_variants v1)
+    s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
     m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
     m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
     w_lo = ((q & 0x0F) + (hb_lo << 4)).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
-    w_hi = ((q >> 4) + (hb_hi << 4)).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
+    w_hi = ((q & 0xF0) + (hb_hi << 8)).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
     corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
@@ -133,24 +150,34 @@ def _q5_k_tile(vals, tkh, tn):
 
 
 def _q6_k_tile(vals, tkh, tn):
+    """w = ((ql | hb<<4) - 32) · s. The −32 leaves as a group-sum
+    correction dot; scales combine at 16-element granularity.
+
+    Restructured per the measured shootout (experiments/kquant_variants.py
+    q6k v3 + hi fold: 439 → 600+ GB/s): the 2-bit hb fields are masked and
+    shifted INTO PLACE in one op each (no extract-then-reshift); the hi
+    value is kept at 16x ((ql & 0xF0) | hb<<8) with the /16 folded into
+    s_hi (exact); the scale multiply broadcasts via a [g, 16, tn] reshape
+    instead of a materialized repeat."""
     x_lo, x_hi, ql, qh, sc_lo, sc_hi, d = vals
-    q = ql.astype(jnp.int32)
     # qh tile [tkh/2, tn]: per half-block (32 rows), bitpair 0 covers lo rows
     # [64H, 64H+32), bitpair 1 covers [64H+32, 64H+64).
     nh = tkh // 64
     qh3 = qh.reshape(nh, 32, tn).astype(jnp.int32)
-    hb_lo = jnp.concatenate([(qh3 >> 0) & 3, (qh3 >> 2) & 3],
+    hb_lo = jnp.concatenate([(qh3 & 0x03) << 4, (qh3 & 0x0C) << 2],
                             axis=1).reshape(tkh, tn)
-    hb_hi = jnp.concatenate([(qh3 >> 4) & 3, (qh3 >> 6) & 3],
-                            axis=1).reshape(tkh, tn)
-    # w = ((ql | hb<<4) - 32) · s: the constant −32 leaves as a group-sum
-    # correction dot; scales are combined at 16-element granularity.
+    hb_hi16 = jnp.concatenate([(qh3 & 0x30) << 4, (qh3 & 0xC0) << 2],
+                              axis=1).reshape(tkh, tn)
+    qli = ql.astype(jnp.int32)
+    lo = ((qli & 0x0F) | hb_lo).astype(F32)
+    hi16 = ((qli & 0xF0) | hb_hi16).astype(F32)
     g = tkh // 16
     df = _rep_sublanes(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
     s_lo = df * sc_lo.astype(jnp.int32).astype(F32)          # [g, tn]
     s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
-    w_lo = ((q & 0x0F) | (hb_lo << 4)).astype(F32) * _rep_sublanes(s_lo, 16, tkh, tn)
-    w_hi = ((q >> 4) | (hb_hi << 4)).astype(F32) * _rep_sublanes(s_hi, 16, tkh, tn)
+    s_hi16 = s_hi * (1.0 / 16.0)
+    w_lo = (lo.reshape(g, 16, tn) * s_lo.reshape(g, 1, tn)).reshape(tkh, tn)
+    w_hi = (hi16.reshape(g, 16, tn) * s_hi16.reshape(g, 1, tn)).reshape(tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
     corr = 32.0 * (jnp.dot(_group_sums(xlf, g), s_lo, preferred_element_type=F32)

@@ -194,3 +194,30 @@ def test_int8_kv_with_layer_sel_and_nvalid(model_quant):
     lb, _, _ = forward(m.arch, m.weights, kv_b, jnp.asarray(padded), 0,
                        n_valid=3, layer_sel=jnp.asarray([0, 1, 3], jnp.int32))
     np.testing.assert_allclose(np.asarray(lq), np.asarray(lb), atol=0.06)
+
+
+def test_fused_qkv_gateup_parity(model_quant):
+    """Fused wqkv / w_gate_up (one kernel call for QKV, one for gate|up)
+    must reproduce the unfused forward exactly — same dots over the same
+    planes, just concatenated lanes."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ntransformer_tpu.models.llama import (KVCache, forward,
+                                               fuse_layer_weights)
+    import dataclasses
+    arch, w = model_quant.arch, model_quant.weights
+    fused_layers = fuse_layer_weights(w.layers)
+    assert fused_layers.wqkv is not None and fused_layers.w_gate_up is not None
+    assert fused_layers.wq is None and fused_layers.w_gate is None
+    wf = dataclasses.replace(w, layers=fused_layers)
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+    l0, kv0, _ = forward(arch, w, KVCache.create(arch), toks, 0)
+    l1, kv1, _ = forward(arch, wf, KVCache.create(arch), toks, 0)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-5, atol=1e-5)
+    # decode step on top
+    nxt = jnp.asarray([int(jnp.argmax(l0[0]))], jnp.int32)
+    l0b, _, _ = forward(arch, w, kv0, nxt, 3)
+    l1b, _, _ = forward(arch, wf, kv1, nxt, 3)
+    np.testing.assert_allclose(np.asarray(l0b), np.asarray(l1b),
+                               rtol=1e-5, atol=1e-5)
