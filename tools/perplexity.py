@@ -12,17 +12,38 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from ntransformer_tpu.models.llama import KVCache, forward  # noqa: E402
 from ntransformer_tpu.models.loader import load_model  # noqa: E402
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("arch",), donate_argnames=("kv",))
+def _window_nll(arch, weights, kv, ids):
+    """Summed NLL of one teacher-forced window, computed ON DEVICE — only
+    one scalar crosses the wire per window (a [ctx, vocab] logits readback
+    would cost minutes on this rig's tunnel)."""
+    logits, kv, _ = forward.__wrapped__(arch, weights, kv, ids, 0,
+                                        all_logits=True)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = ids.shape[0]
+    tgt_logp = jnp.take_along_axis(logp[: t - 1], ids[1:, None],
+                                   axis=-1)[:, 0]
+    return -tgt_logp.sum()
 
 
 def perplexity(model, token_ids: list[int], ctx: int = 512,
@@ -39,13 +60,9 @@ def perplexity(model, token_ids: list[int], ctx: int = 512,
         if len(ids) < 2:
             break
         kv = KVCache.create(model.arch)
-        logits, _, _ = forward(arch, model.weights, kv,
-                               jnp.asarray(ids, jnp.int32), 0,
-                               all_logits=True)
-        logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
-        targets = np.asarray(ids[1:])
-        nll = -logp[np.arange(len(ids) - 1), targets]
-        total_nll += float(nll.sum())
+        nll = _window_nll(arch, model.weights, kv,
+                          jnp.asarray(ids, jnp.int32))
+        total_nll += float(nll)  # 4-byte D2H
         total_tok += len(ids) - 1
         if progress:
             progress(w + 1, n_windows, math.exp(total_nll / total_tok))
