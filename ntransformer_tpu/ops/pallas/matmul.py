@@ -58,23 +58,22 @@ def _q8_0_tile(vals, tkh, tn):
 
 
 def _q4_0_tile(vals, tkh, tn):
-    """Symmetric 4-bit: w = (nib - 8)·d. Per the measured fold win
-    (kquant_variants v1): hi stays at 16x with d/16, and the -8 moves into
-    a group-sum correction dot — per-element work is two ANDs + two
-    convert·mul chains, no shifts or subs."""
+    """Symmetric 4-bit: w = (nib - 8)·d. The hi nibble stays at 16x:
+    ((q & 0xF0) - 128) = 16·(hi - 8), with the /16 folded into d (exact) —
+    kills the >>4 at no new ops. (Moving the -8 into a correction dot like
+    Q4_K was measured SLOWER here — Q4_0's 16-row scale granularity makes
+    the added group-sum dot cost more than the subtract it removes:
+    91.5 -> 66 tok/s on 8B. Q4_K/Q5_K/Q6_K already pay that dot for their
+    affine mins / -32 offset, so for them the fold is pure win.)"""
     x_lo, x_hi, qs, d = vals
     q = qs.astype(jnp.int32)  # Mosaic has no 8-bit shifts
-    g = tkh // 16
-    df = f16_bits_to_f32(d)                                   # [g, tn]
-    w_lo = (q & 0x0F).astype(F32) * _rep_sublanes(df, 16, tkh, tn)
-    w_hi = (q & 0xF0).astype(F32) * _rep_sublanes(df * (1.0 / 16.0), 16,
-                                                  tkh, tn)
-    xlf = x_lo.astype(F32)
-    xhf = x_hi.astype(F32)
-    corr = 8.0 * jnp.dot(_group_sums(xlf, g) + _group_sums(xhf, g), df,
-                         preferred_element_type=F32)
-    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
-            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
+    df = f16_bits_to_f32(d)
+    deff = _rep_sublanes(df, 16, tkh, tn)
+    deff16 = _rep_sublanes(df * (1.0 / 16.0), 16, tkh, tn)
+    w_lo = ((q & 0x0F) - 8).astype(F32) * deff
+    w_hi = ((q & 0xF0) - 128).astype(F32) * deff16
+    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
+            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
     # (a bf16 dequant variant measured SLOWER: 72 vs 92 tok/s on 8B — the
     # VPU does not pack bf16 elementwise ops 2x on this generation)
 
