@@ -206,6 +206,30 @@ _PLANE_ROWS_DIV = {
 
 _SPLIT = {DType.Q4_0, DType.Q4_K, DType.Q5_K, DType.Q6_K}
 
+# Experiment hook: {(dtype, k, n): (tn, tk)} overrides for the shape sweep
+# (experiments/shape_sweep.py); production choices live in _pick_tiles.
+TILE_OVERRIDE: dict = {}
+
+
+def _pick_tiles(dtype: DType, k: int, n: int) -> tuple[int, int]:
+    """(tn, tk) for a [k → n] matmul. K tile in ELEMENT units (plane rows
+    scale by rows_div). Sub-byte dtypes use bigger K tiles: per-grid-step
+    overhead (~1.5 us) gates throughput when a step's qs DMA is small, so
+    keep ≥1 MB per step. (K-quant d/dmin planes have rows tk/256, which
+    must stay 8-divisible or span whole-K — hence multiples of 2048 or k
+    itself; whole-K only while the tile's dequant temporaries fit the
+    scoped-VMEM budget.)"""
+    ov = TILE_OVERRIDE.get((dtype, k, n))
+    if ov is not None:
+        return ov
+    tn = _largest_tile(n, (512, 256, 128))
+    if dtype != DType.Q8_0:
+        kcands = ((k,) if k <= 14336 else ()) + (8192, 6144, 4096, 2048,
+                                                 1024, 512, 256)
+    else:
+        kcands = (4096, 2048, 1024, 512, 256, 128, 64, 32)
+    return tn, _largest_tile(k, kcands)
+
 
 @functools.partial(jax.jit, static_argnames=("dtype", "k", "n", "out_dtype",
                                              "interpret", "stacked"))
@@ -220,20 +244,7 @@ def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
     t = x.shape[0]
     names = QLinear.plane_names(dtype)
     planes = dict(zip(names, planes_tuple))
-
-    tn = _largest_tile(n, (512, 256, 128))
-    # K tile in ELEMENT units (plane rows scale by rows_div). Sub-byte
-    # dtypes use bigger K tiles: per-grid-step overhead (~1.5 us) gates
-    # throughput when a step's qs DMA is small, so keep ≥1 MB per step.
-    # (K-quant d/dmin planes have rows tk/256, which must stay 8-divisible
-    # or span whole-K — hence multiples of 2048 or k itself; whole-K only
-    # while the tile's dequant temporaries fit the scoped-VMEM budget)
-    if dtype != DType.Q8_0:
-        kcands = ((k,) if k <= 14336 else ()) + (8192, 6144, 4096, 2048,
-                                                 1024, 512, 256)
-    else:
-        kcands = (4096, 2048, 1024, 512, 256, 128, 64, 32)
-    tk = _largest_tile(k, kcands)
+    tn, tk = _pick_tiles(dtype, k, n)
     # Mosaic requires the sublane block be a multiple of 8 or span the whole
     # dim — odd T (unbucketed prefill) falls back to one whole-T block.
     tt = _largest_tile(t, (256, 128, 64, 32, 16, 8)) if t % 8 == 0 else t

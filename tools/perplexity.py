@@ -77,11 +77,25 @@ def main():
     ap.add_argument("-f", "--file", required=True, help="text corpus")
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--compute", default="quant", choices=["quant", "bf16"])
+    ap.add_argument("--windows", type=int, default=0,
+                    help="cap the number of ctx windows (0 = all)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (jnp fallback kernels) — "
+                         "avoids uploading GBs of weights over a slow "
+                         "host->TPU link; dequant is bit-identical, so "
+                         "cross-dtype comparisons are unaffected")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        from ntransformer_tpu.ops import linear
+        linear.KERNEL_MODE = "off"
 
     model = load_model(args.model, compute=args.compute)
     text = open(args.file, encoding="utf-8", errors="replace").read()
     ids = model.tokenizer.encode(text, add_bos=True)
+    if args.windows:
+        ids = ids[: args.windows * args.ctx]
     print(f"{len(ids)} tokens, ctx {args.ctx}", file=sys.stderr)
 
     def prog(w, n, ppl):
