@@ -143,30 +143,30 @@ class Tokenizer:
             return "".join(b2u[b] for b in text.encode("utf-8"))
         return text.replace(" ", _SP_SPACE)
 
-    def _byte_fallback_id(self, ch: str) -> int:
+    def _byte_fallback_ids(self, piece: str) -> list[int]:
+        """Byte-token ids for a piece with no whole-vocab match — ONE id
+        PER BYTE (an earlier version returned only the first byte's token,
+        silently dropping the rest of multi-byte characters)."""
+        out: list[int] = []
         if self.use_gpt2:
-            tid = self.token_to_id.get(ch)
-            if tid is not None:
-                return tid
-            # ch is a GPT-2 PROXY character — map it back to the original
-            # byte before forming the <0xXX> lookup (UTF-8-encoding the proxy
-            # itself would look up the wrong byte tokens; advisor finding r1)
+            # chars are GPT-2 PROXIES — map each back to its original byte
+            # before forming the <0xXX> lookup (advisor finding r1)
             u2b = gpt2_unicode_to_byte()
-            for c in ch:
-                b = u2b.get(c)
-                if b is None:
-                    continue
-                tid = self.token_to_id.get(f"<0x{b:02X}>")
+            for c in piece:
+                tid = self.token_to_id.get(c)
                 if tid is not None:
-                    return tid
-            return 0
-        # SentencePiece byte token <0xXX>
-        for b in ch.encode("utf-8"):
-            name = f"<0x{b:02X}>"
-            tid = self.token_to_id.get(name)
-            if tid is not None:
-                return tid
-        return 0
+                    out.append(tid)
+                    continue
+                b = u2b.get(c)
+                tid = (self.token_to_id.get(f"<0x{b:02X}>")
+                       if b is not None else None)
+                out.append(tid if tid is not None else 0)
+            return out
+        # SentencePiece byte tokens <0xXX>, one per UTF-8 byte
+        for b in piece.encode("utf-8"):
+            tid = self.token_to_id.get(f"<0x{b:02X}>")
+            out.append(tid if tid is not None else 0)
+        return out
 
     def _bpe_piece(self, piece: str) -> list[str]:
         """Canonical BPE inside one pretoken: seed single (byte-mapped)
@@ -191,7 +191,10 @@ class Tokenizer:
             piece = "".join(b2u[b] for b in m.group().encode("utf-8"))
             for p in self._bpe_piece(piece):
                 tid = self.token_to_id.get(p)
-                out.append(tid if tid is not None else self._byte_fallback_id(p))
+                if tid is not None:
+                    out.append(tid)
+                else:
+                    out.extend(self._byte_fallback_ids(p))
         return out
 
     def encode(self, text: str, add_bos: bool = True,
@@ -264,7 +267,10 @@ class Tokenizer:
 
         for p in parts:
             tid = self.token_to_id.get(p)
-            out.append(tid if tid is not None else self._byte_fallback_id(p))
+            if tid is not None:
+                out.append(tid)
+            else:
+                out.extend(self._byte_fallback_ids(p))
         return out
 
     # --- decode ---------------------------------------------------------------
@@ -303,4 +309,23 @@ class Tokenizer:
                 for c in self.tokens[tid]:
                     raw.append(u2b[c] if c in u2b else ord(c) & 0xFF)
             return raw.decode("utf-8", errors="replace")
-        return "".join(self.decode_token(t) for t in token_ids)
+        # SP path: join at the BYTE level so <0xXX> byte-fallback runs of
+        # multi-byte UTF-8 characters reassemble (per-token chr() would
+        # yield mojibake; same joint-decode idea as the GPT-2 branch)
+        raw = bytearray()
+        for tid in token_ids:
+            if tid < 0 or tid >= len(self.tokens):
+                continue
+            if self.token_types is not None and tid < len(self.token_types):
+                if self.token_types[tid] in (TOKEN_TYPE_CONTROL,
+                                             TOKEN_TYPE_UNUSED):
+                    continue
+            tok = self.tokens[tid]
+            if len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">"):
+                try:
+                    raw.append(int(tok[3:5], 16))
+                    continue
+                except ValueError:
+                    pass
+            raw.extend(tok.replace(_SP_SPACE, " ").encode("utf-8"))
+        return raw.decode("utf-8", errors="replace")

@@ -209,8 +209,8 @@ def test_gpt2_byte_fallback_recovers_original_byte():
     t = Tokenizer(tokens, None, types, bos_id=0, eos_id=0)
     assert t.use_gpt2
     missing_proxy = b2u[0xFF]
-    tid = t._byte_fallback_id(missing_proxy)
-    assert t.tokens[tid] == "<0xFF>"
+    ids = t._byte_fallback_ids(missing_proxy)
+    assert [t.tokens[i] for i in ids] == ["<0xFF>"]
 
 
 def test_exact_bpe_roundtrip():
@@ -225,3 +225,15 @@ def test_exact_bpe_roundtrip():
     ids = tok.encode("hello world", add_bos=False)
     assert tok.decode(ids) == "hello world"
     assert toks.index("hello") in ids and toks.index("Ġworld") in ids
+
+
+def test_sp_multibyte_fallback_emits_all_bytes():
+    """A multi-byte character outside the vocab must emit one byte token
+    PER UTF-8 BYTE — an earlier version dropped all but the first byte
+    (e.g. '▁' E2 96 81 collapsed to just <0xE2>)."""
+    t = _sp_tokenizer()
+    ids = t.encode("日", add_bos=False)  # 3 UTF-8 bytes, not in vocab
+    names = [t.tokens[i] for i in ids]
+    want = [f"<0x{b:02X}>" for b in "日".encode("utf-8")]
+    assert names == want, names
+    assert t.decode(ids) == "日"  # decode reassembles the bytes
