@@ -31,6 +31,17 @@ from ..linear import QLinear, plane_dims, split_x_jnp
 
 F32 = jnp.float32
 
+# MXU precision for the in-kernel dots. The MXU multiplies bf16 natively;
+# DEFAULT lowers an f32 dot to one bf16 pass (~1% product rounding).
+# HIGHEST uses the 3-pass decomposition — exact-f32-class results; decode
+# is HBM-bound so the extra MXU passes are (measured) free.
+DOT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=F32,
+                   precision=DOT_PRECISION)
+
 
 def _largest_tile(dim: int, candidates) -> int:
     for c in candidates:
@@ -54,26 +65,25 @@ def _rep_sublanes(a, rep: int, rows: int, cols: int):
 def _q8_0_tile(vals, tkh, tn):
     x, qs, d = vals
     w = qs.astype(F32) * _rep_sublanes(f16_bits_to_f32(d), 32, tkh, tn)
-    return jnp.dot(x.astype(F32), w, preferred_element_type=F32)
+    return _dot(x.astype(F32), w)
 
 
 def _q4_0_tile(vals, tkh, tn):
-    """Symmetric 4-bit: w = (nib - 8)·d. The hi nibble stays at 16x:
-    ((q & 0xF0) - 128) = 16·(hi - 8), with the /16 folded into d (exact) —
-    kills the >>4 at no new ops. (Moving the -8 into a correction dot like
-    Q4_K was measured SLOWER here — Q4_0's 16-row scale granularity makes
-    the added group-sum dot cost more than the subtract it removes:
-    91.5 -> 66 tok/s on 8B. Q4_K/Q5_K/Q6_K already pay that dot for their
-    affine mins / -32 offset, so for them the fold is pure win.)"""
+    """Symmetric 4-bit: w = (nib - 8)·d — the r1 form, kept after two
+    measured r2 regressions: (a) moving the -8 into a correction dot like
+    the K-quants: 91.5 -> 66 tok/s (Q4_0's 16-row scale granularity makes
+    the added group-sum dot cost more than the subtract it removes; the
+    K-quants already pay that dot for their affine terms, so folding is
+    pure win only there); (b) folding just the hi shift: 91.5 -> 87.7
+    (both nibbles share ONE broadcast d when the shift stays; the fold
+    needs a second materialized d/16 broadcast — net +1 op)."""
     x_lo, x_hi, qs, d = vals
     q = qs.astype(jnp.int32)  # Mosaic has no 8-bit shifts
-    df = f16_bits_to_f32(d)
-    deff = _rep_sublanes(df, 16, tkh, tn)
-    deff16 = _rep_sublanes(df * (1.0 / 16.0), 16, tkh, tn)
+    deff = _rep_sublanes(f16_bits_to_f32(d), 16, tkh, tn)
     w_lo = ((q & 0x0F) - 8).astype(F32) * deff
-    w_hi = ((q & 0xF0) - 128).astype(F32) * deff16
-    return (jnp.dot(x_lo.astype(F32), w_lo, preferred_element_type=F32)
-            + jnp.dot(x_hi.astype(F32), w_hi, preferred_element_type=F32))
+    w_hi = ((q >> 4) - 8).astype(F32) * deff
+    return (_dot(x_lo.astype(F32), w_lo)
+            + _dot(x_hi.astype(F32), w_hi))
     # (a bf16 dequant variant measured SLOWER: 72 vs 92 tok/s on 8B — the
     # VPU does not pack bf16 elementwise ops 2x on this generation)
 
@@ -86,7 +96,7 @@ def _group_sums(xf, groups: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, (kh, groups), 0) // (kh // groups)
     cols = jax.lax.broadcasted_iota(jnp.int32, (kh, groups), 1)
     gmat = (rows == cols).astype(F32)
-    return jnp.dot(xf, gmat, preferred_element_type=F32)
+    return _dot(xf, gmat)
 
 
 def _q4_k_tile(vals, tkh, tn):
@@ -112,10 +122,10 @@ def _q4_k_tile(vals, tkh, tn):
     w_hi = (q & 0xF0).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
-    corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
-            + jnp.dot(_group_sums(xhf, g), m_hi, preferred_element_type=F32))
-    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
-            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
+    corr = (_dot(_group_sums(xlf, g), m_lo)
+            + _dot(_group_sums(xhf, g), m_hi))
+    return (_dot(xlf, w_lo)
+            + _dot(xhf, w_hi) - corr)
 
 
 def _q5_k_tile(vals, tkh, tn):
@@ -142,10 +152,10 @@ def _q5_k_tile(vals, tkh, tn):
     w_hi = ((q & 0xF0) + (hb_hi << 8)).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
-    corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
-            + jnp.dot(_group_sums(xhf, g), m_hi, preferred_element_type=F32))
-    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
-            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
+    corr = (_dot(_group_sums(xlf, g), m_lo)
+            + _dot(_group_sums(xhf, g), m_hi))
+    return (_dot(xlf, w_lo)
+            + _dot(xhf, w_hi) - corr)
 
 
 def _q6_k_tile(vals, tkh, tn):
@@ -179,10 +189,10 @@ def _q6_k_tile(vals, tkh, tn):
     w_hi = (hi16.reshape(g, 16, tn) * s_hi16.reshape(g, 1, tn)).reshape(tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
-    corr = 32.0 * (jnp.dot(_group_sums(xlf, g), s_lo, preferred_element_type=F32)
-                   + jnp.dot(_group_sums(xhf, g), s_hi, preferred_element_type=F32))
-    return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
-            + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
+    corr = 32.0 * (_dot(_group_sums(xlf, g), s_lo)
+                   + _dot(_group_sums(xhf, g), s_hi))
+    return (_dot(xlf, w_lo)
+            + _dot(xhf, w_hi) - corr)
 
 
 _TILE_FNS = {
