@@ -105,7 +105,9 @@ def main():
             tks = [t for t in (k, 8192, 6144, 4096, 2048) if k % t == 0]
             if dtype == DType.Q8_0:
                 tks += [t for t in (1024,) if k % t == 0]
-            tns = [t for t in (512, 256) if n % t == 0]
+            # large-N shapes: tn=512 only (256 never won there; halves
+            # the sweep's compile count on the minutes-slow remote path)
+            tns = [512] if n >= 14336 else [t for t in (512, 256) if n % t == 0]
             results = []
             for tn, tk in itertools.product(tns, dict.fromkeys(tks)):
                 try:
