@@ -32,10 +32,17 @@ from ..linear import QLinear, plane_dims, split_x_jnp
 F32 = jnp.float32
 
 # MXU precision for the in-kernel dots. The MXU multiplies bf16 natively;
-# DEFAULT lowers an f32 dot to one bf16 pass (~1% product rounding).
-# HIGHEST uses the 3-pass decomposition — exact-f32-class results; decode
-# is HBM-bound so the extra MXU passes are (measured) free.
-DOT_PRECISION = jax.lax.Precision.HIGHEST
+# DEFAULT lowers an f32 dot to one bf16 pass (~0.5-1% product rounding —
+# the industry-standard precision of TPU inference; activations enter the
+# kernels as bf16 anyway). HIGHEST (3-pass decomposition) was measured at
+# -30-55% decode throughput — the operand hi/lo split is large VPU work —
+# so exactness is an opt-in: NT_DOT_PRECISION=highest. f32 ACCUMULATION is
+# unaffected (preferred_element_type stays f32 either way).
+import os as _os
+
+DOT_PRECISION = (jax.lax.Precision.HIGHEST
+                 if _os.environ.get("NT_DOT_PRECISION", "").lower() == "highest"
+                 else jax.lax.Precision.DEFAULT)
 
 
 def _dot(a, b):

@@ -66,7 +66,12 @@ def test_compiled_quant_matmul_parity(dtype_name):
     got = quant_matmul_pallas(jax.device_put(jnp.asarray(x), dev), ql,
                               interpret=False)
     got = np.asarray(got)
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+    # In-kernel dots run at the MXU's native bf16 product precision
+    # (ops/pallas/matmul.py DOT_PRECISION; HIGHEST measured -30-55% decode).
+    # Dequant itself is exact; the tolerance is the bf16 rounding envelope
+    # of a K-deep f32-accumulated dot. NT_DOT_PRECISION=highest tightens
+    # the real error to f32 class if ever needed.
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
 def test_compiled_quant_matmul_stacked_layer_select():
@@ -95,8 +100,8 @@ def test_compiled_quant_matmul_stacked_layer_select():
                                           layer=jnp.int32(0)))
     got1 = np.asarray(quant_matmul_pallas(xd, ql, interpret=False,
                                           layer=jnp.int32(1)))
-    np.testing.assert_allclose(got0, x @ wt0, rtol=2e-5, atol=2e-4)
-    np.testing.assert_allclose(got1, x @ wt1, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(got0, x @ wt0, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(got1, x @ wt1, rtol=2e-2, atol=2e-2)
 
 
 def test_compiled_flash_attention_parity():
