@@ -31,44 +31,39 @@ from ntransformer_tpu.models.synth import synth_model
 
 PRESET = sys.argv[1] if len(sys.argv) > 1 else "8b"
 CTX = 1024
-BATCHES = (1, 2, 4, 8, 16, 32)
+BATCHES = (1, 2, 4, 8, 16, 32)  # bf16 full curve; int8 at 8/32
 
 
 def stamp(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def bench_batch(arch, weights, B: int, quant: bool, iters=20) -> float:
-    """Per-step seconds via delta timing (D2H fence costs ~27 ms here)."""
+def bench_batch(arch, weights, B: int, quant: bool, iters=24) -> float:
+    """Per-step seconds, HOST-CHAINED exactly like the serving loop uses
+    the step (a lax.scan wrapper measured ~4x SLOWER than reality — the
+    scan carry defeats in-place donation of the multi-GB batched cache;
+    the server never runs the step under a scan, so chained dispatch +
+    one end fence is the honest harness). Two timed rounds of different
+    lengths cancel the constant fence cost."""
     bkv = BatchedKV.create(arch, B, quant=quant)
     tokens = jnp.arange(B, dtype=jnp.int32) + 3
-    pos0 = jnp.full(B, CTX // 2, jnp.int32)  # mid-context attention reads
     active = jnp.ones(B, bool)
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("n",), donate_argnames=("bkv",))
-    def loop(bkv, tokens, n):
-        def body(carry, i):
-            bkv, toks = carry
-            logits, bkv = batched_decode_step.__wrapped__(
-                arch, weights, bkv, toks, pos0 + i, active)
-            return (bkv, jnp.argmax(logits, -1).astype(jnp.int32)), ()
-        (bkv, toks), _ = jax.lax.scan(body, (bkv, tokens),
-                                      jnp.arange(n, dtype=jnp.int32))
-        return bkv, toks
+    def run(n, pos_base):
+        nonlocal bkv, tokens
+        for i in range(n):
+            logits, bkv = batched_decode_step(
+                arch, weights, bkv, tokens,
+                jnp.full(B, pos_base + i, jnp.int32), active)
+            tokens = jnp.argmax(logits, -1).astype(jnp.int32)
+        np.asarray(tokens)  # true fence
 
     n1, n2 = iters, 3 * iters
-    bkv, t = loop(bkv, tokens, n1)
-    np.asarray(t)
-    bkv, t = loop(bkv, tokens, n2)
-    np.asarray(t)
+    run(n1, CTX // 2)                      # compile + warm
     t0 = time.perf_counter()
-    bkv, t = loop(bkv, tokens, n1)
-    np.asarray(t)
+    run(n1, CTX // 2 + 8)
     t1 = time.perf_counter()
-    bkv, t = loop(bkv, tokens, n2)
-    np.asarray(t)
+    run(n2, CTX // 2 + 16)
     t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (n2 - n1)
 
@@ -82,7 +77,8 @@ def main():
     results = []
     for quant in (False, True):
         kv_name = "int8" if quant else "bf16"
-        for B in BATCHES:
+        batches = BATCHES if not quant else (8, 32)  # int8 spot checks
+        for B in batches:
             try:
                 dt = bench_batch(arch, weights, B, quant)
             except Exception as e:  # OOM at large B x ctx
