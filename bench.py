@@ -43,7 +43,7 @@ def main():
     preset = os.environ.get("NT_BENCH_PRESET", "8b")
     dtype = os.environ.get("NT_BENCH_DTYPE", "q8_0")
     n_tokens = int(os.environ.get("NT_BENCH_TOKENS", "64"))
-    fuse = os.environ.get("NT_BENCH_FUSE", "0") == "1"  # fused QKV/gate-up
+    fuse = os.environ.get("NT_BENCH_FUSE", "1") != "0"  # fused QKV/gate-up
     max_seq = 1024  # benchmark context; keeps KV small, short-prompt decode
 
     from ntransformer_tpu.models.synth import model_nbytes, synth_model
