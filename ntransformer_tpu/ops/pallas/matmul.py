@@ -227,6 +227,17 @@ _SPLIT = {DType.Q4_0, DType.Q4_K, DType.Q5_K, DType.Q6_K}
 # (experiments/shape_sweep.py); production choices live in _pick_tiles.
 TILE_OVERRIDE: dict = {}
 
+# Measured per-shape winners from the r2 sweep (experiments/shape_sweep.py,
+# 8B shapes): every default held EXCEPT the square attention matmuls, where
+# halving the K tile wins 7.8% (two grid K-steps double-buffer the qs DMA
+# against the dequant instead of serializing one big step). k/v (small N),
+# gate/up, fused and down shapes all prefer the default.
+_TILE_TABLE: dict = {
+    (DType.Q4_K, 4096, 4096): (512, 2048),
+    (DType.Q5_K, 4096, 4096): (512, 2048),  # same structure as Q4_K
+    (DType.Q6_K, 4096, 4096): (512, 2048),
+}
+
 
 def _pick_tiles(dtype: DType, k: int, n: int) -> tuple[int, int]:
     """(tn, tk) for a [k → n] matmul. K tile in ELEMENT units (plane rows
@@ -239,6 +250,9 @@ def _pick_tiles(dtype: DType, k: int, n: int) -> tuple[int, int]:
     ov = TILE_OVERRIDE.get((dtype, k, n))
     if ov is not None:
         return ov
+    baked = _TILE_TABLE.get((dtype, k, n))
+    if baked is not None:
+        return baked
     tn = _largest_tile(n, (512, 256, 128))
     if dtype != DType.Q8_0:
         kcands = ((k,) if k <= 14336 else ()) + (8192, 6144, 4096, 2048,
