@@ -68,14 +68,19 @@ def time_shape(dtype: DType, k: int, n: int, tn: int, tk: int,
 
     import functools
 
+    m = min(k, n)
+    # small shapes run in ~5-25 us — scale the iteration count so the
+    # timed delta is ≥~50 ms, well above tunnel/readback jitter
+    iters = max(ITERS, int(200 * (4096 * 14336) / (k * n)))
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(x, iters):
         def body(i, x):
             y = mm.quant_matmul_pallas(x, ql, interpret=False)
-            return x + 1e-30 * y[0, :k].reshape(1, k)
+            return x.at[:, :m].add(1e-30 * y[:, :m])
         return jax.lax.fori_loop(0, iters, body, x)
 
-    n1, n2 = ITERS, 5 * ITERS
+    n1, n2 = iters, 5 * iters
     np.asarray(loop(x, n1))
     np.asarray(loop(x, n2))
     t0 = time.perf_counter()
