@@ -227,26 +227,16 @@ _SPLIT = {DType.Q4_0, DType.Q4_K, DType.Q5_K, DType.Q6_K}
 # (experiments/shape_sweep.py); production choices live in _pick_tiles.
 TILE_OVERRIDE: dict = {}
 
-# Measured per-shape winners from the r2 sweep (experiments/shape_sweep.py,
-# 8B shapes): every default held EXCEPT the square attention matmuls, where
-# halving the K tile wins 7.8% (two grid K-steps double-buffer the qs DMA
-# against the dequant instead of serializing one big step). k/v (small N),
-# gate/up, fused and down shapes all prefer the default.
-_TILE_TABLE: dict = {
-    (DType.Q4_K, 4096, 4096): (512, 2048),
-    (DType.Q5_K, 4096, 4096): (512, 2048),  # same structure as Q4_K
-    # Q6_K measured the OPPOSITE of Q4_K per shape: whole-K wins its square
-    # matmuls (the Q4_K analogy was tried and reverted), while its FFN
-    # shapes prefer halved K tiles (+10% gate/up, +3% down)
-    (DType.Q6_K, 4096, 14336): (512, 2048),
-    (DType.Q6_K, 14336, 4096): (512, 2048),
-    # Q8_0 prefers smaller K tiles on every non-FFN shape (its per-step
-    # dequant is cheap enough that finer DMA pipelining wins): q/o +8.1%,
-    # k/v +27.5%, down +30.1% measured
-    (DType.Q8_0, 4096, 4096): (512, 2048),
-    (DType.Q8_0, 4096, 1024): (512, 2048),
-    (DType.Q8_0, 14336, 4096): (512, 1024),
-}
+# Per-shape tile overrides. EMPTY by design after a measured negative
+# result (r2): the isolated-loop shape sweep (experiments/shape_sweep.py)
+# found kernel-level wins for smaller K tiles on several shapes (Q8_0 k/v
+# +28%, down +30%, square matmuls +8%), but baking them made the IN-MODEL
+# decode SLOWER (8B Q8_0 fused 77.1 → 74.8 tok/s): inside the layer scan,
+# consecutive kernels pipeline against each other, and more grid steps per
+# kernel add cross-kernel overhead the isolated loop never sees. The
+# in-model number rules; defaults retained. Any future entry must be
+# validated by an in-model A/B, not the sweep alone.
+_TILE_TABLE: dict = {}
 
 
 def _pick_tiles(dtype: DType, k: int, n: int) -> tuple[int, int]:
