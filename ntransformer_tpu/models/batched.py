@@ -7,10 +7,21 @@ tokens is a [B, K] × [K, N] matmul through the SAME fused dequant kernels
 (the weight read is amortized over B sequences). This module is the compute
 core for the continuous-batching server (inference/serve.py).
 
-Design: the hidden rows of a decode batch are independent everywhere except
-attention (per-sequence KV + position) and the KV write (per-sequence
-scatter), both handled with vmap over the batch axis. Inactive slots keep
-their cache row frozen via the active mask.
+Two step implementations, identical semantics (parity-tested):
+
+  * KERNEL path (TPU): attention reads the STACKED [L, B, Hkv, S, D] cache
+    directly inside the batched flash-decode kernel (layer index scalar-
+    prefetched — zero per-layer slice copies), the current token's k/v
+    rides into the kernel as a virtual block, and ALL layers' cache writes
+    happen in ONE bulk in-place Pallas append after the layer scan
+    (ops/pallas/kv_update.append_rows_stacked). Writing one row per
+    (layer, sequence) inside the scan was measured at 2/3 of the whole
+    B=32 step — XLA's scatter lowering, then small-DMA latency, gate it.
+  * JNP path (CPU tests / reference semantics): per-layer vmap'd
+    dynamic-update-slice write followed by vmap'd attention over the
+    full cache.
+
+Inactive slots keep their cache rows frozen via the active mask.
 """
 from __future__ import annotations
 
@@ -22,8 +33,35 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.layers import apply_rope, attention_jnp, rms_norm, swiglu
-from ..ops.linear import embed_lookup, qmatmul
+from ..ops.linear import embed_lookup, qmatmul, use_pallas_default
 from .llama import Arch, KVCache, LayerWeights, ModelWeights, _register
+
+
+def _batched_kernels_on() -> bool:
+    """The deferred-write kernel path (NT_BATCHED_FLASH=off forces the
+    jnp scatter path — A/B harness)."""
+    import os
+    mode = os.environ.get("NT_BATCHED_FLASH", "auto")
+    return use_pallas_default() if mode == "auto" else mode == "on"
+
+
+def batched_attention(q, kv_k, kv_v, pos, scale):
+    """jnp reference attention for a decode batch: q [B, Hq, D]; kv either
+    [B, Hkv, S, D] arrays or (codes, scales) tuples for the int8 cache
+    (dequantized through bf16 — the kernel path never materializes this);
+    pos [B] (the current row is already written: keys [0, pos] live).
+    Returns [B, Hq, D] f32."""
+    B, Hq, D = q.shape
+    if isinstance(kv_k, tuple):
+        kc, ksc = kv_k
+        vc, vsc = kv_v
+        kf = kc.astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
+        vf = vc.astype(jnp.bfloat16) * vsc.astype(jnp.bfloat16)
+    else:
+        kf, vf = kv_k, kv_v
+    att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None))(
+        q.reshape(B, 1, Hq, D), kf, vf, pos, 1, scale)     # [B, 1, Hq, D]
+    return att.reshape(B, Hq, D)
 
 
 @_register
@@ -63,13 +101,10 @@ class BatchedKV:
         return _insert(self, kv, slot)
 
 
-def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
-                        active, cos_t, sin_t, layer=None,
-                        tp_axis: str | None = None):
-    """x [B, H]; kv [B, Hkv, S, D]; pos [B]; active [B] bool; lw stacked
-    with `layer` selecting inside the kernels (zero-copy layer scan).
-    tp_axis: mesh axis for tensor parallelism inside shard_map (arch holds
-    LOCAL head counts; wo/down partials psum-reduced, as in llama.layer_step)."""
+def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
+    """Shared front half of a batched layer: norm + (fused) QKV matmuls +
+    rope. Returns (h_norm, q [B,1,Hq,D], k_t [B,Hkv,1,D] f32,
+    v_t [B,Hkv,1,D] f32)."""
     B = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
 
@@ -79,13 +114,80 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
         return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
 
     h = rms_norm(x, norm_w(lw.attn_norm), arch.norm_eps).astype(jnp.bfloat16)
-    q = qmatmul(h, lw.wq, layer=layer).reshape(B, 1, Hq, D)
-    k = qmatmul(h, lw.wk, layer=layer).reshape(B, 1, Hkv, D)
-    v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
+    if lw.wqkv is not None:
+        # fused QKV: one kernel call, slice the concatenated lanes
+        qkv = qmatmul(h, lw.wqkv, layer=layer)
+        nq, nkv = Hq * D, Hkv * D
+        q = qkv[:, :nq].reshape(B, 1, Hq, D)
+        k = qkv[:, nq: nq + nkv].reshape(B, 1, Hkv, D)
+        v = qkv[:, nq + nkv:].reshape(B, 1, Hkv, D)
+    elif lw.wqk is not None:
+        qk = qmatmul(h, lw.wqk, layer=layer)
+        nq = Hq * D
+        q = qk[:, :nq].reshape(B, 1, Hq, D)
+        k = qk[:, nq:].reshape(B, 1, Hkv, D)
+        v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
+    else:
+        q = qmatmul(h, lw.wq, layer=layer).reshape(B, 1, Hq, D)
+        k = qmatmul(h, lw.wk, layer=layer).reshape(B, 1, Hkv, D)
+        v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
     q = jax.vmap(apply_rope, (0, 0, 0, None))(q, cos_t, sin_t,
                                               arch.rope_interleaved)
     k = jax.vmap(apply_rope, (0, 0, 0, None))(k, cos_t, sin_t,
                                               arch.rope_interleaved)
+    k_t = jnp.swapaxes(k, 1, 2)  # [B, Hkv, 1, D] f32
+    v_t = jnp.swapaxes(v, 1, 2)
+    return q, k_t, v_t
+
+
+def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
+              tp_axis: str | None):
+    """Shared back half: o-proj, residual, FFN."""
+    B = x.shape[0]
+    Hq, D = arch.n_heads, arch.head_dim
+
+    def norm_w(w):
+        if layer is None:
+            return w
+        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+
+    o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo,
+                layer=layer)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    x = x + o
+    hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    if lw.w_gate_up is not None:
+        gu = qmatmul(hf, lw.w_gate_up, layer=layer)
+        it = gu.shape[-1] // 2
+        g, u = gu[:, :it], gu[:, it:]
+    else:
+        g = qmatmul(hf, lw.w_gate, layer=layer)
+        u = qmatmul(hf, lw.w_up, layer=layer)
+    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
+    if tp_axis is not None:
+        dn = jax.lax.psum(dn, tp_axis)
+    return x + dn
+
+
+def _quantize_rows(k_t, v_t):
+    """Per-(seq, head, position) absmax int8 quantization of new rows."""
+    ks_new = jnp.max(jnp.abs(k_t), -1, keepdims=True) / 127.0 + 1e-9
+    vs_new = jnp.max(jnp.abs(v_t), -1, keepdims=True) / 127.0 + 1e-9
+    kq = jnp.round(k_t / ks_new).astype(jnp.int8)
+    vq = jnp.round(v_t / vs_new).astype(jnp.int8)
+    return kq, ks_new, vq, vs_new
+
+
+def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
+                        active, cos_t, sin_t, layer=None,
+                        tp_axis: str | None = None):
+    """JNP-path layer step: write rows into the per-layer cache (vmap'd
+    dynamic-update-slice — XLA scatter), then attend the full cache.
+    x [B, H]; kv [B, Hkv, S, D] (or (codes, scales)); pos/active [B]."""
+    B = x.shape[0]
+    Hkv, D = arch.n_kv_heads, arch.head_dim
+    q, k_t, v_t = _qkv_rows(arch, x, lw, cos_t, sin_t, layer)
 
     def write(cache, new, p, act):
         # cache [Hkv, S, Dc]; new [Hkv, 1, Dc]; frozen when inactive
@@ -94,44 +196,51 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
         return jax.lax.dynamic_update_slice(
             cache, jnp.where(act, new.astype(cache.dtype), cur), (0, p, 0))
 
-    k_t = jnp.swapaxes(k.reshape(B, 1, Hkv, D), 1, 2)  # [B, Hkv, 1, D] f32
-    v_t = jnp.swapaxes(v.reshape(B, 1, Hkv, D), 1, 2)
     if isinstance(kv_k, tuple):
-        # int8 cache: (codes, scales); per-(seq, head, position) absmax
         kc, ksc = kv_k
         vc, vsc = kv_v
-        ks_new = jnp.max(jnp.abs(k_t), -1, keepdims=True) / 127.0 + 1e-9
-        vs_new = jnp.max(jnp.abs(v_t), -1, keepdims=True) / 127.0 + 1e-9
-        kq = jnp.round(k_t / ks_new).astype(jnp.int8)
-        vq = jnp.round(v_t / vs_new).astype(jnp.int8)
+        kq, ks_new, vq, vs_new = _quantize_rows(k_t, v_t)
         kc = jax.vmap(write)(kc, kq, pos, active)
         ksc = jax.vmap(write)(ksc, ks_new, pos, active)
         vc = jax.vmap(write)(vc, vq, pos, active)
         vsc = jax.vmap(write)(vsc, vs_new, pos, active)
-        kf = kc.astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
-        vf = vc.astype(jnp.bfloat16) * vsc.astype(jnp.bfloat16)
         kv_k, kv_v = (kc, ksc), (vc, vsc)
     else:
         kv_k = jax.vmap(write)(kv_k, k_t, pos, active)
         kv_v = jax.vmap(write)(kv_v, v_t, pos, active)
-        kf, vf = kv_k, kv_v
 
-    att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None))(
-        q.reshape(B, 1, Hq, D), kf, vf, pos, 1,
-        1.0 / math.sqrt(D))                      # [B, 1, Hq, D]
-    o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo,
-                layer=layer)
-    if tp_axis is not None:
-        o = jax.lax.psum(o, tp_axis)
-    x = x + o
-    hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
-    g = qmatmul(hf, lw.w_gate, layer=layer)
-    u = qmatmul(hf, lw.w_up, layer=layer)
-    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
-    if tp_axis is not None:
-        dn = jax.lax.psum(dn, tp_axis)
-    x = x + dn
+    Hq = arch.n_heads
+    att = batched_attention(q.reshape(B, Hq, D), kv_k, kv_v, pos,
+                            1.0 / math.sqrt(D))          # [B, Hq, D]
+    x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
     return x, kv_k, kv_v
+
+
+def _batched_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
+                                 active, cos_t, sin_t, layer,
+                                 tp_axis: str | None = None):
+    """KERNEL-path layer step: the flash kernel reads the STACKED cache
+    (layer via scalar prefetch) plus the current token's row as a virtual
+    block; NO cache write happens here — the new rows are returned for
+    the post-scan bulk append. Returns (x, rows tuple)."""
+    from ..ops.pallas.batched_attention import flash_decode_batched
+    B = x.shape[0]
+    Hq, D = arch.n_heads, arch.head_dim
+    q, k_t, v_t = _qkv_rows(arch, x, lw, cos_t, sin_t, layer)
+    scale = 1.0 / math.sqrt(D)
+    if bkv.quantized:
+        kq, ks_new, vq, vs_new = _quantize_rows(k_t, v_t)
+        att = flash_decode_batched(
+            q.reshape(B, Hq, D), (bkv.k, bkv.ks), (bkv.v, bkv.vs),
+            (kq, ks_new), (vq, vs_new), pos, scale, layer=layer)
+        rows = (kq, ks_new, vq, vs_new)
+    else:
+        att = flash_decode_batched(
+            q.reshape(B, Hq, D), bkv.k, bkv.v, k_t, v_t, pos, scale,
+            layer=layer)
+        rows = (k_t, v_t)
+    x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
+    return x, rows
 
 
 @partial(jax.jit, donate_argnames=("bkv",))
@@ -166,18 +275,46 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         return c, s
     cos_t, sin_t = jax.vmap(rope_rows)(pos)      # [B, 1, d2]
 
-    def body(carry, inp):
-        x = carry
-        li, kk, vv = inp
-        x, kk, vv = _batched_layer_step(arch, x, weights.layers, kk, vv, pos,
-                                        active, cos_t, sin_t, layer=li,
-                                        tp_axis=tp_axis)
-        return x, (kk, vv)
-
     indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
-    kv_k = (kv.k, kv.ks) if kv.quantized else kv.k
-    kv_v = (kv.v, kv.vs) if kv.quantized else kv.v
-    x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
+    deferred = _batched_kernels_on()
+    if deferred:
+        from ..ops.pallas.kv_update import append_rows_stacked, supports
+        caches = ((kv.k, kv.ks, kv.v, kv.vs) if kv.quantized
+                  else (kv.k, kv.v))
+        deferred = supports(caches)
+    if deferred:
+        def body(carry, li):
+            x = carry
+            x, rows = _batched_layer_step_deferred(
+                arch, x, weights.layers, kv, pos, active, cos_t, sin_t,
+                layer=li, tp_axis=tp_axis)
+            return x, rows
+        x, rows = jax.lax.scan(body, x, indices)   # rows: [L, B, Hkv, 1, Dc]
+        if kv.quantized:
+            kc, ksc, vc, vsc = append_rows_stacked(
+                (kv.k, kv.ks, kv.v, kv.vs),
+                (rows[0], rows[1], rows[2], rows[3]), pos, active)
+            new_bkv = BatchedKV(kc, vc, ksc, vsc)
+        else:
+            nk, nv = append_rows_stacked((kv.k, kv.v), rows, pos, active)
+            new_bkv = BatchedKV(nk, nv)
+    else:
+        def body(carry, inp):
+            x = carry
+            li, kk, vv = inp
+            x, kk, vv = _batched_layer_step(arch, x, weights.layers, kk, vv,
+                                            pos, active, cos_t, sin_t,
+                                            layer=li, tp_axis=tp_axis)
+            return x, (kk, vv)
+
+        kv_k = (kv.k, kv.ks) if kv.quantized else kv.k
+        kv_v = (kv.v, kv.vs) if kv.quantized else kv.v
+        x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
+        if kv.quantized:
+            new_bkv = BatchedKV(new_k[0], new_v[0], new_k[1], new_v[1])
+        else:
+            new_bkv = BatchedKV(new_k, new_v)
+
     x = rms_norm(x, weights.output_norm, arch.norm_eps)
     if tp_axis is not None:
         from ..ops.linear import plane_dims
@@ -188,8 +325,4 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
             qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
     else:
         logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
-    if kv.quantized:
-        new_bkv = BatchedKV(new_k[0], new_v[0], new_k[1], new_v[1])
-    else:
-        new_bkv = BatchedKV(new_k, new_v)
     return logits, new_bkv

@@ -1,0 +1,253 @@
+"""Batched flash-decode Pallas kernel: B sequences, one query token each,
+per-sequence positions — the serving path's attention (models/batched.py).
+
+The reference cannot batch at all (SURVEY §0: strictly batch-1; its unused
+online-softmax math is src/cuda/attention.cu:22-101). This kernel is the
+TPU-native design for continuous batching:
+
+  * grid (B, S/block_s) with the KV-block loop innermost. Each grid step
+    streams one [Hkv, block_s, D] K tile + V tile for one sequence; all
+    Hkv heads are processed in-step (unrolled), so per-grid-step DMA stays
+    MB-scale and the ~1.5 us/step grid overhead is amortized.
+  * the cache may be STACKED over layers ([L, B, Hkv, S, D]) with the
+    layer index scalar-prefetched into the index maps — the model's layer
+    scan reads attention blocks straight from the stacked cache with zero
+    per-layer slice copies (same trick as the stacked-plane matmuls).
+  * per-sequence positions ride in as SCALAR PREFETCH: the K/V BlockSpec
+    index maps clamp the block index to each sequence's own last live
+    block, so KV blocks past a sequence's position repeat the previous
+    block index and Mosaic ELIDES their DMA — a sequence at position p
+    reads ceil(p/block_s) blocks, not S/block_s.
+  * the CURRENT token's k/v row arrives as a separate tiny input (a
+    "virtual block" folded into the online softmax at the last grid
+    step) — the cache write itself is DEFERRED and batched across all
+    layers by ops/pallas/kv_update.append_rows_stacked, because writing
+    one row per (layer, sequence) inside the scan is latency-bound
+    (measured 2/3 of the whole B=32 step).
+  * int8 KV cache: the kernel dots the int8 CODES directly and folds the
+    per-position scales into the score columns (k) and prob columns (v) —
+    exact, because the scales are per (head, position):
+        q·(codes_k ⊙ s_k) = (q·codes_k) ⊙ s_k^T
+        p·(codes_v ⊙ s_v) = (p ⊙ s_v^T)·codes_v
+    No dequantized cache is ever materialized.
+
+Scales are passed PRE-TRANSPOSED as [.., Hkv, 1, S] (a free reshape of the
+stored [.., Hkv, S, 1]) so each tile is a natural [1, block_s] row vector
+for lane-wise broadcasting.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _pick_block_s(s: int, per_pos_bytes: int, target_bytes: int = 1 << 21) -> int:
+    """Largest power-of-two divisor of S whose K tile stays ~target_bytes
+    (bigger blocks amortize grid overhead; smaller blocks skip more dead
+    positions — 2 MB balances both at the measured ~1.5 us/step cost)."""
+    best = None
+    c = 8
+    while c <= s:
+        if s % c == 0 and (best is None or c * per_pos_bytes <= target_bytes):
+            best = c
+        c *= 2
+    if best is None:
+        best = s  # tiny caches (tests): one whole-S block
+    return best
+
+
+def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
+    if quant:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref, kn_ref, vn_ref, kns_ref,
+         vns_ref, o_ref, m_ref, l_ref, acc_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, kn_ref, vn_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        ks_ref = vs_ref = kns_ref = vns_ref = None
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def at(ref, h):
+        """Head h's tile — stacked caches carry an extra leading dim."""
+        return ref[0, 0, h] if len(ref.shape) == 5 else ref[0, h]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = scal_ref[1, b]  # the NEW token's position; cache keys are < pos
+
+    @pl.when(j * block_s <= pos - 1)
+    def _block():
+        kpos = j * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (group, block_s), 1)
+        live = kpos < pos
+        for h in range(hkv):
+            q = q_ref[0, h].astype(F32)          # [group, D]
+            k = at(k_ref, h).astype(F32)         # [block_s, D]
+            v = at(v_ref, h).astype(F32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32) * scale      # [group, block_s]
+            if quant:
+                s = s * at(ks_ref, h).astype(F32)        # [1, block_s] bcast
+            s = jnp.where(live, s, NEG_INF)
+            m_prev = m_ref[h][:, :1]                     # [group, 1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[h] = jnp.broadcast_to(
+                alpha * l_ref[h][:, :1] + jnp.sum(p, -1, keepdims=True),
+                l_ref.shape[1:])
+            if quant:
+                p = p * at(vs_ref, h).astype(F32)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=F32)
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+
+    @pl.when(j == n_blocks - 1)
+    def _finish():
+        # virtual block: the CURRENT token's k/v (always live, at `pos`,
+        # not yet written to the cache), then normalize.
+        for h in range(hkv):
+            q = q_ref[0, h].astype(F32)              # [group, D]
+            kn = kn_ref[0, h].astype(F32)            # [1, D]
+            vn = vn_ref[0, h].astype(F32)
+            s = jax.lax.dot_general(
+                q, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32) * scale  # [group, 1]
+            if quant:
+                s = s * kns_ref[0, h].astype(F32)    # [1, 1]
+            m_prev = m_ref[h][:, :1]
+            m_new = jnp.maximum(m_prev, s)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)                   # [group, 1]
+            l = alpha * l_ref[h][:, :1] + p
+            if quant:
+                p = p * vns_ref[0, h].astype(F32)
+            acc = acc_ref[h] * alpha + jax.lax.dot_general(
+                p, vn, (((1,), (0,)), ((), ())), preferred_element_type=F32)
+            o_ref[0, h] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "quant", "stacked", "interpret"))
+def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
+          interpret):
+    b, hkv, group, d = q.shape
+    s = k.shape[-2]
+    itemsize = 1 if quant else k.dtype.itemsize
+    block_s = _pick_block_s(s, hkv * d * itemsize)
+    n_blocks = s // block_s
+    grid = (b, n_blocks)
+
+    # index maps: scal[0,0] = layer (stacked caches), scal[1,:] = pos.
+    # blocks past a sequence's last live key clamp to the previous index
+    # (pos-1: the new token's row is NOT in the cache; it arrives as the
+    # virtual block). max(pos-1, 0) keeps pos=0 in range.
+    def kv_map(bi, j, sref):
+        jl = jnp.minimum(j, jnp.maximum(sref[1, bi] - 1, 0) // block_s)
+        return ((sref[0, 0], bi, 0, jl, 0) if stacked else (bi, 0, jl, 0))
+
+    def sc_map(bi, j, sref):
+        jl = jnp.minimum(j, jnp.maximum(sref[1, bi] - 1, 0) // block_s)
+        return ((sref[0, 0], bi, 0, 0, jl) if stacked else (bi, 0, 0, jl))
+
+    def b_map(bi, j, sref):
+        return (bi, 0, 0, 0)
+
+    lead = (1, 1) if stacked else (1,)
+    kv_sp = pl.BlockSpec(lead + (hkv, block_s, d), kv_map,
+                         memory_space=pltpu.VMEM)
+    sc_sp = pl.BlockSpec(lead + (hkv, 1, block_s), sc_map,
+                         memory_space=pltpu.VMEM)
+    q_sp = pl.BlockSpec((1, hkv, group, d), b_map, memory_space=pltpu.VMEM)
+    row_sp = pl.BlockSpec((1, hkv, 1, d), b_map, memory_space=pltpu.VMEM)
+    rsc_sp = pl.BlockSpec((1, hkv, 1, 1), b_map, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, scale=scale, block_s=block_s,
+                               n_blocks=n_blocks, hkv=hkv, group=group,
+                               quant=quant)
+    if quant:
+        in_specs = [q_sp, kv_sp, kv_sp, sc_sp, sc_sp, row_sp, row_sp,
+                    rsc_sp, rsc_sp]
+        inputs = [q, k, v, ks, vs, kn, vn, kns, vns]
+    else:
+        in_specs = [q_sp, kv_sp, kv_sp, row_sp, row_sp]
+        inputs = [q, k, v, kn, vn]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hkv, group, d), b_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, group, 128), F32),   # running max
+            pltpu.VMEM((hkv, group, 128), F32),   # running denom
+            pltpu.VMEM((hkv, group, d), F32),     # output accumulator
+        ])
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), F32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scal, *inputs)
+
+
+def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
+                         pos: jnp.ndarray, scale: float, *,
+                         layer=None,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """Batched decode attention over per-sequence caches plus the CURRENT
+    token's (not-yet-written) k/v row.
+
+    q [B, Hq, D]; pos [B] = each sequence's current position (cache keys
+    [0, pos-1] are live; the new row logically sits at pos and is passed
+    separately). k_cache/v_cache: [B, Hkv, S, D] float tensors or (codes
+    int8, scales f32 [B, Hkv, S, 1]) tuples; with `layer` given, the
+    cache carries a leading [L] axis and the kernel indexes it via scalar
+    prefetch (no slice copies). k_new/v_new: [B, Hkv, D] floats or
+    (codes [B, Hkv, D], scales [B, Hkv, 1]) matching the cache.
+    Returns [B, Hq, D] f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    quant = isinstance(k_cache, tuple)
+    stacked = layer is not None
+    if quant:
+        k, ks = k_cache
+        v, vs = v_cache
+        s = k.shape[-2]
+        lead = k.shape[:-3]
+        ks = ks.reshape(*lead, k.shape[-3], 1, s)  # free: size-1 axis moves
+        vs = vs.reshape(*lead, k.shape[-3], 1, s)
+        kn, kns = k_new
+        vn, vns = v_new
+        b, hkv, d = kn.shape[0], kn.shape[1], kn.shape[-1]
+        kn = kn.reshape(b, hkv, 1, d)
+        vn = vn.reshape(b, hkv, 1, d)
+        kns = kns.reshape(b, hkv, 1, 1)
+        vns = vns.reshape(b, hkv, 1, 1)
+    else:
+        k, v = k_cache, v_cache
+        ks = vs = kns = vns = None
+        kn, vn = k_new, v_new
+        b, hkv, d = kn.shape[0], kn.shape[1], kn.shape[-1]
+        kn = kn.reshape(b, hkv, 1, d).astype(k.dtype)
+        vn = vn.reshape(b, hkv, 1, d).astype(v.dtype)
+    hq = q.shape[1]
+    group = hq // hkv
+    qr = q.reshape(b, hkv, group, d)
+    li = jnp.full((b,), 0 if layer is None else layer, jnp.int32)
+    scal = jnp.stack([li, jnp.asarray(pos, jnp.int32)])
+    out = _impl(qr, k, v, ks, vs, kn, vn, kns, vns, scal, scale=scale,
+                quant=quant, stacked=stacked, interpret=interpret)
+    return out.reshape(b, hq, d)

@@ -1,0 +1,233 @@
+"""Batched flash-decode kernel parity (interpret mode on CPU).
+
+The kernel (ops/pallas/batched_attention.py) must match the jnp reference
+bit-for-tolerance on both the bf16 and int8 caches, including: the
+DEFERRED-WRITE contract (cache keys [0, pos-1] + the current row as a
+virtual block ≡ write-then-attend keys [0, pos]), per-sequence positions
+(block skipping), garbage beyond each position, GQA groups, stacked-layer
+indexing, and the bulk in-place append kernel.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntransformer_tpu.models.batched import batched_attention
+from ntransformer_tpu.ops.pallas.batched_attention import (_pick_block_s,
+                                                           flash_decode_batched)
+
+
+def _mk(B, Hq, Hkv, S, D, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, 1, D)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, 1, D)).astype(np.float32)
+    return q, k, v, kn, vn
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_flash_decode_batched_bf16(group):
+    """Kernel (cache [0, pos-1] + virtual new row) ≡ jnp reference with the
+    row written at pos (keys [0, pos])."""
+    B, Hkv, S, D = 3, 2, 64, 32
+    Hq = Hkv * group
+    q, k, v, kn, vn = _mk(B, Hq, Hkv, S, D)
+    pos = np.array([0, 17, 63], np.int32)
+    # poison every position at/beyond pos[b] in the KERNEL's cache — those
+    # keys must come from the virtual row / be skipped, never the cache
+    kk, vv = k.copy(), v.copy()
+    for b in range(B):
+        kk[b, :, pos[b]:] = 100.0
+        vv[b, :, pos[b]:] = 100.0
+    scale = 1.0 / math.sqrt(D)
+    got = np.asarray(flash_decode_batched(
+        jnp.asarray(q), jnp.asarray(kk, jnp.bfloat16),
+        jnp.asarray(vv, jnp.bfloat16), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(pos), scale, interpret=True))
+    # reference: write the (bf16-cast) row at pos, then attend [0, pos]
+    ref_k, ref_v = k.copy(), v.copy()
+    knb = np.asarray(jnp.asarray(kn, jnp.bfloat16).astype(jnp.float32))
+    vnb = np.asarray(jnp.asarray(vn, jnp.bfloat16).astype(jnp.float32))
+    for b in range(B):
+        ref_k[b, :, pos[b]] = knb[b, :, 0]
+        ref_v[b, :, pos[b]] = vnb[b, :, 0]
+    want = np.asarray(batched_attention(
+        jnp.asarray(q), jnp.asarray(ref_k, jnp.bfloat16),
+        jnp.asarray(ref_v, jnp.bfloat16), jnp.asarray(pos), scale))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_batched_int8():
+    B, Hkv, S, D = 4, 2, 128, 32
+    Hq = Hkv * 2
+    q, k, v, kn, vn = _mk(B, Hq, Hkv, S, D, seed=3)
+    pos = np.array([5, 0, 100, 127], np.int32)
+
+    def quant(x):
+        s = np.abs(x).max(-1, keepdims=True) / 127.0 + 1e-9
+        return np.round(x / s).astype(np.int8), s.astype(np.float32)
+
+    kc, ks = quant(k)
+    vc, vs = quant(v)
+    knc, kns = quant(kn)
+    vnc, vns = quant(vn)
+    scale = 1.0 / math.sqrt(D)
+    got = np.asarray(flash_decode_batched(
+        jnp.asarray(q),
+        (jnp.asarray(kc), jnp.asarray(ks)), (jnp.asarray(vc), jnp.asarray(vs)),
+        (jnp.asarray(knc), jnp.asarray(kns)),
+        (jnp.asarray(vnc), jnp.asarray(vns)),
+        jnp.asarray(pos), scale, interpret=True))
+    # f32 reference on the EXACT dequantized values, row merged at pos
+    kf = kc.astype(np.float32) * ks
+    vf = vc.astype(np.float32) * vs
+    for b in range(B):
+        kf[b, :, pos[b]] = (knc.astype(np.float32) * kns)[b, :, 0]
+        vf[b, :, pos[b]] = (vnc.astype(np.float32) * vns)[b, :, 0]
+    from ntransformer_tpu.ops.layers import attention_jnp
+    att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None))(
+        jnp.asarray(q).reshape(B, 1, Hq, D), jnp.asarray(kf),
+        jnp.asarray(vf), jnp.asarray(pos), 1, scale)
+    want = np.asarray(att.reshape(B, Hq, D))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_decode_batched_stacked_layer():
+    """Stacked [L, B, Hkv, S, D] cache with a traced layer index (scalar
+    prefetch) selects the right layer's keys — zero-slice design."""
+    B, Hkv, S, D, L = 2, 2, 32, 32, 3
+    Hq = 4
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k = rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32)
+    v = rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32)
+    kn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    pos = jnp.asarray([10, 31], jnp.int32)
+    scale = 1.0 / math.sqrt(D)
+    for li in range(L):
+        got = np.asarray(flash_decode_batched(
+            q, jnp.asarray(k, jnp.bfloat16), jnp.asarray(v, jnp.bfloat16),
+            kn, vn, pos, scale, layer=jnp.int32(li), interpret=True))
+        want = np.asarray(flash_decode_batched(
+            q, jnp.asarray(k[li], jnp.bfloat16),
+            jnp.asarray(v[li], jnp.bfloat16),
+            kn, vn, pos, scale, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_deferred_step_matches_jnp_step(tmp_path):
+    """The full deferred-write decode step (stacked-cache kernel reads +
+    virtual rows + post-scan bulk append) reproduces the jnp path's logits
+    AND cache contents on a tiny model."""
+    import os
+    from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
+    from ntransformer_tpu.models.loader import load_model
+    from tools.make_test_gguf import write_model
+    path = str(tmp_path / "t.gguf")
+    write_model(path, "tiny", "q8_0", seed=17)
+    m = load_model(path)
+    arch, w = m.arch, m.weights
+    B = 3
+    tokens = jnp.asarray([3, 7, 11], jnp.int32)
+    pos = jnp.asarray([0, 5, 63], jnp.int32)
+    active = jnp.asarray([True, True, False])
+    os.environ["NT_BATCHED_FLASH"] = "off"
+    try:
+        l_ref, kv_ref = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                            tokens, pos, active)
+        os.environ["NT_BATCHED_FLASH"] = "on"
+        # distinct donate buffers; jit retraces because env flips the path —
+        # force it by clearing the cache
+        batched_decode_step._clear_cache()
+        l_k, kv_k = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                        tokens, pos, active)
+    finally:
+        os.environ.pop("NT_BATCHED_FLASH", None)
+        batched_decode_step._clear_cache()
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(
+        np.asarray(kv_k.k).astype(np.float32),
+        np.asarray(kv_ref.k).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(kv_k.v).astype(np.float32),
+        np.asarray(kv_ref.v).astype(np.float32))
+
+
+def test_pick_block_s():
+    # 8B shapes: Hkv=8, D=128 → 2048 B/pos bf16 → 1024-pos blocks at 2 MB
+    assert _pick_block_s(4096, 8 * 128 * 2) == 1024
+    # int8 halves the per-position bytes → blocks double
+    assert _pick_block_s(4096, 8 * 128 * 1) == 2048
+    assert _pick_block_s(64, 8 * 128 * 2) == 64
+    # non-power-of-two S still finds a divisor
+    assert _pick_block_s(96, 1) in (8, 16, 32, 96)
+
+
+def test_kv_append_rows_matches_scatter():
+    """Pallas in-place row append (interpret mode) ≡ the vmap'd
+    dynamic-update-slice it replaces: rows land at per-sequence positions,
+    inactive slots and all other positions stay bit-identical."""
+    from ntransformer_tpu.ops.pallas.kv_update import append_rows
+    rng = np.random.default_rng(11)
+    B, Hkv, S, D = 4, 2, 32, 16
+    kc = rng.integers(-100, 100, (B, Hkv, S, D)).astype(np.int8)
+    ks = rng.standard_normal((B, Hkv, S, 1)).astype(np.float32)
+    row_c = rng.integers(-100, 100, (B, Hkv, 1, D)).astype(np.int8)
+    row_s = rng.standard_normal((B, Hkv, 1, 1)).astype(np.float32)
+    pos = np.array([0, 7, 31, 7], np.int32)
+    active = np.array([True, False, True, True])
+
+    got_c, got_s = append_rows(
+        (jnp.asarray(kc), jnp.asarray(ks)),
+        (jnp.asarray(row_c), jnp.asarray(row_s)),
+        jnp.asarray(pos), jnp.asarray(active), interpret=True)
+
+    want_c, want_s = kc.copy(), ks.copy()
+    for b in range(B):
+        if active[b]:
+            want_c[b, :, pos[b]] = row_c[b, :, 0]
+            want_s[b, :, pos[b]] = row_s[b, :, 0]
+    np.testing.assert_array_equal(np.asarray(got_c), want_c)
+    np.testing.assert_array_equal(np.asarray(got_s), want_s)
+
+
+def test_kv_append_stacked_all_layers():
+    """The bulk whole-L append (one grid step per sequence) lands every
+    layer's row and freezes inactive slots."""
+    from ntransformer_tpu.ops.pallas.kv_update import append_rows_stacked
+    rng = np.random.default_rng(4)
+    L, B, Hkv, S, D = 3, 4, 2, 32, 16
+    cache = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)), jnp.bfloat16)
+    rows = jnp.asarray(rng.standard_normal((L, B, Hkv, 1, D)), jnp.float32)
+    pos = np.array([0, 9, 31, 9], np.int32)
+    active = np.array([True, True, False, True])
+    (got,) = append_rows_stacked((cache,), (rows,), jnp.asarray(pos),
+                                 jnp.asarray(active), interpret=True)
+    want = np.asarray(cache).copy()
+    rb = np.asarray(rows.astype(jnp.bfloat16))
+    for b in range(B):
+        if active[b]:
+            want[:, b, :, pos[b]] = rb[:, b, :, 0]
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_kv_append_bf16_cast():
+    """f32 rows cast into a bf16 cache exactly like the scatter path."""
+    from ntransformer_tpu.ops.pallas.kv_update import append_rows
+    rng = np.random.default_rng(2)
+    B, Hkv, S, D = 2, 2, 16, 8
+    cache = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.bfloat16)
+    row = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    pos = jnp.asarray([3, 15], jnp.int32)
+    act = jnp.asarray([True, True])
+    (got,) = append_rows((cache,), (row,), pos, act, interpret=True)
+    want = np.asarray(cache).copy()
+    for b in range(B):
+        want[b, :, int(pos[b])] = np.asarray(row.astype(jnp.bfloat16))[b, :, 0]
+    np.testing.assert_array_equal(np.asarray(got), want)
