@@ -52,13 +52,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel ways over the device mesh "
                         "(resident engine; wq/wk/wv/gate/up column-, "
                         "wo/down row-parallel)")
+    p.add_argument("--cp", type=int, default=None,
+                   help="context-parallel ways: KV cache shards along the "
+                        "sequence axis, context bounded by the mesh's "
+                        "aggregate HBM instead of one chip's")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves KV "
                         "memory; resident, tiered and serve paths)")
     p.add_argument("--serve", default=None, metavar="PROMPTS_FILE",
                    help="continuous-batching mode: one prompt per line; "
-                        "prints completions + aggregate throughput")
+                        "prints completions + aggregate throughput; "
+                        "composes with --tp/--dp for the multi-chip server")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel ways for --serve (batch slots shard "
+                        "across dp groups; with --tp builds a dp x tp mesh)")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--no-fuse", action="store_true",
+                   help="disable fused wqkv / gate|up weights (fusion is "
+                        "default-on for resident single-chip paths)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -108,9 +119,19 @@ def main(argv=None) -> int:
         from .inference.serve import BatchServer, Request
         from .inference.sampler import SamplerConfig
         from .models.loader import load_model
-        model = load_model(args.model, max_seq_len=args.ctx_size)
+        mesh = None
+        if args.tp or args.dp:
+            from .parallel.multihost import make_mesh
+            mesh = make_mesh(tp=args.tp or 1, dp=args.dp)
+            log.info(f"serving over mesh {dict(mesh.shape)}")
+        # device=False under a mesh: weights go host -> shards directly
+        # (fusion stays off there: column sharding would split the
+        # concatenated q|k|v lanes)
+        model = load_model(args.model, max_seq_len=args.ctx_size,
+                           device=mesh is None,
+                           fuse=mesh is None and not args.no_fuse)
         srv = BatchServer(model, batch_size=args.batch_size,
-                          kv_quant=args.kv_int8,
+                          kv_quant=args.kv_int8, mesh=mesh,
                           sampler_cfg=SamplerConfig(
                               temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p,
@@ -129,17 +150,28 @@ def main(argv=None) -> int:
     stream = should_stream(args.model, args.ctx_size, args)
     if stream:
         from .core.dtypes import DType
-        log.info(f"loading {args.model} (tiered streaming)")
+        if args.draft_model:
+            # draft loads FIRST, fully resident, and gets HBM priority;
+            # the tiered target sizes itself on the remainder — the
+            # reference's load-order rule (main.cpp:121-132). Streamed-
+            # layer cost then amortizes over the K+1 verify positions.
+            log.info(f"loading draft {args.draft_model} (resident, HBM "
+                     "priority) + target (tiered streaming)")
+        else:
+            log.info(f"loading {args.model} (tiered streaming)")
         engine = TieredEngine.load(
             args.model, max_seq_len=args.ctx_size,
             requant=DType.Q4_K if args.requant_q4k else None,
             max_hbm_layers=args.max_hbm_layers,
             max_ram_layers=args.max_ram_layers,
-            kv_quant=args.kv_int8)
-        if args.draft_model:
-            log.warn("--draft-model requires the resident engine; using "
-                     "--self-spec instead")
-            args.self_spec = True
+            kv_quant=args.kv_int8,
+            draft_path=args.draft_model)
+    elif args.cp:
+        from .inference.engine import CPEngine
+        log.info(f"loading {args.model} (resident, {args.cp}-way context "
+                 "parallel)")
+        engine = CPEngine.load(args.model, cp=args.cp,
+                               max_seq_len=args.ctx_size)
     elif args.tp:
         from .inference.engine import TPEngine
         log.info(f"loading {args.model} (resident, {args.tp}-way TP)")
@@ -150,7 +182,8 @@ def main(argv=None) -> int:
         # draft loaded FIRST so it gets HBM priority (main.cpp:121-132)
         engine = Engine.load(args.model, draft_path=args.draft_model,
                              max_seq_len=args.ctx_size,
-                             kv_quant=args.kv_int8)
+                             kv_quant=args.kv_int8,
+                             fuse=not args.no_fuse)
 
     if args.chat:
         engine.chat(cfg)
@@ -166,7 +199,9 @@ def main(argv=None) -> int:
 
     if args.self_spec:
         text, stats = engine.generate_self_speculative(args.prompt, cfg, emit)
-    elif args.draft_model and not stream:
+    elif args.draft_model:
+        # works on BOTH the resident and tiered engines (tiered target:
+        # draft decodes resident, verify streams once per K+1 positions)
         text, stats = engine.generate_speculative(args.prompt, cfg, emit)
     else:
         text, stats = engine.generate(args.prompt, cfg, emit)

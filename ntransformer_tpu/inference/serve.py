@@ -27,8 +27,8 @@ import numpy as np
 from ..models.batched import BatchedKV, batched_decode_step
 from ..models.llama import KVCache, forward
 from ..models.loader import LoadedModel
-from .engine import _bucket
-from .sampler import Sampler, SamplerConfig
+from .engine import Engine, _bucket
+from .sampler import BatchedSampler, SamplerConfig
 
 
 @dataclass
@@ -36,8 +36,15 @@ class Request:
     prompt: str
     max_tokens: int = 128
     request_id: int = 0
-    # streaming: called with each decoded text piece as tokens are sampled
+    # streaming: called once per sampled token with the decoded text piece
+    # ('' while a multi-byte character is still incomplete — StreamDecoder
+    # reassembles split UTF-8 instead of emitting mojibake)
     on_token: object = None
+    # False (default): special tokens in the prompt are encoded as PLAIN
+    # TEXT — an untrusted user typing '<|start_header_id|>' cannot smuggle
+    # real control ids into the sequence (advisor finding r2). Set True
+    # only for trusted, server-side chat-template text.
+    parse_special: bool = False
     # simulated arrival offset (seconds after server start); 0 = available
     # immediately — lets benchmarks replay an arrival process
     arrival_s: float = 0.0
@@ -48,12 +55,17 @@ class Request:
     first_token_at: float = 0.0
     finished_at: float = 0.0
     _text: str = ""
+    _dec: object = None  # per-request StreamDecoder (lazy)
 
     @property
     def text(self):
         return self._text
 
     def done(self, text: str):
+        if self.on_token is not None and self._dec is not None:
+            tail = self._dec.flush()  # trailing incomplete bytes, if any
+            if tail:
+                self.on_token(tail)
         self._text = text
         self.finished_at = time.time()
 
@@ -84,13 +96,14 @@ class _Admission:
     """A request mid-prefill: its private KV fills one chunk per server
     loop iteration, so in-flight decode never waits on a whole prompt."""
 
-    def __init__(self, r: Request, arch, kv_quant: bool, chunk: int):
+    def __init__(self, r: Request, arch, chunk: int, make_kv, prefill_fn):
         self.r = r
-        self.kv = KVCache.create(arch, quant=kv_quant)
+        self.kv = make_kv()
         self.off = 0
         self.chunk = chunk
         self.arch = arch
         self.last_logits = None
+        self._prefill = prefill_fn
 
     @property
     def finished(self) -> bool:
@@ -106,25 +119,120 @@ class _Admission:
                 S - self.off)
         padded = np.zeros(p, np.int32)
         padded[:t] = chunk
-        logits, self.kv, _ = forward(self.arch, weights, self.kv,
-                                     jnp.asarray(padded), self.off, n_valid=t)
+        logits, self.kv = self._prefill(weights, self.kv, padded, self.off, t)
         self.off += t
         self.last_logits = logits[0]
 
 
 class BatchServer:
-    """Greedy continuous-batching server (temperature via per-slot samplers)."""
+    """Greedy continuous-batching server (temperature via per-slot samplers).
+
+    mesh: a (dp[, tp]) jax.sharding.Mesh turns this into the MULTI-CHIP
+    server (BASELINE north star: continuous batching across hosts): batch
+    slots shard over dp with zero cross-group collectives, weights
+    replicate over dp and megatron-shard over tp, and admission prefill
+    runs TP-sharded through parallel.tp.make_tp_forward. Pass the model
+    loaded with device=False so weights go host→shards directly."""
 
     def __init__(self, model: LoadedModel, batch_size: int = 8,
                  sampler_cfg: SamplerConfig | None = None,
-                 kv_quant: bool = False, admit_chunk: int = 256):
+                 kv_quant: bool = False, admit_chunk: int | None = None,
+                 mesh=None):
         self.model = model
         self.arch = model.arch
         self.B = batch_size
         self.scfg = sampler_cfg or SamplerConfig(temperature=0.0)
         self.tokenizer = model.tokenizer
         self.kv_quant = kv_quant  # int8 KV for both prefill and batch caches
-        self.admit_chunk = admit_chunk
+        # default to the engine's chunk so the chunked-prefill programs are
+        # genuinely the same compiled set (advisor finding r2)
+        self.admit_chunk = (admit_chunk if admit_chunk is not None
+                            else Engine.PREFILL_CHUNK)
+        self.mesh = mesh
+        if mesh is not None:
+            self._init_sharded(mesh)
+        else:
+            self.weights = model.weights
+            self._step = lambda w, bkv, t, p, a: batched_decode_step(
+                self.arch, w, bkv, t, p, a)
+            self._insert = lambda bkv, kv, slot: bkv.insert(slot, kv)
+            self._vec = jnp.asarray
+            self._make_bkv = lambda: BatchedKV.create(self.arch, self.B,
+                                                      quant=self.kv_quant)
+            self._make_kv = lambda: KVCache.create(self.arch,
+                                                   quant=self.kv_quant)
+
+            def _prefill(w, kv, padded, off, n_valid):
+                logits, kv, _ = forward(self.arch, w, kv,
+                                        jnp.asarray(padded), off,
+                                        n_valid=n_valid)
+                return logits, kv
+            self._prefill = _prefill
+
+    def _init_sharded(self, mesh):
+        """Build the DP(×TP) serving path: sharded weights/caches and the
+        shard_map'd decode step (parallel/dp.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..models.batched import _insert
+        from ..parallel.dp import (_specs, make_batched_decode_sharded,
+                                   shard_server_state)
+        from ..parallel.multihost import DP_AXIS
+        from ..parallel.tp import TP_AXIS, kv_spec, make_tp_forward
+
+        arch = self.arch
+        template = self.model.weights
+        self.weights, _ = shard_server_state(mesh, arch, template, self.B,
+                                             quant=self.kv_quant)
+        _, bkv_spec, has_tp = _specs(mesh, template, quant=self.kv_quant)
+        step = make_batched_decode_sharded(mesh, arch, template,
+                                           quant=self.kv_quant)
+        self._step = lambda w, bkv, t, p, a: step(w, bkv, t, p, a)
+        vec_sh = NamedSharding(
+            mesh, P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None))
+        self._vec = lambda x: jax.device_put(np.asarray(x), vec_sh)
+        bkv_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), bkv_spec,
+                              is_leaf=lambda x: isinstance(x, P))
+
+        def _make_bkv():
+            kv = BatchedKV.create(arch, self.B, quant=self.kv_quant)
+            return jax.tree.map(jax.device_put, kv, bkv_sh)
+        self._make_bkv = _make_bkv
+        # slot insert with the batched cache's sharding pinned on the output
+        # (a bare jit would let GSPMD re-infer it)
+        self._insert = jax.jit(_insert.__wrapped__,
+                               donate_argnums=(0,), out_shardings=bkv_sh)
+
+        if has_tp:
+            ksp = kv_spec(self.kv_quant)
+            kv_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), ksp,
+                                 is_leaf=lambda x: isinstance(x, P))
+
+            def _make_kv():
+                kv = KVCache.create(arch, quant=self.kv_quant)
+                return jax.tree.map(jax.device_put, kv, kv_sh)
+            self._make_kv = _make_kv
+            fwd = make_tp_forward(mesh, arch, weights_template=template,
+                                  has_n_valid=True, kv_quant=self.kv_quant)
+
+            def _prefill(w, kv, padded, off, n_valid):
+                logits, kv, _ = fwd(w, kv, jnp.asarray(padded),
+                                    jnp.int32(off), jnp.int32(n_valid))
+                return logits, kv
+        else:
+            rep = NamedSharding(mesh, P())
+
+            def _make_kv():
+                kv = KVCache.create(arch, quant=self.kv_quant)
+                return jax.tree.map(lambda x: jax.device_put(x, rep), kv)
+            self._make_kv = _make_kv
+
+            def _prefill(w, kv, padded, off, n_valid):
+                logits, kv, _ = forward(arch, w, kv,
+                                        jax.device_put(
+                                            jnp.asarray(padded), rep),
+                                        off, n_valid=n_valid)
+                return logits, kv
+        self._prefill = _prefill
 
     def run(self, requests: list[Request]) -> ServeStats:
         """Serve all requests to completion; returns aggregate stats."""
@@ -134,18 +242,23 @@ class BatchServer:
         for i, r in enumerate(queue):
             r.request_id = i
             r.submitted_at = time.time()
-            r.prompt_ids = self.tokenizer.encode(r.prompt, add_bos=True)
+            r.prompt_ids = self.tokenizer.encode(
+                r.prompt, add_bos=True, parse_special=r.parse_special)
             if len(r.prompt_ids) > max_prompt:
                 # clamp: a longer prompt would scatter past the cache end
                 r.prompt_ids = r.prompt_ids[-max_prompt:]
 
         B = self.B
-        bkv = BatchedKV.create(self.arch, B, quant=self.kv_quant)
+        bkv = self._make_bkv()
         slot_req: list[Request | None] = [None] * B
         tokens = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
         active = np.zeros(B, bool)
-        samplers = [Sampler(self.scfg, self.arch.vocab_size) for _ in range(B)]
+        # non-greedy: per-slot RNG/window state lives ON DEVICE; one jit +
+        # one D2H per step for the whole batch (advisor r2: the old
+        # per-slot loop paid B×2 host round-trips per step)
+        bsampler = (None if self.scfg.greedy
+                    else BatchedSampler(self.scfg, self.arch.vocab_size, B))
         stop = self.tokenizer.stop_ids
         pending: _Admission | None = None
         t0 = time.perf_counter()
@@ -158,7 +271,9 @@ class BatchServer:
             r.output_ids.append(tid)
             stats.tokens += 1
             if r.on_token is not None:
-                r.on_token(self.tokenizer.decode_token(tid))
+                if r._dec is None:
+                    r._dec = self.tokenizer.stream_decoder()
+                r.on_token(r._dec.push(tid))
 
         def free_slot() -> int:
             for b in range(B):
@@ -172,18 +287,16 @@ class BatchServer:
             nonlocal bkv
             r = adm.r
             slot = free_slot()
-            samplers[slot] = Sampler(self.scfg, self.arch.vocab_size)
             if self.scfg.greedy:
                 first = int(jnp.argmax(adm.last_logits))
             else:
-                first = int(samplers[slot].sample(adm.last_logits))
-                samplers[slot].observe(first)
+                first = bsampler.admit(slot, r.request_id, adm.last_logits)
             emit(r, first)
             if first in stop or r.max_tokens <= 1:
                 # finished at the first token — don't occupy a slot
                 r.done(self.tokenizer.decode(r.output_ids))
                 return
-            bkv = bkv.insert(slot, adm.kv)
+            bkv = self._insert(bkv, adm.kv, slot)
             slot_req[slot] = r
             tokens[slot] = first
             pos[slot] = len(r.prompt_ids)
@@ -205,22 +318,19 @@ class BatchServer:
         while any(active) or queue or pending is not None:
             # 1) one lock-step decode step for the active batch
             if any(active):
-                logits, bkv = batched_decode_step(
-                    self.arch, self.model.weights, bkv,
-                    jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(active))
+                logits, bkv = self._step(
+                    self.weights, bkv,
+                    self._vec(tokens), self._vec(pos), self._vec(active))
                 stats.steps += 1
-                logits_np = None
+                if self.scfg.greedy:
+                    toks_np = np.asarray(jnp.argmax(logits, axis=-1))
+                else:
+                    toks_np = bsampler.sample(logits)  # one jit, one D2H
                 for b in range(B):
                     if not active[b]:
                         continue
                     r = slot_req[b]
-                    if self.scfg.greedy:
-                        if logits_np is None:
-                            logits_np = np.asarray(jnp.argmax(logits, axis=-1))
-                        nxt = int(logits_np[b])
-                    else:
-                        nxt = int(samplers[b].sample(logits[b]))
-                        samplers[b].observe(nxt)
+                    nxt = int(toks_np[b])
                     emit(r, nxt)
                     pos[b] += 1
                     tokens[b] = nxt
@@ -234,10 +344,10 @@ class BatchServer:
             if pending is None and free_slot() >= 0:
                 r = next_arrived()
                 if r is not None:
-                    pending = _Admission(r, self.arch, self.kv_quant,
-                                         self.admit_chunk)
+                    pending = _Admission(r, self.arch, self.admit_chunk,
+                                         self._make_kv, self._prefill)
             if pending is not None:
-                pending.step(self.model.weights)
+                pending.step(self.weights)
                 stats.prefill_chunks += 1
                 if pending.finished:
                     finish_admission(pending)

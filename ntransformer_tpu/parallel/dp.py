@@ -34,46 +34,52 @@ from .multihost import DP_AXIS
 from .tp import TP_AXIS, local_arch, weight_specs
 
 
-def _specs(mesh: Mesh, weights_template: ModelWeights):
+def _specs(mesh: Mesh, weights_template: ModelWeights, quant: bool = False):
     has_tp = TP_AXIS in mesh.axis_names
+    # tp-only meshes (dp=1, e.g. --serve --tp N) have no dp axis: batch
+    # stays whole, everything else still megatron-shards
+    dp_ax = DP_AXIS if DP_AXIS in mesh.axis_names else None
+    cache = P(None, dp_ax, TP_AXIS if has_tp else None, None, None)
+    # int8 scales are [L, B, Hkv, S, 1] — same leading axes as the cache
+    sc = cache if quant else None
+    kv_spec = BatchedKV(cache, cache, sc, sc)
     if has_tp:
         wspecs = weight_specs(weights_template)
-        kv_spec = BatchedKV(P(None, DP_AXIS, TP_AXIS, None, None),
-                            P(None, DP_AXIS, TP_AXIS, None, None))
     else:
         wspecs = jax.tree.map(lambda _: P(), weights_template)
-        kv_spec = BatchedKV(P(None, DP_AXIS, None, None, None),
-                            P(None, DP_AXIS, None, None, None))
     return wspecs, kv_spec, has_tp
 
 
 def shard_server_state(mesh: Mesh, arch: Arch, weights: ModelWeights,
-                       batch: int) -> tuple[ModelWeights, BatchedKV]:
+                       batch: int, quant: bool = False
+                       ) -> tuple[ModelWeights, BatchedKV]:
     """Place replicated/TP-sharded weights and a dp-sharded batched KV."""
-    wspecs, kv_spec, _ = _specs(mesh, weights)
+    wspecs, kv_spec, _ = _specs(mesh, weights, quant)
     w = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), weights, wspecs)
-    kv = BatchedKV.create(arch, batch)
+    kv = BatchedKV.create(arch, batch, quant=quant)
     kv = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), kv, kv_spec)
     return w, kv
 
 
 def make_batched_decode_sharded(mesh: Mesh, arch: Arch,
-                                weights_template: ModelWeights):
+                                weights_template: ModelWeights,
+                                quant: bool = False):
     """jitted (weights, kv, tokens, pos, active) → (logits, kv) running
     under shard_map on the mesh. Batch size must divide dp."""
-    wspecs, kv_spec, has_tp = _specs(mesh, weights_template)
+    wspecs, kv_spec, has_tp = _specs(mesh, weights_template, quant)
     arch_l = local_arch(arch, mesh.shape[TP_AXIS]) if has_tp else arch
-    vec = P(DP_AXIS)
+    vec = P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None)
 
     def body(weights, kv, tokens, pos, active):
         return batched_decode_step.__wrapped__(
             arch_l, weights, kv, tokens, pos, active,
             tp_axis=TP_AXIS if has_tp else None)
 
+    dp_ax = DP_AXIS if DP_AXIS in mesh.axis_names else None
     f = shard_map(body, mesh=mesh,
                   in_specs=(wspecs, kv_spec, vec, vec, vec),
-                  out_specs=(P(DP_AXIS, None), kv_spec),
+                  out_specs=(P(dp_ax, None), kv_spec),
                   check_rep=False)
     return jax.jit(f, donate_argnums=(1,))

@@ -43,18 +43,25 @@ def initialize(coordinator_address: str | None = None,
 
 
 def make_mesh(tp: int | None = None, dp: int | None = None):
-    """(dp, tp) mesh over all global devices, TP innermost so each TP group
-    is ICI-contiguous (device order groups a host's chips together)."""
+    """(dp, tp) mesh, TP innermost so each TP group is ICI-contiguous
+    (device order groups a host's chips together). With only one axis
+    given the other is inferred to cover ALL devices; with both given
+    explicitly the mesh may use a leading subset (dp*tp <= n)."""
     import jax
     from jax.sharding import Mesh
 
     devices = np.asarray(jax.devices())
     n = devices.size
+    explicit = tp is not None and dp is not None
     if tp is None:
         tp = min(n, max(1, jax.local_device_count()))
     if dp is None:
         dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != n_devices({n})"
+    if explicit:
+        assert dp * tp <= n, f"dp({dp}) * tp({tp}) > n_devices({n})"
+        devices = devices[: dp * tp]
+    else:
+        assert dp * tp == n, f"dp({dp}) * tp({tp}) != n_devices({n})"
     if dp == 1:
         return Mesh(devices.reshape(tp), (TP_AXIS,))
     return Mesh(devices.reshape(dp, tp), (DP_AXIS, TP_AXIS))

@@ -79,9 +79,12 @@ def weight_specs(weights: ModelWeights) -> ModelWeights:
     )
 
 
-def kv_spec() -> KVCache:
-    # cache is [L, Hkv, S, D]; shard the head axis
-    return KVCache(P(None, TP_AXIS, None, None), P(None, TP_AXIS, None, None))
+def kv_spec(quant: bool = False) -> KVCache:
+    # cache is [L, Hkv, S, D]; shard the head axis. int8 scales are
+    # [L, Hkv, S, 1] — same leading axes, same head sharding (r2 weak #4:
+    # int8 KV and TP now compose).
+    h = P(None, TP_AXIS, None, None)
+    return KVCache(h, h, h if quant else None, h if quant else None)
 
 
 def check_shardable(arch: Arch, weights: ModelWeights, tp: int,
@@ -144,7 +147,8 @@ def local_arch(arch: Arch, tp: int) -> Arch:
 
 def make_tp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
                     with_cosine: bool = False, weights_template=None,
-                    has_layer_sel: bool = False, has_n_valid: bool = False):
+                    has_layer_sel: bool = False, has_n_valid: bool = False,
+                    kv_quant: bool = False):
     """Build the sharded forward: same semantics as models.llama.forward but
     executed under shard_map with explicit TP collectives. Optional args are
     positional flags (shard_map in_specs must match the call structure):
@@ -152,7 +156,7 @@ def make_tp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
     tp = mesh.shape[TP_AXIS]
     arch_l = local_arch(arch, tp)
     wspecs = weight_specs(weights_template)
-    kspec = kv_spec()
+    kspec = kv_spec(kv_quant)
     rep = P(None)
 
     in_specs = (wspecs, kspec, rep, P())
@@ -174,5 +178,40 @@ def make_tp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
                  rep if with_cosine else None)
 
     f = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+    return jax.jit(f, donate_argnums=(1,))
+
+
+def make_tp_decode_loop(mesh: Mesh, arch: Arch, n_steps: int, *,
+                        weights_template=None, kv_quant: bool = False):
+    """Fused greedy decode loop UNDER shard_map: the lax.scan over tokens
+    runs inside the sharded region, so TP decode pays one host dispatch
+    per n_steps tokens instead of one per token (r2 weak #5 — the
+    host-driven loop hid the real TP decode rate behind per-token
+    dispatch + tunnel latency). Same collectives per layer as
+    make_tp_forward; the argmax chains on-device (every shard holds the
+    full psum'd logits, so the token is replicated by construction).
+
+    Returns jitted f(weights, kv, first_token, pos0) -> (tokens [n_steps],
+    kv)."""
+    arch_l = local_arch(arch, mesh.shape[TP_AXIS])
+    wspecs = weight_specs(weights_template)
+    kspec = kv_spec(kv_quant)
+
+    def body(weights, kv, token, pos0):
+        def step(carry, i):
+            kv, tok = carry
+            logits, kv, _ = forward.__wrapped__(
+                arch_l, weights, kv, tok[None], pos0 + i, tp_axis=TP_AXIS)
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+            return (kv, nxt), nxt
+
+        (kv, _), toks = jax.lax.scan(step, (kv, token),
+                                     jnp.arange(n_steps, dtype=jnp.int32))
+        return toks, kv
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(wspecs, kspec, P(), P()),
+                  out_specs=(P(None), kspec),
                   check_rep=False)
     return jax.jit(f, donate_argnums=(1,))

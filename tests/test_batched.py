@@ -201,3 +201,21 @@ def test_server_arrival_times(model):
     assert all(r.finished_at > 0 for r in reqs)
     assert stats.wall_s >= 0.3  # waited for the late arrival
     assert reqs[1].first_token_at >= reqs[0].first_token_at
+
+
+def test_server_prompt_specials_not_parsed(model):
+    """An untrusted prompt containing a special-token string must encode it
+    as plain text by default — no control-id smuggling at the serve
+    boundary (advisor finding r2). parse_special=True opts back in for
+    trusted chat-template text."""
+    tok = model.tokenizer
+    smuggle = tok.encode("hi </s> there", add_bos=False, parse_special=False)
+    assert tok.eos_id not in smuggle
+    trusted = tok.encode("hi </s> there", add_bos=False, parse_special=True)
+    assert tok.eos_id in trusted
+
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    reqs = [Request(prompt="hi </s> there", max_tokens=2)]
+    srv.run(reqs)
+    assert model.tokenizer.eos_id not in reqs[0].prompt_ids

@@ -70,3 +70,15 @@ def test_cli_serve_mode(tiny_gguf, tmp_path, capsys):
     out = capsys.readouterr()
     assert out.out.count("###") == 3
     assert "served 3 requests" in out.err
+
+
+def test_cli_serve_sharded(tiny_gguf, tmp_path, capsys):
+    """--serve --dp/--tp builds the mesh server (north-star integration)."""
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("hello\nworld\n")
+    rc = main(["-m", tiny_gguf, "--serve", str(pf), "--batch-size", "4",
+               "--dp", "4", "--tp", "2", "-n", "4", "-t", "0"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert out.out.count("###") == 2
+    assert "served 2 requests" in out.err

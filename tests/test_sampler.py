@@ -81,3 +81,47 @@ def test_temperature_spreads_distribution():
     assert len({int(sample_device(jnp.asarray(logits), jax.random.PRNGKey(s),
                                   jnp.full((4,), 4, jnp.int32), cfg, 4))
                 for s in range(8)}) >= 2
+
+
+def test_batched_sampler_matches_per_row():
+    """_sample_batched ≡ vmap of sample_device with the same keys/windows
+    (r2 weak: serving sampled per-slot with B×2 host trips)."""
+    import jax
+    import jax.numpy as jnp
+    from ntransformer_tpu.inference.sampler import (BatchedSampler,
+                                                    SamplerConfig,
+                                                    sample_device)
+    cfg = SamplerConfig(temperature=0.7, top_k=8, top_p=0.9, seed=3)
+    V, B = 64, 4
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((B, V)), jnp.float32)
+    bs = BatchedSampler(cfg, V, B)
+    keys0, recent0 = bs.keys, bs.recent
+    toks = bs.sample(logits)
+    for b in range(B):
+        _, sub = jax.random.split(keys0[b])
+        want = int(sample_device(logits[b], sub, recent0[b], cfg, V))
+        assert int(toks[b]) == want
+    # window recorded the tokens on device
+    assert [int(bs.recent[b, 0]) for b in range(B)] == list(map(int, toks))
+
+
+def test_batch_server_nongreedy_deterministic(tmp_path):
+    """Seeded non-greedy serving is request-deterministic: two runs give
+    identical outputs (per-slot RNG = fold_in(seed, request_id))."""
+    from ntransformer_tpu.inference.serve import BatchServer, Request
+    from ntransformer_tpu.inference.sampler import SamplerConfig
+    from ntransformer_tpu.models.loader import load_model
+    from tools.make_test_gguf import write_model
+    path = str(tmp_path / "s.gguf")
+    write_model(path, "tiny", "q8_0", seed=6)
+    model = load_model(path)
+    outs = []
+    for _ in range(2):
+        srv = BatchServer(model, batch_size=2,
+                          sampler_cfg=SamplerConfig(temperature=0.9, seed=7))
+        reqs = [Request(prompt=p, max_tokens=6)
+                for p in ["alpha beta", "gamma", "delta"]]
+        srv.run(reqs)
+        outs.append([tuple(r.output_ids) for r in reqs])
+    assert outs[0] == outs[1]
