@@ -74,6 +74,7 @@ class Tokenizer:
                             if token_types is not None and len(token_types) else None)
         self.bos_id = bos_id
         self.eos_id = eos_id
+        self.unk_id: int | None = None  # set from GGUF unknown_token_id
         self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
         # Detect encoding: Llama 3 vocab contains 'Ġ' (GPT-2-encoded space)
         self.use_gpt2 = gpt2_byte_to_unicode()[0x20] in self.token_to_id
@@ -130,6 +131,11 @@ class Tokenizer:
         eot = md.get("tokenizer.ggml.eot_token_id")
         if eot is not None:
             tok.stop_ids.add(int(eot))
+        unk = md.get("tokenizer.ggml.unknown_token_id")
+        if unk is None:
+            unk = tok.token_to_id.get("<unk>")
+        if unk is not None:
+            tok.unk_id = int(unk)
         return tok
 
     @property
@@ -160,13 +166,22 @@ class Tokenizer:
                 b = u2b.get(c)
                 tid = (self.token_to_id.get(f"<0x{b:02X}>")
                        if b is not None else None)
-                out.append(tid if tid is not None else 0)
+                self._append_or_unk(out, tid)
             return out
         # SentencePiece byte tokens <0xXX>, one per UTF-8 byte
         for b in piece.encode("utf-8"):
             tid = self.token_to_id.get(f"<0x{b:02X}>")
-            out.append(tid if tid is not None else 0)
+            self._append_or_unk(out, tid)
         return out
+
+    def _append_or_unk(self, out: list[int], tid: int | None) -> None:
+        """Unmappable byte: emit the vocab's unk token, or drop it — never
+        a hardcoded id 0 (a real text token in GPT-2-style vocabs:
+        advisor finding r2)."""
+        if tid is not None:
+            out.append(tid)
+        elif self.unk_id is not None:
+            out.append(self.unk_id)
 
     def _bpe_piece(self, piece: str) -> list[str]:
         """Canonical BPE inside one pretoken: seed single (byte-mapped)
@@ -183,14 +198,15 @@ class Tokenizer:
             parts[best_i: best_i + 2] = [parts[best_i] + parts[best_i + 1]]
         return parts
 
-    def _encode_bpe_exact(self, text: str) -> list[int]:
+    def _encode_bpe_exact(self, text: str,
+                          allow_special: bool = False) -> list[int]:
         """Upstream-exact GPT-2/Llama-3 byte-level BPE (merges path)."""
         b2u = gpt2_byte_to_unicode()
         out: list[int] = []
         for m in _LLAMA3_PRETOK.finditer(text):
             piece = "".join(b2u[b] for b in m.group().encode("utf-8"))
             for p in self._bpe_piece(piece):
-                tid = self.token_to_id.get(p)
+                tid = self._lookup(p, allow_special)
                 if tid is not None:
                     out.append(tid)
                 else:
@@ -215,15 +231,25 @@ class Tokenizer:
             if pos < len(text):
                 out.extend(self._encode_text(text[pos:]))
             return out
-        out.extend(self._encode_text(text))
+        # No pre-segmentation: allow direct vocab matches of special strings
+        # only when the caller asked for specials (greedy longest-match can
+        # otherwise smuggle control ids from untrusted text — advisor r2)
+        out.extend(self._encode_text(text, allow_special=parse_special))
         return out
 
-    def _encode_text(self, text: str) -> list[int]:
-        """Encode a special-token-free span."""
+    def _lookup(self, s: str, allow_special: bool) -> int | None:
+        tid = self.token_to_id.get(s)
+        if tid is not None and not allow_special and s in self.special_ids:
+            return None
+        return tid
+
+    def _encode_text(self, text: str, allow_special: bool = False) -> list[int]:
+        """Encode one span. allow_special permits special-token strings to
+        match as whole vocab entries (pre-segmentation-free path only)."""
         if not text:
             return []
         if self.use_gpt2 and self.merge_rank and _LLAMA3_PRETOK is not None:
-            return self._encode_bpe_exact(text)
+            return self._encode_bpe_exact(text, allow_special)
         out: list[int] = []
         enc = self._to_internal(text)
         # Greedy longest-match seeding (tokenizer.cpp:121-166)
@@ -233,7 +259,7 @@ class Tokenizer:
         cap = min(self.max_token_chars, 64)
         while pos < n:
             for ln in range(min(cap, n - pos), 0, -1):
-                if enc[pos:pos + ln] in self.token_to_id:
+                if self._lookup(enc[pos:pos + ln], allow_special) is not None:
                     parts.append(enc[pos:pos + ln])
                     pos += ln
                     break
@@ -248,7 +274,7 @@ class Tokenizer:
                 return (-r) if r is not None else None
         else:
             def merge_key(a: str, b: str):
-                tid = self.token_to_id.get(a + b)
+                tid = self._lookup(a + b, allow_special)
                 if tid is None:
                     return None
                 if self.scores is not None and tid < len(self.scores):
@@ -266,7 +292,7 @@ class Tokenizer:
             parts[best_i: best_i + 2] = [parts[best_i] + parts[best_i + 1]]
 
         for p in parts:
-            tid = self.token_to_id.get(p)
+            tid = self._lookup(p, allow_special)
             if tid is not None:
                 out.append(tid)
             else:
@@ -274,6 +300,29 @@ class Tokenizer:
         return out
 
     # --- decode ---------------------------------------------------------------
+    def token_bytes(self, token_id: int) -> bytes:
+        """Raw UTF-8 bytes one token contributes to the output stream
+        (control/unused/out-of-range tokens contribute none)."""
+        if token_id < 0 or token_id >= len(self.tokens):
+            return b""
+        if self.token_types is not None and token_id < len(self.token_types):
+            if self.token_types[token_id] in (TOKEN_TYPE_CONTROL,
+                                              TOKEN_TYPE_UNUSED):
+                return b""
+        tok = self.tokens[token_id]
+        if self.use_gpt2:
+            u2b = gpt2_unicode_to_byte()
+            return bytes(u2b[c] if c in u2b else ord(c) & 0xFF for c in tok)
+        if len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">"):
+            try:
+                return bytes([int(tok[3:5], 16)])
+            except ValueError:
+                pass
+        return tok.replace(_SP_SPACE, " ").encode("utf-8")
+
+    def stream_decoder(self) -> "StreamDecoder":
+        return StreamDecoder(self)
+
     def decode_token(self, token_id: int) -> str:
         """Decode one token; control/unused tokens decode to '' (tokenizer.cpp:240-246)."""
         if token_id < 0 or token_id >= len(self.tokens):
@@ -294,38 +343,59 @@ class Tokenizer:
         return tok.replace(_SP_SPACE, " ")
 
     def decode(self, token_ids) -> str:
-        if self.use_gpt2:
-            # Decode byte stream jointly so multi-byte UTF-8 split across
-            # tokens survives (the reference decodes per-token and can split
-            # code points; this is strictly better).
-            u2b = gpt2_unicode_to_byte()
-            raw = bytearray()
-            for tid in token_ids:
-                if tid < 0 or tid >= len(self.tokens):
-                    continue
-                if self.token_types is not None and tid < len(self.token_types):
-                    if self.token_types[tid] in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_UNUSED):
-                        continue
-                for c in self.tokens[tid]:
-                    raw.append(u2b[c] if c in u2b else ord(c) & 0xFF)
-            return raw.decode("utf-8", errors="replace")
-        # SP path: join at the BYTE level so <0xXX> byte-fallback runs of
-        # multi-byte UTF-8 characters reassemble (per-token chr() would
-        # yield mojibake; same joint-decode idea as the GPT-2 branch)
+        # Decode at the BYTE level so multi-byte UTF-8 split across tokens
+        # (GPT-2 byte proxies or SP <0xXX> byte-fallback runs) reassembles
+        # (the reference decodes per-token and can split code points).
         raw = bytearray()
         for tid in token_ids:
-            if tid < 0 or tid >= len(self.tokens):
-                continue
-            if self.token_types is not None and tid < len(self.token_types):
-                if self.token_types[tid] in (TOKEN_TYPE_CONTROL,
-                                             TOKEN_TYPE_UNUSED):
-                    continue
-            tok = self.tokens[tid]
-            if len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">"):
-                try:
-                    raw.append(int(tok[3:5], 16))
-                    continue
-                except ValueError:
-                    pass
-            raw.extend(tok.replace(_SP_SPACE, " ").encode("utf-8"))
+            raw.extend(self.token_bytes(tid))
         return raw.decode("utf-8", errors="replace")
+
+
+class StreamDecoder:
+    """Incremental detokenizer for STREAMING callbacks: buffers raw bytes
+    across tokens and flushes only complete UTF-8 sequences, so a
+    multi-byte character split over several tokens never streams as
+    mojibake (advisor finding r2 — decode_token rendered SP <0xXX> bytes
+    one chr() at a time). push() is called once per token and may return
+    '' while a code point is still incomplete; the concatenation of all
+    returned pieces equals Tokenizer.decode of the same ids."""
+
+    def __init__(self, tok: Tokenizer):
+        self.tok = tok
+        self.buf = bytearray()
+
+    @staticmethod
+    def _complete_prefix_len(buf: bytearray) -> int:
+        """Length of the longest prefix that doesn't end mid-code-point."""
+        n = len(buf)
+        for j in range(1, min(4, n) + 1):
+            b = buf[n - j]
+            if b & 0xC0 != 0x80:  # ASCII or a lead byte
+                if b < 0x80:
+                    need = 1
+                elif b >> 5 == 0b110:
+                    need = 2
+                elif b >> 4 == 0b1110:
+                    need = 3
+                elif b >> 3 == 0b11110:
+                    need = 4
+                else:
+                    need = 1  # invalid lead byte: flush (decodes to U+FFFD)
+                return n if j >= need else n - j
+        return n  # 4+ continuation bytes: invalid anyway, flush
+
+    def push(self, token_id: int) -> str:
+        self.buf.extend(self.tok.token_bytes(token_id))
+        cut = self._complete_prefix_len(self.buf)
+        if cut == 0:
+            return ""
+        piece = bytes(self.buf[:cut]).decode("utf-8", errors="replace")
+        del self.buf[:cut]
+        return piece
+
+    def flush(self) -> str:
+        """Drain any trailing incomplete bytes (end of generation)."""
+        piece = bytes(self.buf).decode("utf-8", errors="replace")
+        self.buf.clear()
+        return piece

@@ -129,7 +129,7 @@ class PackWriter:
         return blob
 
     def write(self, path: str, layers: range | None = None,
-              progress=None) -> "PackReader":
+              progress=None, src_key: str | None = None) -> "PackReader":
         """Two-pass streaming write: offsets from metadata first, then one
         layer materialized at a time (peak memory = one layer, so 70B-scale
         packs build without holding the model in RAM)."""
@@ -138,7 +138,7 @@ class PackWriter:
                 f"{self.reader.metadata['general.architecture']}.block_count"]))
         metas = [self._layer_meta(i) for i in layers]
         header = {"version": 1, "n_layers": len(metas), "layers": metas,
-                  "layer_ids": list(layers)}
+                  "layer_ids": list(layers), "src_key": src_key}
         # assign aligned offsets (slack for the "offset" fields added below)
         hdr0 = json.dumps(header).encode()
         base = _align(4 + 4 + 8 + len(hdr0) + 32 * len(metas) + 256)
@@ -233,18 +233,40 @@ def pack_path_for(gguf_path: str, requant: DType | None = None) -> str:
     return gguf_path + suffix
 
 
+def gguf_content_key(gguf_path: str) -> str:
+    """Content key for pack staleness: file size + hash of the header
+    region (the GGUF header carries every tensor's dtype/offset, so a
+    requant rewrites it even when mtimes lie — the mtime check this
+    replaces silently served stale weights after a fresh clone; same
+    source-hash idiom as memory/native.py)."""
+    import hashlib
+    size = os.path.getsize(gguf_path)
+    h = hashlib.sha256()
+    with open(gguf_path, "rb") as f:
+        h.update(f.read(1 << 20))
+    return f"{size}-{h.hexdigest()[:16]}"
+
+
 def ensure_pack(reader, gguf_path: str, requant: DType | None = None,
                 progress=None) -> PackReader:
     """Return a PackReader for the GGUF, building the sidecar if missing
-    (falls back to a temp dir when the model dir is read-only — §5.3
-    graceful-fallback idiom)."""
+    or CONTENT-stale (falls back to a temp dir when the model dir is
+    read-only — §5.3 graceful-fallback idiom)."""
     path = pack_path_for(gguf_path, requant)
-    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(gguf_path):
-        return PackReader(path)
+    key = gguf_content_key(gguf_path)
+    if os.path.exists(path):
+        try:
+            pr = PackReader(path)
+            if pr.header.get("src_key") == key:
+                return pr
+        except Exception:
+            pass  # unreadable/old-format pack: rebuild below
     try:
-        return PackWriter(reader, requant).write(path, progress=progress)
+        return PackWriter(reader, requant).write(path, progress=progress,
+                                                 src_key=key)
     except OSError:
         import tempfile
         alt = os.path.join(tempfile.gettempdir(),
                            os.path.basename(path))
-        return PackWriter(reader, requant).write(alt, progress=progress)
+        return PackWriter(reader, requant).write(alt, progress=progress,
+                                                 src_key=key)

@@ -383,3 +383,29 @@ def test_pack_float_tensors_stream_bf16(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(lw.wq.planes["w"]).view(np.uint16),
         want.view(np.uint16))
+
+
+def test_ensure_pack_content_stale_rebuilds(tmp_path):
+    """A GGUF whose BYTES change but whose mtime looks old must trigger a
+    pack rebuild — the old mtime-only check silently served stale weights
+    (r2 weak #9). Staleness is now keyed on content (size + header hash)."""
+    import os
+    from ntransformer_tpu.memory.pack import gguf_content_key
+    path = str(tmp_path / "m.gguf")
+    write_model(path, "tiny", "q8_0", seed=31)
+    p1 = ensure_pack(GGUFReader(path), path)
+    key1 = gguf_content_key(path)
+    assert PackReader(p1.path).header["src_key"] == key1
+
+    # rewrite with different weights, then FORGE an ancient mtime
+    write_model(path, "tiny", "q8_0", seed=32)
+    os.utime(path, (0, 0))
+    os.utime(p1.path, None)  # pack mtime is NEWER than the gguf
+    assert gguf_content_key(path) != key1
+    p2 = ensure_pack(GGUFReader(path), path)
+    assert PackReader(p2.path).header["src_key"] == gguf_content_key(path)
+
+    # unchanged content: cached pack reused (no rebuild)
+    mt = os.path.getmtime(p2.path)
+    p3 = ensure_pack(GGUFReader(path), path)
+    assert os.path.getmtime(p3.path) == mt

@@ -237,3 +237,47 @@ def test_sp_multibyte_fallback_emits_all_bytes():
     want = [f"<0x{b:02X}>" for b in "日".encode("utf-8")]
     assert names == want, names
     assert t.decode(ids) == "日"  # decode reassembles the bytes
+
+
+def test_stream_decoder_reassembles_split_utf8():
+    """Streaming push() buffers bytes until a code point completes: a
+    3-byte character split over 3 byte-fallback tokens streams as
+    '', '', '日' — never mojibake (advisor finding r2; decode_token
+    rendered each byte with chr())."""
+    t = _sp_tokenizer()
+    ids = t.encode("日", add_bos=False)
+    assert len(ids) == 3
+    dec = t.stream_decoder()
+    pieces = [dec.push(i) for i in ids]
+    assert pieces == ["", "", "日"], pieces
+    assert dec.flush() == ""
+
+
+def test_stream_decoder_matches_batch_decode():
+    t = _sp_tokenizer()
+    ids = t.encode("hello 日 world", add_bos=False)
+    dec = t.stream_decoder()
+    streamed = "".join(dec.push(i) for i in ids) + dec.flush()
+    assert streamed == t.decode(ids)
+
+
+def test_stream_decoder_flushes_incomplete_tail():
+    """A generation ending mid-code-point drains as U+FFFD, not silence."""
+    t = _sp_tokenizer()
+    lead = t.token_to_id["<0xE2>"]  # first byte of a 3-byte char, alone
+    dec = t.stream_decoder()
+    assert dec.push(lead) == ""
+    assert dec.flush() == "�"
+
+
+def test_byte_fallback_never_emits_id0():
+    """An unmappable byte emits the vocab's unk id (or nothing) — id 0 is
+    a real text token in GPT-2-style vocabs (advisor finding r2)."""
+    tokens = ["!", "<s>", "</s>", "a"]  # no <0xXX> tokens at all
+    types = [1, 3, 3, 1]
+    t = Tokenizer(tokens, [0.0] * 4, types, bos_id=1, eos_id=2)
+    ids = t.encode("日", add_bos=False)  # unencodable: no byte tokens
+    assert 0 not in ids, ids            # must not inject '!'
+    t.unk_id = 3
+    ids = t.encode("日", add_bos=False)
+    assert ids and all(i == 3 for i in ids), ids
