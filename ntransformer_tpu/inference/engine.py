@@ -221,6 +221,7 @@ class Engine:
                                                    cfg.skip_threshold)
 
         out_ids: list[int] = []
+        dec = tok.stream_decoder() if callback else None
         pos = len(ids)
         t0 = time.perf_counter()
         for _ in range(max_new):
@@ -228,7 +229,9 @@ class Engine:
             out_ids.append(tid)
             sampler.observe(tid)
             if callback:
-                callback(tok.decode_token(tid))
+                # byte-buffered: multi-byte UTF-8 split across tokens
+                # streams intact (advisor finding r2)
+                callback(dec.push(tid))
             if tid in tok.stop_ids:
                 break
             if pos >= self.arch.max_seq_len:
@@ -238,6 +241,10 @@ class Engine:
             next_tok = sampler.sample(logits[0])
             PROFILER.end("engine/decode_step")
             pos += 1
+        if callback:
+            tail = dec.flush()
+            if tail:
+                callback(tail)
         jax.block_until_ready(logits)
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
@@ -291,8 +298,9 @@ class Engine:
         stats.prefill_ms = (time.perf_counter() - t0) * 1e3
 
         out_ids = [anchor]
+        dec = tok.stream_decoder() if callback else None
         if callback:
-            callback(tok.decode_token(anchor))
+            callback(dec.push(anchor))
         pos = len(ids)  # anchor token occupies position pos during verify
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids) - K - 2)
 
@@ -337,10 +345,14 @@ class Engine:
             for t in emitted:
                 out_ids.append(t)
                 if callback:
-                    callback(tok.decode_token(t))
+                    callback(dec.push(t))
                 if t in tok.stop_ids:
                     break
             pos += n_acc + 1
+        if callback:
+            tail = dec.flush()
+            if tail:
+                callback(tail)
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return tok.decode(out_ids), stats
@@ -366,8 +378,9 @@ class Engine:
         logits, kv, _ = self._prefill(kv, ids)
         anchor = jnp.argmax(logits[0]).astype(jnp.int32)
         out_ids = [int(anchor)]
+        dec = tok.stream_decoder() if callback else None
         if callback:
-            callback(tok.decode_token(out_ids[0]))
+            callback(dec.push(out_ids[0]))
         jax.block_until_ready(anchor)
         stats.prefill_tokens = len(ids)
         stats.prefill_ms = (time.perf_counter() - t0) * 1e3
@@ -386,9 +399,13 @@ class Engine:
                     break
                 out_ids.append(int(t))
                 if callback:
-                    callback(tok.decode_token(int(t)))
+                    callback(dec.push(int(t)))
                 if int(t) in tok.stop_ids:
                     break
+        if callback:
+            tail = dec.flush()
+            if tail:
+                callback(tail)
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return tok.decode(out_ids), stats
@@ -532,8 +549,11 @@ class TPEngine(Engine):
         return logits, kv
 
     def benchmark(self, prompt: str = "The capital of France is",
-                  n_tokens: int = 64, on_device_loop: bool = False) -> Stats:
-        """Host-driven greedy benchmark over the sharded forward."""
+                  n_tokens: int = 64, on_device_loop: bool = True) -> Stats:
+        """Greedy benchmark over the sharded forward. on_device_loop runs
+        the whole decode scan INSIDE shard_map (make_tp_decode_loop) — one
+        dispatch total, so tok/s measures the chips, not per-token host
+        round-trips (r2 weak #5)."""
         stats = Stats()
         ids = self._encode(prompt)
         kv = self._make_kv()
@@ -544,6 +564,23 @@ class TPEngine(Engine):
         stats.prefill_tokens = len(ids)
         stats.prefill_ms = (time.perf_counter() - t0) * 1e3
         pos = len(ids)
+        if on_device_loop:
+            from ..parallel.tp import make_tp_decode_loop
+            n_tokens = min(n_tokens,
+                           max(1, (self.arch.max_seq_len - len(ids) - 1) // 2))
+            loop = make_tp_decode_loop(self.mesh, self.arch, n_tokens,
+                                       weights_template=self._w_template)
+            # warmup compiles AND advances the cache; the timed run starts
+            # past it (same protocol as Engine.benchmark)
+            toks, kv = loop(self._weights, kv, nxt, jnp.int32(pos))
+            np.asarray(toks)  # true fence
+            t0 = time.perf_counter()
+            toks, kv = loop(self._weights, kv, nxt,
+                            jnp.int32(pos + n_tokens))
+            np.asarray(toks)
+            stats.decode_tokens = n_tokens
+            stats.decode_ms = (time.perf_counter() - t0) * 1e3
+            return stats
         t0 = time.perf_counter()
         for i in range(n_tokens):
             logits, kv, _ = self._decode_step(kv, nxt, pos + i)
@@ -554,15 +591,83 @@ class TPEngine(Engine):
         return stats
 
 
+class CPEngine(Engine):
+    """Resident engine with CONTEXT parallelism: the KV cache shards along
+    the sequence axis over the mesh (parallel/cp.py), so max context is
+    bounded by the mesh's aggregate HBM instead of one chip's — the
+    capacity axis the reference's smem attention hard-capped at ~16K
+    (SURVEY §5.7). Weights replicate (compose with TP via
+    parallel.cp.make_cp_tp_forward when weight bandwidth matters too)."""
+
+    def __init__(self, model: LoadedModel, mesh):
+        super().__init__(model, None)
+        from ..parallel.cp import replicate_weights
+        self.mesh = mesh
+        self._weights = replicate_weights(model.weights, mesh)
+        self._fwd_cache: dict = {}
+
+    @classmethod
+    def load(cls, path: str, cp: int | None = None, mesh=None, **kw):
+        from ..parallel.cp import make_cp_mesh
+        if mesh is None:
+            mesh = make_cp_mesh(cp)
+        return cls(load_model(path, device=False, **kw), mesh)
+
+    def _make_kv(self):
+        from ..parallel.cp import shard_kv
+        assert not self.kv_quant, \
+            "int8 KV + context parallelism not supported (documented " \
+            "combination guard, models/llama.py)"
+        return shard_kv(KVCache.create(self.arch), self.mesh)
+
+    def _fwd(self, *, all_logits=False, has_nv=False):
+        key = (all_logits, has_nv)
+        if key not in self._fwd_cache:
+            from ..parallel.cp import make_cp_forward
+            self._fwd_cache[key] = make_cp_forward(
+                self.mesh, self.arch, all_logits=all_logits,
+                weights_template=self.model.weights, has_n_valid=has_nv)
+        return self._fwd_cache[key]
+
+    def _prefill_chunk(self, kv, padded, off, n_valid, model=None,
+                       with_cosine=False):
+        assert model is None and not with_cosine, \
+            "CPEngine: no draft model / cosine calibration under CP"
+        fwd = self._fwd(has_nv=True)
+        logits, kv, _ = fwd(self._weights, kv, jnp.asarray(padded),
+                            jnp.int32(off), jnp.int32(n_valid))
+        return logits, kv, None
+
+    def _decode_step(self, kv, token, pos, model=None, with_cosine=False,
+                     layer_sel=None):
+        assert model is None and layer_sel is None and not with_cosine
+        tok = jnp.reshape(jnp.asarray(token, dtype=jnp.int32), (1,))
+        fwd = self._fwd()
+        logits, kv, _ = fwd(self._weights, kv, tok, jnp.asarray(pos, jnp.int32))
+        return logits, kv, None
+
+    def _verify(self, kv, tokens_arr, pos):
+        fwd = self._fwd(all_logits=True)
+        logits, kv, _ = fwd(self._weights, kv, tokens_arr,
+                            jnp.asarray(pos, jnp.int32))
+        return logits, kv
+
+    def benchmark(self, prompt: str = "The capital of France is",
+                  n_tokens: int = 64, on_device_loop: bool = False) -> Stats:
+        # the fused unsharded loop doesn't know the cp axis — host-driven
+        return super().benchmark(prompt, n_tokens, on_device_loop=False)
+
+
 class TieredEngine(Engine):
     """Engine over a TieredModel: per-token SLEP streaming, layer-skip that
     drops streamed I/O, and self-speculation drafting on the resident prefix
     (the tier-A draft of engine.cpp:357-545)."""
 
-    def __init__(self, tiered, kv_quant: bool = False):
+    def __init__(self, tiered, kv_quant: bool = False,
+                 draft: LoadedModel | None = None):
         self.tm = tiered
         self.model = None
-        self.draft = None
+        self.draft = draft  # separate RESIDENT draft (engine.cpp:150-351)
         self.arch = tiered.arch
         self.tokenizer = tiered.tokenizer
         self.layer_sel = None
@@ -571,9 +676,23 @@ class TieredEngine(Engine):
         self.kv_quant = kv_quant  # int8 KV (halves the cache's HBM reserve)
 
     @classmethod
-    def load(cls, path: str, kv_quant: bool = False, **kw) -> "TieredEngine":
+    def load(cls, path: str, kv_quant: bool = False,
+             draft_path: str | None = None, **kw) -> "TieredEngine":
+        """draft_path: load the draft model FIRST, fully resident, so it
+        gets HBM priority; the tiered target then auto-sizes on what's
+        left, minus the draft KV it will allocate (the reference's load
+        order + VRAM-priority rule, main.cpp:121-132)."""
         from ..models.tiered import load_model_tiered
-        return cls(load_model_tiered(path, **kw), kv_quant=kv_quant)
+        draft = None
+        extra = 0
+        if draft_path:
+            draft = load_model(draft_path,
+                               max_seq_len=kw.get("max_seq_len") or None)
+            da = draft.arch
+            extra = (da.n_layers * da.n_kv_heads * da.max_seq_len
+                     * da.head_dim * 2 * 2)  # draft KV (bf16 k+v)
+        tm = load_model_tiered(path, reserve_extra_bytes=extra, **kw)
+        return cls(tm, kv_quant=kv_quant, draft=draft)
 
     def _make_kv(self):
         from ..models.tiered import TieredKV
@@ -583,7 +702,9 @@ class TieredEngine(Engine):
     def _prefill_chunk(self, kv, padded, off, n_valid, model=None,
                        with_cosine=False):
         from ..models.tiered import forward_tiered
-        assert model is None, "TieredEngine has no separate draft model"
+        if model is not None:  # the resident DRAFT model's prefill
+            return super()._prefill_chunk(kv, padded, off, n_valid, model,
+                                          with_cosine)
         return forward_tiered(self.tm, kv, jnp.asarray(padded), off,
                               n_valid=n_valid, with_cosine=with_cosine,
                               skip=self.skip)
@@ -591,7 +712,9 @@ class TieredEngine(Engine):
     def _decode_step(self, kv, token, pos, model=None, with_cosine=False,
                      layer_sel=None):
         from ..models.tiered import forward_tiered
-        assert model is None, "TieredEngine has no separate draft model"
+        if model is not None:  # draft decode: resident forward, zero I/O
+            return super()._decode_step(kv, token, pos, model, with_cosine,
+                                        layer_sel)
         tok = jnp.reshape(jnp.asarray(token, dtype=jnp.int32), (1,))
         # any layer_sel (the draft prefix in _speculate) maps to the
         # resident-only draft pass — zero streaming I/O

@@ -83,7 +83,12 @@ class LayerWeights:
     DMA-pipeline amortization on the decode path. When set, the
     corresponding unfused fields are None. Not used under TP (column
     sharding would split the concatenated lanes across the q/k/v
-    boundary)."""
+    boundary).
+
+    wqk: the MIXED-DTYPE fallback group — Q4_K_M files carry attn_v in
+    Q6_K so the full QKV concat is impossible, but q|k still share a
+    dtype; fusing just those two recovers most of the dispatch saving
+    (r2 weak #1b: mixed-dtype triples used to fall back fully unfused)."""
 
     attn_norm: jnp.ndarray
     wq: QLinear | None
@@ -96,6 +101,7 @@ class LayerWeights:
     w_down: QLinear
     wqkv: QLinear | None = None
     w_gate_up: QLinear | None = None
+    wqk: QLinear | None = None
 
 
 @_register
@@ -167,6 +173,11 @@ def fuse_layer_weights(lw: LayerWeights) -> LayerWeights:
     out = lw
     if wqkv is not None:
         out = dataclasses.replace(out, wqkv=wqkv, wq=None, wk=None, wv=None)
+    else:
+        # mixed-dtype triple (Q4_K_M: attn_v is Q6_K): fuse q|k alone
+        wqk = _concat_qlinear([lw.wq, lw.wk])
+        if wqk is not None:
+            out = dataclasses.replace(out, wqk=wqk, wq=None, wk=None)
     if w_gate_up is not None:
         out = dataclasses.replace(out, w_gate_up=w_gate_up,
                                   w_gate=None, w_up=None)
@@ -208,6 +219,13 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         q = qkv[:, :nq].reshape(T, Hq, D)
         k = qkv[:, nq: nq + nkv].reshape(T, Hkv, D)
         v = qkv[:, nq + nkv:].reshape(T, Hkv, D)
+    elif lw.wqk is not None:
+        # mixed-dtype group: q|k fused, v its own dtype
+        qk = qmatmul(h, lw.wqk, layer=layer)
+        nq = Hq * D
+        q = qk[:, :nq].reshape(T, Hq, D)
+        k = qk[:, nq:].reshape(T, Hkv, D)
+        v = qmatmul(h, lw.wv, layer=layer).reshape(T, Hkv, D)
     else:
         q = qmatmul(h, lw.wq, layer=layer).reshape(T, Hq, D)
         k = qmatmul(h, lw.wk, layer=layer).reshape(T, Hkv, D)
@@ -249,7 +267,7 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         # sequence-sharded cache: each shard owns positions
         # [shard*s_local, (shard+1)*s_local); non-owned (and padding)
         # positions scatter to an OOB sentinel and are dropped
-        from ..ops.layers import attention_cp
+        from ..ops.layers import attention_cp_dispatch
         s_local = kv_k.shape[1]
         shard = jax.lax.axis_index(cp_axis)
         lpos = pos + jnp.arange(T) - shard * s_local        # [T]
@@ -259,8 +277,8 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         lpos = jnp.where(ok, lpos, s_local)                 # OOB → dropped
         kv_k = kv_k.at[:, lpos, :].set(k.astype(kv_k.dtype), mode="drop")
         kv_v = kv_v.at[:, lpos, :].set(v.astype(kv_v.dtype), mode="drop")
-        att = attention_cp(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D),
-                           cp_axis, s_local)
+        att = attention_cp_dispatch(q, kv_k, kv_v, pos, T,
+                                    1.0 / math.sqrt(D), cp_axis, s_local)
     else:
         k = k.astype(kv_k.dtype)
         v = v.astype(kv_v.dtype)

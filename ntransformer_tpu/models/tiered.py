@@ -447,7 +447,8 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
                       max_ram_layers: int | None = None,
                       with_tokenizer: bool = True,
                       n_stage_threads: int = 8,
-                      mesh=None) -> TieredModel:
+                      mesh=None,
+                      reserve_extra_bytes: int = 0) -> TieredModel:
     """Load a GGUF with automatic HBM/RAM/disk tier assignment
     (Transformer::load_tiered, transformer.cpp:193-280).
 
@@ -483,6 +484,10 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     layer_bytes = pack.max_layer_nbytes // tp_ways
     reserve = (embed.nbytes + head_bytes + kv_bytes) // tp_ways \
         + workspace + 2 * layer_bytes  # two streaming slots live in HBM
+    # reserve_extra_bytes: HBM already promised to co-resident state the
+    # loader can't see — e.g. a separate DRAFT model's KV cache (the draft
+    # itself loads FIRST and shows up in hbm_free_bytes; main.cpp:121-132)
+    reserve += reserve_extra_bytes
 
     tiers = TierConfig.compute(
         cfg.n_layers, layer_bytes, reserve,

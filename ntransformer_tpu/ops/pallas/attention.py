@@ -34,8 +34,12 @@ F32 = jnp.float32
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                 *, scale, block_t, block_s, n_kv_blocks, group):
+def _attn_kernel(pos_ref, *refs, scale, block_t, block_s, n_kv_blocks, group,
+                 partials):
+    if partials:
+        q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
     i = pl.program_id(1)          # q block
     j = pl.program_id(2)          # kv block
     gt = group * block_t
@@ -47,10 +51,13 @@ def _attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     pos = pos_ref[0]
+    # keys in this cache are GLOBAL positions offset + local index (offset
+    # is nonzero under context parallelism: sequence-sharded cache)
+    offset = pos_ref[1]
     # last valid key for this q block: pos + i*block_t + block_t - 1
     max_kpos = pos + (i + 1) * block_t - 1
 
-    @pl.when(j * block_s <= max_kpos)
+    @pl.when(offset + j * block_s <= max_kpos)
     def _block():
         q = q_ref[0].reshape(gt, q_ref.shape[-1])   # [g*BT, D]
         k = k_ref[0]                                # [BS, D]
@@ -58,7 +65,8 @@ def _attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=F32) * scale     # [g*BT, BS]
-        kpos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, (gt, block_s), 1)
+        kpos = (offset + j * block_s
+                + jax.lax.broadcasted_iota(jnp.int32, (gt, block_s), 1))
         # row r = g*BT + t ; query position = pos + i*block_t + (r % BT)
         qpos = (pos + i * block_t
                 + jax.lax.broadcasted_iota(jnp.int32, (gt, block_s), 0) % block_t)
@@ -78,8 +86,17 @@ def _attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(j == n_kv_blocks - 1)
     def _finish():
-        out = acc_ref[:] / l_ref[:][:, :1]
-        o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+        if partials:
+            # UNNORMALIZED accumulator + (m, l) rows — the caller combines
+            # shards exactly (ops/layers.attention_cp_flash); a shard whose
+            # keys are all masked exports acc=0, m=NEG_INF, l=0 and drops
+            # out of the psum combine with no NaN.
+            o_ref[0] = acc_ref[:].reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+            mo_ref[0] = m_ref[:][:, :1].reshape(mo_ref.shape[1:])
+            lo_ref[0] = l_ref[:][:, :1].reshape(lo_ref.shape[1:])
+        else:
+            out = acc_ref[:] / l_ref[:][:, :1]
+            o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
 def _pick_block(s: int, candidates) -> int:
@@ -89,8 +106,9 @@ def _pick_block(s: int, candidates) -> int:
     raise ValueError(f"dim {s} not tileable by {candidates}")
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "partials"))
+def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret,
+                kpos_offset=0, partials=False):
     hkv, group, t, d = q.shape
     _, s, _ = k_cache.shape
     block_s = _pick_block(s, (512, 256, 128, 64, 32, 16, 8))
@@ -108,13 +126,28 @@ def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret):
 
     kernel = functools.partial(_attn_kernel, scale=scale, block_t=block_t,
                                block_s=block_s, n_kv_blocks=n_kv_blocks,
-                               group=group)
+                               group=group, partials=partials)
+    o_spec = pl.BlockSpec((1, group, block_t, d),
+                          lambda h, i, j: (h, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((hkv, group, t, d), F32)
+    if partials:
+        ml_spec = pl.BlockSpec((1, group, block_t, 1),
+                               lambda h, i, j: (h, 0, i, 0),
+                               memory_space=pltpu.VMEM)
+        ml_shape = jax.ShapeDtypeStruct((hkv, group, t, 1), F32)
+        out_shape = (out_shape, ml_shape, ml_shape)
+        out_specs = (o_spec, ml_spec, ml_spec)
+    else:
+        out_specs = o_spec
+    pos_arr = jnp.stack([jnp.asarray(pos, jnp.int32),
+                         jnp.asarray(kpos_offset, jnp.int32)])
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((hkv, group, t, d), F32),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [pos, kpos_offset]
             pl.BlockSpec((1, group, block_t, d), lambda h, i, j: (h, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_s, d), lambda h, i, j: (h, j, 0),
@@ -122,16 +155,14 @@ def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret):
             pl.BlockSpec((1, block_s, d), lambda h, i, j: (h, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, group, block_t, d),
-                               lambda h, i, j: (h, 0, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((group * block_t, 128), F32),  # running max
             pltpu.VMEM((group * block_t, 128), F32),  # running denom
             pltpu.VMEM((group * block_t, d), F32),    # output accumulator
         ],
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32).reshape(1), q, k_cache, v_cache)
+    )(pos_arr, q, k_cache, v_cache)
     return out
 
 
@@ -154,3 +185,24 @@ def flash_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                       interpret=interpret)
     # [Hkv, group, T, D] -> [T, Hq, D]
     return jnp.swapaxes(out.reshape(hq, t, d), 0, 1)
+
+
+def flash_attention_partials(q, k_local, v_local, pos, scale: float, *,
+                             kpos_offset, interpret: bool | None = None):
+    """One shard's flash pass over a sequence-sharded cache: keys in
+    k_local are GLOBAL positions kpos_offset + i. Returns UNNORMALIZED
+    (acc [T, Hq, D], m [T, Hq], l [T, Hq]) f32 for the exact cross-shard
+    online-softmax combine (ops/layers.attention_cp_flash)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, hq, d = q.shape
+    hkv = k_local.shape[0]
+    group = hq // hkv
+    qr = jnp.swapaxes(q, 0, 1).reshape(hkv, group, t, d).astype(k_local.dtype)
+    acc, m, l = _flash_impl(qr, k_local, v_local, pos, scale=scale,
+                            interpret=interpret, kpos_offset=kpos_offset,
+                            partials=True)
+
+    def back(x):  # [Hkv, group, T, c] -> [T, Hq, c]
+        return jnp.swapaxes(x.reshape(hq, t, x.shape[-1]), 0, 1)
+    return back(acc), back(m)[..., 0], back(l)[..., 0]

@@ -79,3 +79,54 @@ def make_cp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
     f = shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                   out_specs=(P(None, None), kspec, None), check_rep=False)
     return jax.jit(f, donate_argnums=(1,))
+
+
+def make_cp_tp_mesh(cp: int, tp: int) -> Mesh:
+    """(cp, tp) mesh, TP innermost (per-layer psums stay ICI-adjacent;
+    the CP combine is 3 collectives per layer of O(Hq·T·D) — tiny)."""
+    from .tp import TP_AXIS
+    devices = np.asarray(jax.devices())
+    assert cp * tp <= devices.size
+    return Mesh(devices[: cp * tp].reshape(cp, tp), (CP_AXIS, TP_AXIS))
+
+
+def make_cp_tp_forward(mesh: Mesh, arch: Arch, *, all_logits: bool = False,
+                       weights_template: ModelWeights | None = None,
+                       has_n_valid: bool = False):
+    """CP×TP compose: weights megatron-shard over tp (parallel/tp.py), the
+    KV cache shards over BOTH axes — heads on tp, sequence on cp — so a
+    long context divides its KV across the whole mesh while every matmul
+    still runs tp-wide. layer_step handles both axes in one pass (tp
+    psums for wo/down + the exact cp online-softmax combine)."""
+    from .tp import TP_AXIS, local_arch, weight_specs
+
+    tp = mesh.shape[TP_AXIS]
+    arch_l = local_arch(arch, tp)
+    wspecs = weight_specs(weights_template)
+    kspec = KVCache(P(None, TP_AXIS, CP_AXIS, None),
+                    P(None, TP_AXIS, CP_AXIS, None))
+    rep = P(None)
+
+    def body(weights, kv, tokens, pos, *opt):
+        nv = opt[0] if has_n_valid else None
+        return forward.__wrapped__(arch_l, weights, kv, tokens, pos,
+                                   n_valid=nv, all_logits=all_logits,
+                                   tp_axis=TP_AXIS, cp_axis=CP_AXIS)
+
+    in_specs = [wspecs, kspec, rep, P()]
+    if has_n_valid:
+        in_specs.append(P())
+    f = shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                  out_specs=(P(None, None), kspec, None), check_rep=False)
+    return jax.jit(f, donate_argnums=(1,))
+
+
+def shard_cp_tp(weights: ModelWeights, kv: KVCache, mesh: Mesh,
+                arch: Arch) -> tuple[ModelWeights, KVCache]:
+    from .tp import TP_AXIS, shard_weights
+    w = shard_weights(weights, mesh, arch)
+    kspec = KVCache(P(None, TP_AXIS, CP_AXIS, None),
+                    P(None, TP_AXIS, CP_AXIS, None))
+    kv = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), kv, kspec)
+    return w, kv

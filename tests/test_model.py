@@ -221,3 +221,37 @@ def test_fused_qkv_gateup_parity(model_quant):
     l1b, _, _ = forward(arch, wf, kv1, nxt, 3)
     np.testing.assert_allclose(np.asarray(l0b), np.asarray(l1b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_wqk_mixed_dtype_parity(tmp_path, monkeypatch):
+    """A file whose attn_v dtype differs from q/k (llama.cpp's real
+    Q4_K_M puts Q6_K on attn_v in some layers) can't fuse the full QKV,
+    but q|k fuse on their own (r2 weak #1b) — and the forward still
+    matches the unfused one exactly."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    import tools.make_test_gguf as mtg
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.models.llama import (KVCache, forward,
+                                               fuse_layer_weights)
+    from ntransformer_tpu.models.loader import load_model
+
+    def mixed_policy(name):
+        return DType.Q6_K if ("attn_v" in name or "ffn_down" in name
+                              or "token_embd" in name) else DType.Q4_K
+    monkeypatch.setattr(mtg, "q4_k_m_policy", mixed_policy)
+    path = str(tmp_path / "mix.gguf")
+    write_model(path, "tiny", "q4_k_m", seed=44)
+    m = load_model(path)
+    arch, w = m.arch, m.weights
+    fused = fuse_layer_weights(w.layers)
+    assert fused.wqkv is None          # mixed dtype: full fuse impossible
+    assert fused.wqk is not None       # ...but q|k fused
+    assert fused.wq is None and fused.wk is None and fused.wv is not None
+    wf = dataclasses.replace(w, layers=fused)
+    toks = jnp.asarray([1, 5, 9, 2], jnp.int32)
+    l0, kv0, _ = forward(arch, w, KVCache.create(arch), toks, 0)
+    l1, kv1, _ = forward(arch, wf, KVCache.create(arch), toks, 0)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-5, atol=1e-5)

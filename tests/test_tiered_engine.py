@@ -66,3 +66,36 @@ def test_tiered_benchmark(tiered_engine):
     stats = tiered_engine.benchmark(n_tokens=4)
     assert stats.decode_tokens == 4
     assert stats.decode_ms > 0 and stats.prefill_ms > 0
+
+
+def test_tiered_separate_draft_speculation(tiny_gguf, tmp_path_factory,
+                                           resident_engine):
+    """Separate-draft speculation against a TIERED target (r2 missing #1;
+    main.cpp:121-132): the draft loads resident with HBM priority, the
+    target streams, and greedy output equals plain greedy generation
+    (the longest-prefix accept rule preserves argmax)."""
+    # a DIFFERENT tiny model as the draft (different seed → different
+    # weights, so acceptance is partial — exercises the correction path)
+    dpath = tmp_path_factory.mktemp("models") / "draft_q8.gguf"
+    write_model(str(dpath), "tiny", "q8_0", seed=99)
+    eng = TieredEngine.load(tiny_gguf, draft_path=str(dpath),
+                            max_hbm_layers=2, max_ram_layers=1,
+                            hbm_bytes=64 * GB, ram_bytes=64 * GB)
+    assert eng.tm.tiers.n_streamed >= 1
+    assert eng.draft is not None
+    text_ref, _ = resident_engine.generate("hello world", GREEDY)
+    text, stats = eng.generate_speculative("hello world", GREEDY)
+    assert stats.drafted > 0
+    assert text == text_ref, (text, text_ref)
+
+
+def test_tiered_draft_reserve_accounted(tiny_gguf, tmp_path_factory):
+    """The tiered auto-sizing must subtract the draft KV it cannot see
+    (reserve_extra_bytes): with a huge claimed draft reserve, fewer
+    layers stay HBM-resident."""
+    from ntransformer_tpu.models.tiered import load_model_tiered
+    base = load_model_tiered(tiny_gguf, hbm_bytes=1 * GB, ram_bytes=64 * GB)
+    squeezed = load_model_tiered(tiny_gguf, hbm_bytes=1 * GB,
+                                 ram_bytes=64 * GB,
+                                 reserve_extra_bytes=900 << 20)
+    assert squeezed.tiers.n_hbm < base.tiers.n_hbm
