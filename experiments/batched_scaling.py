@@ -31,7 +31,8 @@ from ntransformer_tpu.models.synth import synth_model
 
 PRESET = sys.argv[1] if len(sys.argv) > 1 else "8b"
 CTX = 1024
-BATCHES = (1, 2, 4, 8, 16, 32)  # bf16 full curve; int8 at 8/32
+BATCHES = (1, 2, 4, 8, 16, 32)  # bf16 full curve
+INT8_BATCHES = (8, 16, 32, 64)  # int8: bigger B (bf16 B>=32 KV no longer fits HBM)
 
 
 def stamp(msg):
@@ -77,7 +78,7 @@ def main():
     results = []
     for quant in (False, True):
         kv_name = "int8" if quant else "bf16"
-        batches = BATCHES if not quant else (8, 32)  # int8 spot checks
+        batches = BATCHES if not quant else INT8_BATCHES
         for B in batches:
             try:
                 dt = bench_batch(arch, weights, B, quant)

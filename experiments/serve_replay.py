@@ -35,7 +35,7 @@ class _BenchTokenizer:
     eos_id = -1           # unreachable — requests run to max_tokens
     stop_ids = {-1}
 
-    def encode(self, text, add_bos=True):
+    def encode(self, text, add_bos=True, parse_special=False):
         n = 16 + (hash(text) % 48)  # 16..63 prompt tokens
         return [(i * 13 + len(text)) % 500 + 3 for i in range(n)]
 
@@ -44,6 +44,15 @@ class _BenchTokenizer:
 
     def decode_token(self, tid):
         return "."
+
+    def stream_decoder(self):
+        class _D:
+            def push(self, tid):
+                return "."
+
+            def flush(self):
+                return ""
+        return _D()
 
 
 def main():
