@@ -143,9 +143,14 @@ def bench(arch, weights, mode):
         kv = kv2
         np.asarray(toks)
 
-    run(N_TOK, CTX // 4)          # compile + warm
-    t0 = time.perf_counter(); run(N_TOK, CTX // 4 + 2); t1 = time.perf_counter()
-    run(3 * N_TOK, CTX // 4 + 4); t2 = time.perf_counter()
+    # warm up BOTH program lengths — n is a STATIC jit arg, so each count
+    # is its own compile; an unwarmed 3N run lands the compile inside the
+    # timed window (+C/(2N) per token — the first version of this prober
+    # reported 125 ms/tok that way)
+    run(N_TOK, CTX // 4)
+    run(3 * N_TOK, CTX // 4 + 2)
+    t0 = time.perf_counter(); run(N_TOK, CTX // 4 + 6); t1 = time.perf_counter()
+    run(3 * N_TOK, CTX // 4 + 8); t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (2 * N_TOK)
 
 
