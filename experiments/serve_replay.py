@@ -62,6 +62,12 @@ def main():
     model = LoadedModel(cfg, arch, weights, _BenchTokenizer(), None)
     srv = BatchServer(model, batch_size=B, admit_chunk=64,
                       sampler_cfg=SamplerConfig(temperature=0.0))
+    # compile everything BEFORE the arrival clock starts: a cold program
+    # costs minutes of remote compile on this rig and previously showed up
+    # as a 184 s ttft p50 — a pure measurement artifact a real server
+    # avoids by warming at startup
+    warm_s = srv.warmup()
+    print(f"# warmup (compile) {warm_s:.1f}s", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     # Poisson arrivals at ~2 req/s after a warm start of B requests
     arrivals = np.concatenate([np.zeros(B),

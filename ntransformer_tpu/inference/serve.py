@@ -234,8 +234,43 @@ class BatchServer:
                 return logits, kv
         self._prefill = _prefill
 
+    def warmup(self, buckets=(8, 64, 512)) -> float:
+        """Compile every program the serving loop dispatches BEFORE the
+        first request: the batched decode step, the slot insert, the
+        prefill chunk set (first-chunk buckets + the steady chunk), and
+        the batched sampler. On this rig a cold program costs minutes of
+        remote compile — measured as a 184 s ttft p50 in the arrival
+        replay when warmup happened inside the serve clock. A production
+        server calls this once at startup; run() calls it automatically.
+        Returns the wall seconds spent."""
+        t0 = time.perf_counter()
+        arch = self.arch
+        bkv = self._make_bkv()
+        toks = self._vec(np.zeros(self.B, np.int32))
+        pos = self._vec(np.zeros(self.B, np.int32))
+        act = self._vec(np.zeros(self.B, bool))
+        logits, bkv = self._step(self.weights, bkv, toks, pos, act)
+        np.asarray(jnp.argmax(logits, axis=-1))
+        kv = self._make_kv()
+        for p in sorted({_bucket(min(b, self.admit_chunk))
+                         for b in buckets} | {self.admit_chunk}):
+            if p > arch.max_seq_len:
+                continue
+            padded = np.zeros(p, np.int32)
+            lg, kv = self._prefill(self.weights, kv, padded, 0, p)
+            np.asarray(lg[0][:1])
+        self._insert(bkv, kv, 0)
+        if not self.scfg.greedy:
+            bs = BatchedSampler(self.scfg, arch.vocab_size, self.B)
+            bs.admit(0, 0, jnp.zeros((arch.vocab_size,), jnp.float32))
+            bs.sample(jnp.zeros((self.B, arch.vocab_size), jnp.float32))
+        self._warm = True
+        return time.perf_counter() - t0
+
     def run(self, requests: list[Request]) -> ServeStats:
         """Serve all requests to completion; returns aggregate stats."""
+        if not getattr(self, "_warm", False):
+            self.warmup()
         stats = ServeStats(requests=len(requests))
         queue = list(requests)
         max_prompt = max(1, self.arch.max_seq_len - 2)
