@@ -1,0 +1,22 @@
+#!/bin/bash
+# Chained r3 re-measurement pass (run on a quiet rig; every stage appends
+# to experiments/r3_remeasure.log). Order matters: probes first (smallest
+# compiles), then per-dtype headline decode, then the warm serve replay.
+set -u
+cd /root/repo
+LOG=experiments/r3_remeasure.log
+stamp() { echo "# ===== [$(date +%H:%M:%S)] $1 =====" | tee -a "$LOG"; }
+
+stamp "lmhead+append probe"
+timeout 3600 python experiments/lmhead_append_probe.py all >>"$LOG" 2>&1
+
+stamp "per-dtype single-stream decode (batched1 mode, B=1)"
+for dt in q8_0 q4_k_m q6_k q4_0; do
+  stamp "bench $dt"
+  NT_BENCH_DTYPE=$dt timeout 2400 python bench.py >>"$LOG" 2>&1
+done
+
+stamp "serve replay B=8 (warmup outside the clock)"
+timeout 2400 python experiments/serve_replay.py 8 24 >>"$LOG" 2>&1
+
+stamp "done"

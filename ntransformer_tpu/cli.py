@@ -124,13 +124,15 @@ def main(argv=None) -> int:
             from .parallel.multihost import make_mesh
             mesh = make_mesh(tp=args.tp or 1, dp=args.dp)
             log.info(f"serving over mesh {dict(mesh.shape)}")
-        # device=False under a mesh: weights go host -> shards directly
-        # (fusion stays off there: column sharding would split the
-        # concatenated q|k|v lanes)
+        # device=False under a mesh: weights go host -> shards directly.
+        # Under TP the server itself fuses with the per-shard INTERLEAVED
+        # lane order (fuse_layer_weights(tp=...)), so column sharding
+        # keeps each shard's q|k|v slices together.
         model = load_model(args.model, max_seq_len=args.ctx_size,
                            device=mesh is None,
                            fuse=mesh is None and not args.no_fuse)
         srv = BatchServer(model, batch_size=args.batch_size,
+                          fuse=not args.no_fuse,
                           kv_quant=args.kv_int8, mesh=mesh,
                           sampler_cfg=SamplerConfig(
                               temperature=args.temperature,
@@ -176,7 +178,8 @@ def main(argv=None) -> int:
         from .inference.engine import TPEngine
         log.info(f"loading {args.model} (resident, {args.tp}-way TP)")
         engine = TPEngine.load(args.model, tp=args.tp,
-                               max_seq_len=args.ctx_size)
+                               max_seq_len=args.ctx_size,
+                               fuse=not args.no_fuse)
     else:
         log.info(f"loading {args.model} (resident)")
         # draft loaded FIRST so it gets HBM priority (main.cpp:121-132)

@@ -465,29 +465,37 @@ class TPEngine(Engine):
     (parallel/tp.py): weights and KV heads sharded, per-layer psums over
     ICI — the multi-chip serving mode the single-GPU reference lacks."""
 
-    def __init__(self, model: LoadedModel, mesh):
+    def __init__(self, model: LoadedModel, mesh, fuse: bool = False):
         super().__init__(model, None)
         import dataclasses
-        from ..parallel.tp import shard_weights
+        from ..parallel.tp import TP_AXIS, shard_weights
         self.mesh = mesh
-        self._weights = shard_weights(model.weights, mesh, model.arch)
+        w = model.weights
+        if fuse:
+            # per-shard INTERLEAVED fused QKV / gate|up: lane order
+            # [q_0|k_0|v_0|q_1|...] so contiguous column sharding hands
+            # each shard its own q|k|v slices (r2 verdict item 4)
+            from ..models.llama import fuse_layer_weights
+            w = dataclasses.replace(
+                w, layers=fuse_layer_weights(w.layers, mesh.shape[TP_AXIS]))
+        self._weights = shard_weights(w, mesh, model.arch)
         # a shape/dtype-only template for building shard_map specs; the
         # unsharded weights are dropped so device 0 never holds a full copy
         # alongside the shards (advisor finding r1)
         self._w_template = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
-            model.weights)
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), w)
         self.model = dataclasses.replace(model, weights=None)
         self._fwd_cache: dict = {}
 
     @classmethod
-    def load(cls, path: str, mesh=None, tp: int | None = None, **kw):
+    def load(cls, path: str, mesh=None, tp: int | None = None,
+             fuse: bool = False, **kw):
         from ..parallel.multihost import make_mesh
         if mesh is None:
             mesh = make_mesh(tp=tp)
         # device=False: weights stay host-side until sharded placement, so
         # the full model never lands unsharded on device 0
-        return cls(load_model(path, device=False, **kw), mesh)
+        return cls(load_model(path, device=False, **kw), mesh, fuse=fuse)
 
     def _make_kv(self):
         from ..parallel.tp import kv_spec

@@ -137,7 +137,8 @@ class BatchServer:
     def __init__(self, model: LoadedModel, batch_size: int = 8,
                  sampler_cfg: SamplerConfig | None = None,
                  kv_quant: bool = False, admit_chunk: int | None = None,
-                 mesh=None):
+                 mesh=None, fuse: bool = False):
+        self._fuse = fuse  # sharded path: interleaved fused QKV/gate-up
         self.model = model
         self.arch = model.arch
         self.B = batch_size
@@ -181,6 +182,15 @@ class BatchServer:
 
         arch = self.arch
         template = self.model.weights
+        if self._fuse and TP_AXIS in mesh.axis_names:
+            # fuse with the per-shard interleaved lane order so column
+            # sharding keeps each shard's q|k|v slices together — one
+            # kernel call instead of three on the sharded serving path
+            import dataclasses
+            from ..models.llama import fuse_layer_weights
+            template = dataclasses.replace(
+                template, layers=fuse_layer_weights(
+                    template.layers, mesh.shape[TP_AXIS]))
         self.weights, _ = shard_server_state(mesh, arch, template, self.B,
                                              quant=self.kv_quant)
         _, bkv_spec, has_tp = _specs(mesh, template, quant=self.kv_quant)

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.layers import apply_rope, attention, rms_norm, rope_table, swiglu
 from ..ops.linear import QLinear, embed_lookup, qmatmul
@@ -149,33 +150,61 @@ def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def _concat_qlinear(parts: list[QLinear]) -> QLinear | None:
+def _concat_qlinear(parts: list[QLinear], tp: int = 1) -> QLinear | None:
     """Concatenate QLinears along the output (lane) axis — valid when all
-    parts share dtype and K (plane rows then agree for every plane kind)."""
+    parts share dtype and K (plane rows then agree for every plane kind).
+
+    tp > 1: INTERLEAVED concat for tensor parallelism — the lane order is
+    [q_0|k_0|v_0 | q_1|k_1|v_1 | ...] where part_s is part's s-th N/tp
+    column slice. Contiguous column sharding over tp shards then hands
+    each shard exactly its own q|k|v slices, so the fused kernel + the
+    local-arch lane splits work unchanged inside shard_map (r2 verdict
+    item 4: fused QKV used to be incompatible with TP). Host numpy planes
+    stay numpy (the TPEngine load path shards from host)."""
     if any(p is None for p in parts):
         return None
     if len({p.dtype for p in parts}) != 1 or len({p.k for p in parts}) != 1:
         return None
+    if tp > 1 and any(p.n % tp for p in parts):
+        return None  # each part must split evenly across shards (head
+        # boundaries are automatic: n_heads % tp is asserted at shard
+        # time, so n/tp is a whole number of heads; kernel tiling sees
+        # only the fused LOCAL total, checked in tp.check_shardable)
     names = parts[0].planes.keys()
-    planes = {nm: jnp.concatenate([p.planes[nm] for p in parts], axis=-1)
-              for nm in names}
+    first = next(iter(parts[0].planes.values()))
+    xp = np if isinstance(first, np.ndarray) else jnp
+    if tp == 1:
+        ordered = {nm: [p.planes[nm] for p in parts] for nm in names}
+    else:
+        ordered = {}
+        for nm in names:
+            chunks = []
+            for s in range(tp):
+                for p in parts:
+                    w = p.planes[nm].shape[-1] // tp
+                    chunks.append(p.planes[nm][..., s * w:(s + 1) * w])
+            ordered[nm] = chunks
+    planes = {nm: xp.concatenate(chunks, axis=-1)
+              for nm, chunks in ordered.items()}
     return QLinear(parts[0].dtype, parts[0].k, sum(p.n for p in parts),
                    planes)
 
 
-def fuse_layer_weights(lw: LayerWeights) -> LayerWeights:
+def fuse_layer_weights(lw: LayerWeights, tp: int = 1) -> LayerWeights:
     """Build the fused wqkv / w_gate_up matrices (dropping the unfused
     copies so weights aren't held twice). Mixed-dtype triples (e.g. a
-    Q4_K_M file with Q6_K attn_v) keep the unfused path for that group."""
+    Q4_K_M file with Q6_K attn_v) keep the unfused path for that group.
+    tp > 1 builds the per-shard interleaved lane order (_concat_qlinear)
+    so the fused matrices survive column sharding."""
     import dataclasses
-    wqkv = _concat_qlinear([lw.wq, lw.wk, lw.wv])
-    w_gate_up = _concat_qlinear([lw.w_gate, lw.w_up])
+    wqkv = _concat_qlinear([lw.wq, lw.wk, lw.wv], tp)
+    w_gate_up = _concat_qlinear([lw.w_gate, lw.w_up], tp)
     out = lw
     if wqkv is not None:
         out = dataclasses.replace(out, wqkv=wqkv, wq=None, wk=None, wv=None)
     else:
         # mixed-dtype triple (Q4_K_M: attn_v is Q6_K): fuse q|k alone
-        wqk = _concat_qlinear([lw.wq, lw.wk])
+        wqk = _concat_qlinear([lw.wq, lw.wk], tp)
         if wqk is not None:
             out = dataclasses.replace(out, wqk=wqk, wq=None, wk=None)
     if w_gate_up is not None:

@@ -51,22 +51,24 @@ class TieredKV:
         """quant=True: int8 codes + per-(head, position) scales — halves
         cache bytes on exactly the configs where tiering exists because HBM
         is tight (the 70B case; r1 verdict item 7)."""
-        if quant and tp is not None:
-            raise NotImplementedError(
-                "int8 KV + tensor-parallel tiered streaming not supported "
-                "yet — use one or the other")
         res = (KVCache.create(arch, dtype, tiers.n_hbm, quant=quant)
                if tiers.n_hbm else None)
         st = (KVCache.create(arch, dtype, tiers.n_streamed, quant=quant)
               if tiers.n_streamed else None)
         if tp is not None:
             from jax.sharding import NamedSharding
+            # codes AND scales shard on the head axis: scales are
+            # [L, Hkv, S, 1], same leading axes as the codes, so one spec
+            # covers all four fields (r2 verdict item 4 — int8 KV × TP on
+            # the tiered path, the 70B multi-chip configuration)
             sh = NamedSharding(tp.mesh, tp.kv_spec)
 
             def put(kvc):
-                return (KVCache(jax.device_put(kvc.k, sh),
-                                jax.device_put(kvc.v, sh))
-                        if kvc is not None else None)
+                if kvc is None:
+                    return None
+                return KVCache(*(jax.device_put(x, sh) if x is not None
+                                 else None
+                                 for x in (kvc.k, kvc.v, kvc.ks, kvc.vs)))
             res, st = put(res), put(st)
         return cls(res, st)
 
@@ -357,8 +359,9 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
         else:
             fn = tpf.res_scan_fn(tpf.resident_specs, n_valid is not None,
                                  resident_sel is not None, with_cosine)
-            args = [tm.resident.layers, x, kv_res.k, kv_res.v, pos,
-                    cos_t, sin_t]
+            rk, rv = kv_in(kv_res)   # (codes, scales) tuples when int8 —
+            # the shard_map specs are P prefixes, covering both leaves
+            args = [tm.resident.layers, x, rk, rv, pos, cos_t, sin_t]
             if n_valid is not None:
                 args.append(jnp.asarray(n_valid, jnp.int32))
             if resident_sel is not None:

@@ -58,16 +58,26 @@ def weight_specs(weights: ModelWeights) -> ModelWeights:
     row = P(TP_AXIS, None)   # shard K (sublanes / plane rows)
     rep = P(None)
     lw = weights.layers
+
+    def opt(ql, spec):
+        """Fused templates carry None for the folded-away matrices; specs
+        must mirror the tree structure exactly."""
+        return _qlinear_spec(ql, spec, True) if ql is not None else None
+    # fused wqkv / w_gate_up / wqk are column-sharded like their parts —
+    # valid because fuse_layer_weights(tp=...) interleaves lanes per shard
     layer_specs = LayerWeights(
         attn_norm=P(None, None),
-        wq=_qlinear_spec(lw.wq, col, True),
-        wk=_qlinear_spec(lw.wk, col, True),
-        wv=_qlinear_spec(lw.wv, col, True),
+        wq=opt(lw.wq, col),
+        wk=opt(lw.wk, col),
+        wv=opt(lw.wv, col),
         wo=_qlinear_spec(lw.wo, row, True),
         ffn_norm=P(None, None),
-        w_gate=_qlinear_spec(lw.w_gate, col, True),
-        w_up=_qlinear_spec(lw.w_up, col, True),
+        w_gate=opt(lw.w_gate, col),
+        w_up=opt(lw.w_up, col),
         w_down=_qlinear_spec(lw.w_down, row, True),
+        wqkv=opt(lw.wqkv, col),
+        w_gate_up=opt(lw.w_gate_up, col),
+        wqk=opt(lw.wqk, col),
     )
     return ModelWeights(
         embed=_qlinear_spec(weights.embed, row, False),
@@ -105,9 +115,13 @@ def check_shardable(arch: Arch, weights: ModelWeights, tp: int,
             assert (ql.k // tp) % blk == 0, \
                 f"{name}: K/tp = {ql.k}/{tp} breaks {ql.dtype} block alignment"
     if kernel_alignment:
-        for name, ql in (("wq", weights.layers.wq),
-                         ("wk", weights.layers.wk),
-                         ("w_gate", weights.layers.w_gate)):
+        lw = weights.layers
+        cols = [("wq", lw.wq), ("wk", lw.wk), ("w_gate", lw.w_gate),
+                ("wqkv", lw.wqkv), ("w_gate_up", lw.w_gate_up),
+                ("wqk", lw.wqk)]
+        for name, ql in cols:
+            if ql is None:
+                continue  # folded into a fused matrix (or not fused)
             assert (ql.n // tp) % 128 == 0, \
                 f"{name}: N/tp = {ql.n}/{tp} not a multiple of 128"
 

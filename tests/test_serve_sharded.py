@@ -109,3 +109,18 @@ def test_sharded_server_tp_only_mesh(model):
     srv.run(reqs)
     for r, w in zip(reqs, want):
         assert r.text == w, f"{r.prompt!r}: {r.text!r} != {w!r}"
+
+
+def test_sharded_server_fused_matches_single(model):
+    """fuse=True on a DP×TP mesh: the server builds interleaved fused
+    wqkv / gate|up (fuse_layer_weights(tp=...)) before sharding; greedy
+    generations must match the single-chip unfused server."""
+    want = _expected(model)
+    mesh = make_mesh(tp=2, dp=4)
+    srv = BatchServer(model, batch_size=4, mesh=mesh, fuse=True,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    reqs = [Request(prompt=p, max_tokens=6) for p in PROMPTS]
+    stats = srv.run(reqs)
+    for r, w in zip(reqs, want):
+        assert r.text == w, f"{r.prompt!r}: {r.text!r} != {w!r}"
+    assert stats.steps > 0

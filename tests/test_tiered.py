@@ -232,14 +232,38 @@ def test_tiered_int8_kv_with_skip(tiny_gguf, resident_model):
     assert rel < 0.02, rel
 
 
-def test_tiered_int8_kv_tp_refused(tiny_gguf):
-    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=8)
+def test_tiered_int8_kv_tp_parity(tiny_gguf, resident_model):
+    """int8 KV × TP on the TIERED path (r2 verdict item 4 — the 70B
+    multi-chip configuration: tiering exists because HBM is tight, which
+    is exactly when the KV halving matters). Codes and scales both shard
+    on the head axis; logits stay within the documented int8-KV error of
+    the unsharded bf16 resident forward across prefill + decode."""
+    from ntransformer_tpu.parallel.multihost import make_mesh
+    from jax.sharding import Mesh
+    import numpy as _np
+    mesh = make_mesh(tp=2, dp=4)
+    tp_mesh = Mesh(_np.asarray(mesh.devices)[0], ("tp",))
 
-    class FakeTP:
-        mesh = None
-        kv_spec = None
-    with pytest.raises(NotImplementedError):
-        TieredKV.create(tm.arch, tm.tiers, tp=FakeTP(), quant=True)
+    tm = load_model_tiered(tiny_gguf, max_hbm_layers=1, max_ram_layers=1,
+                           hbm_bytes=64 * GB, ram_bytes=64 * GB,
+                           mesh=tp_mesh)
+    assert tm.tp is not None and tm.tiers.n_disk >= 1
+    rm = resident_model
+    kv_q = TieredKV.create(tm.arch, tm.tiers, tp=tm.tp, quant=True)
+    assert kv_q.res.quantized and kv_q.str.quantized
+
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+    lq, kv_q, _ = forward_tiered(tm, kv_q, toks, 0)
+    lr, kv_r, _ = forward(rm.arch, rm.weights, KVCache.create(rm.arch),
+                          toks, 0)
+    rel = float(jnp.max(jnp.abs(lq - lr)) / (jnp.max(jnp.abs(lr)) + 1e-9))
+    assert rel < 0.02, rel
+    nxt = int(jnp.argmax(lr[0]))
+    lq2, kv_q, _ = forward_tiered(tm, kv_q, jnp.asarray([nxt], jnp.int32), 3)
+    lr2, _, _ = forward(rm.arch, rm.weights, kv_r,
+                        jnp.asarray([nxt], jnp.int32), 3)
+    rel2 = float(jnp.max(jnp.abs(lq2 - lr2)) / (jnp.max(jnp.abs(lr2)) + 1e-9))
+    assert rel2 < 0.02, rel2
 
 
 def test_tiered_chunked_prefill_matches_single_shot(tiny_gguf, resident_model):

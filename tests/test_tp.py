@@ -144,3 +144,81 @@ def test_tp_on_device_decode_loop_matches(model):
     loop = make_tp_decode_loop(mesh, arch, n, weights_template=w)
     toks, _ = loop(w_sh, kv_sh, first_sh, jnp.int32(len(ids)))
     assert list(np.asarray(toks)) == list(np.asarray(ref_toks))
+
+
+def test_tp_fused_interleaved_matches_unfused(model):
+    """Fused QKV / gate|up UNDER TP (r2 verdict item 4): the per-shard
+    interleaved lane order makes contiguous column sharding hand each
+    shard its own q|k|v slices, so the fused kernel + local-arch lane
+    splits give the same logits as the unsharded unfused forward."""
+    import dataclasses
+    from ntransformer_tpu.models.llama import fuse_layer_weights
+    tp = 2
+    mesh = Mesh(np.array(jax.devices()[:tp]), (TP_AXIS,))
+    fused = dataclasses.replace(
+        model.weights, layers=fuse_layer_weights(model.weights.layers, tp))
+    assert fused.layers.wqkv is not None and fused.layers.w_gate_up is not None
+
+    tokens = jnp.array([1, 9, 4], dtype=jnp.int32)
+    ref_logits, ref_kv, _ = forward(model.arch, model.weights,
+                                    KVCache.create(model.arch), tokens, 0)
+    w_sh, kv_sh = shard_model(fused, KVCache.create(model.arch),
+                              mesh, model.arch)
+    tp_fwd = make_tp_forward(mesh, model.arch, weights_template=fused)
+    logits, kv2, _ = tp_fwd(w_sh, kv_sh, tokens, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(kv2.k).astype(np.float32),
+                               np.asarray(ref_kv.k).astype(np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_interleaved_concat_is_shard_permutation():
+    """_concat_qlinear(tp=2)'s lane order equals [q_0|k_0|v_0|q_1|k_1|v_1]
+    built by hand from the plain concat's column blocks."""
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.models.llama import _concat_qlinear
+    from ntransformer_tpu.models.synth import synth_qlinear
+    rng = np.random.default_rng(3)
+    parts = []
+    for n in (512, 256, 256):
+        ql = synth_qlinear(n, 512, DType.Q8_0)
+        # give the qs planes distinguishable content
+        ql.planes["qs"] = jnp.asarray(
+            rng.integers(-100, 100, ql.planes["qs"].shape, dtype=np.int64)
+            .astype(np.int8))
+        parts.append(ql)
+    plain = _concat_qlinear(parts)
+    inter = _concat_qlinear(parts, tp=2)
+    widths = [512, 256, 256]
+    offs = np.cumsum([0] + widths)
+    cols = []
+    for s in range(2):
+        for p, w in enumerate(widths):
+            cols.extend(range(offs[p] + s * w // 2, offs[p] + (s + 1) * w // 2))
+    np.testing.assert_array_equal(np.asarray(inter.planes["qs"]),
+                                  np.asarray(plain.planes["qs"])[:, cols])
+
+
+def test_tp_engine_fused_host_load_matches_resident():
+    """TPEngine(fuse=True) from a HOST-side load (device=False — numpy
+    planes, the real TPEngine.load path): the interleaved fuse must run in
+    numpy without uploading, and greedy generation must match resident."""
+    import tempfile
+    from ntransformer_tpu.inference.engine import (Engine, GenerateConfig,
+                                                   TPEngine)
+    from tools.make_test_gguf import write_model
+
+    path = tempfile.mkdtemp() + "/tp_fused.gguf"
+    write_model(path, "tiny", "q8_0", seed=23)
+    ref = Engine(load_model(path))
+    host = load_model(path, device=False)
+    assert isinstance(next(iter(host.weights.layers.wq.planes.values())),
+                      np.ndarray)
+    eng = TPEngine(host, Mesh(np.asarray(jax.devices()[:2]), (TP_AXIS,)),
+                   fuse=True)
+    assert eng._w_template.layers.wqkv is not None
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    want, _ = ref.generate("hello fused tp", cfg)
+    got, _ = eng.generate("hello fused tp", cfg)
+    assert got == want
