@@ -699,7 +699,8 @@ class TieredEngine(Engine):
             da = draft.arch
             extra = (da.n_layers * da.n_kv_heads * da.max_seq_len
                      * da.head_dim * 2 * 2)  # draft KV (bf16 k+v)
-        tm = load_model_tiered(path, reserve_extra_bytes=extra, **kw)
+        tm = load_model_tiered(path, reserve_extra_bytes=extra,
+                               kv_quant=kv_quant, **kw)
         return cls(tm, kv_quant=kv_quant, draft=draft)
 
     def _make_kv(self):

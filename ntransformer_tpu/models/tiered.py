@@ -442,6 +442,15 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
 
 # --- loading -----------------------------------------------------------------
 
+
+def kv_cache_bytes(arch: Arch, quant: bool = False) -> int:
+    """HBM bytes of the full-depth KV cache: bf16 k+v, or int8 codes plus
+    the per-(head, position) f32 scales (quant ≈ 53% of bf16 at D=128 —
+    the reserve the tier auto-sizer must budget; r2 verdict item 4)."""
+    rows = arch.n_layers * arch.n_kv_heads * arch.max_seq_len
+    per_row = (arch.head_dim + 4) if quant else arch.head_dim * 2
+    return rows * per_row * 2  # x2: k and v
+
 def load_model_tiered(path: str, *, max_seq_len: int | None = None,
                       requant: DType | None = None,
                       hbm_bytes: int | None = None,
@@ -451,7 +460,8 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
                       with_tokenizer: bool = True,
                       n_stage_threads: int = 8,
                       mesh=None,
-                      reserve_extra_bytes: int = 0) -> TieredModel:
+                      reserve_extra_bytes: int = 0,
+                      kv_quant: bool = False) -> TieredModel:
     """Load a GGUF with automatic HBM/RAM/disk tier assignment
     (Transformer::load_tiered, transformer.cpp:193-280).
 
@@ -476,8 +486,7 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     embed = load_qlinear_host(reader, "token_embd.weight")
     tied = "output.weight" not in reader
     head_bytes = 0 if tied else embed.nbytes
-    kv_bytes = (arch.n_layers * arch.n_kv_heads * arch.max_seq_len
-                * arch.head_dim * 2 * 2)
+    kv_bytes = kv_cache_bytes(arch, quant=kv_quant)
     workspace = 64 << 20
     tp_ways = 1
     if mesh is not None:

@@ -433,3 +433,33 @@ def test_ensure_pack_content_stale_rebuilds(tmp_path):
     mt = os.path.getmtime(p2.path)
     p3 = ensure_pack(GGUFReader(path), path)
     assert os.path.getmtime(p3.path) == mt
+
+
+def test_kv_quant_shrinks_hbm_reserve(tiny_gguf):
+    """The tier auto-sizer budgets the int8 KV cache at its real size
+    (codes + f32 scales ~53% of bf16), so --kv-int8 frees HBM for more
+    resident layers — the point of int8 KV on exactly the tiered configs."""
+    from ntransformer_tpu.models.tiered import kv_cache_bytes
+    probe = load_model_tiered(tiny_gguf, max_hbm_layers=4, max_ram_layers=8,
+                              hbm_bytes=64 * GB, ram_bytes=64 * GB)
+    arch = probe.arch
+    bf16 = kv_cache_bytes(arch)
+    q = kv_cache_bytes(arch, quant=True)
+    assert q < bf16 * 0.6 and q > bf16 * 0.4  # ~53% at D=64..128
+
+    # budget where the bf16 reserve fits strictly fewer resident layers
+    lb = probe.pack.max_layer_nbytes
+    embed_b = probe.resident.embed.nbytes
+    tied = probe.resident.lm_head is probe.resident.embed
+    head_b = 0 if tied else probe.resident.lm_head.nbytes
+    from ntransformer_tpu.memory.tiers import HBM_MARGIN_BYTES
+    workspace = 64 << 20
+    base = embed_b + head_b + workspace + 2 * lb + HBM_MARGIN_BYTES
+    # enough HBM for the quant reserve + 2 layers, but the bf16 reserve
+    # eats into the layer budget
+    hbm = base + q + 2 * lb + (bf16 - q) // 2
+    t_bf = load_model_tiered(tiny_gguf, hbm_bytes=hbm, ram_bytes=64 * GB)
+    t_q = load_model_tiered(tiny_gguf, hbm_bytes=hbm, ram_bytes=64 * GB,
+                            kv_quant=True)
+    assert t_q.tiers.n_hbm > t_bf.tiers.n_hbm, \
+        (t_q.tiers.n_hbm, t_bf.tiers.n_hbm)
