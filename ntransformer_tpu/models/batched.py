@@ -278,10 +278,18 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
     deferred = _batched_kernels_on()
     if deferred:
-        from ..ops.pallas.kv_update import append_rows_stacked, supports
+        from ..ops.pallas.kv_update import (append_rows_stacked,
+                                            append_rows_stacked_dus,
+                                            supports)
         caches = ((kv.k, kv.ks, kv.v, kv.vs) if kv.quantized
                   else (kv.k, kv.v))
         deferred = supports(caches)
+        import os as _os
+        if _os.environ.get("NT_KV_APPEND", "kernel") == "dus":
+            # experiment switch: XLA scalar-indexed DUS instead of the
+            # Pallas tile merge (A/B for the append-cost bisect)
+            def append_rows_stacked(cs, rs, p, a):  # noqa: F811
+                return append_rows_stacked_dus(cs, rs, p, a)
     if deferred:
         def body(carry, li):
             x = carry

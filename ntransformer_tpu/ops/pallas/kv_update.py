@@ -174,3 +174,25 @@ def append_rows_stacked(caches, rows, pos, active, *,
     scal = jnp.stack([jnp.asarray(pos, jnp.int32),
                       jnp.asarray(active, jnp.int32)])
     return _append_stacked_impl(scal, caches, rows, interpret=interpret)
+
+
+def append_rows_stacked_dus(caches, rows, pos, active):
+    """XLA dynamic-update-slice variant of append_rows_stacked (experiment
+    switch NT_KV_APPEND=dus): one scalar-indexed DUS per (cache, sequence)
+    on the stacked [L, B, Hkv, S, Dc] buffers — at B=1 this is a single
+    in-place row update per cache, bypassing the Pallas kernel's
+    read-merge-write of a whole sublane tile. Semantics identical
+    (inactive slots keep their previous row)."""
+    out = []
+    b_n = rows[0].shape[1]
+    for c, r in zip(caches, rows):
+        L, _, hkv = c.shape[:3]
+        dc = c.shape[-1]
+        r5 = r.reshape(L, b_n, hkv, 1, dc).astype(c.dtype)
+        for b in range(b_n):
+            cur = jax.lax.dynamic_slice(
+                c, (0, b, 0, pos[b], 0), (L, 1, hkv, 1, dc))
+            val = jnp.where(active[b], r5[:, b:b + 1], cur)
+            c = jax.lax.dynamic_update_slice(c, val, (0, b, 0, pos[b], 0))
+        out.append(c)
+    return tuple(out)

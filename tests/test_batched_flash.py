@@ -231,3 +231,40 @@ def test_kv_append_bf16_cast():
     for b in range(B):
         want[b, :, int(pos[b])] = np.asarray(row.astype(jnp.bfloat16))[b, :, 0]
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_dus_append_matches_kernel_append(tmp_path):
+    """NT_KV_APPEND=dus (scalar-indexed XLA updates) must produce the same
+    cache contents and logits as the Pallas tile-merge append."""
+    import os
+    from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
+    from ntransformer_tpu.models.loader import load_model
+    from tools.make_test_gguf import write_model
+    path = str(tmp_path / "t2.gguf")
+    write_model(path, "tiny", "q8_0", seed=19)
+    m = load_model(path)
+    arch, w = m.arch, m.weights
+    B = 3
+    tokens = jnp.asarray([2, 9, 13], jnp.int32)
+    pos = jnp.asarray([1, 4, 32], jnp.int32)
+    active = jnp.asarray([True, False, True])
+    os.environ["NT_BATCHED_FLASH"] = "on"
+    try:
+        l_k, kv_k = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                        tokens, pos, active)
+        os.environ["NT_KV_APPEND"] = "dus"
+        batched_decode_step._clear_cache()
+        l_d, kv_d = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                        tokens, pos, active)
+    finally:
+        os.environ.pop("NT_BATCHED_FLASH", None)
+        os.environ.pop("NT_KV_APPEND", None)
+        batched_decode_step._clear_cache()
+    np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_k),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(kv_d.k).astype(np.float32),
+        np.asarray(kv_k.k).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(kv_d.v).astype(np.float32),
+        np.asarray(kv_k.v).astype(np.float32))
