@@ -333,4 +333,6 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
             qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
     else:
         logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
+    if logits.shape[-1] > arch.vocab_size:
+        logits = logits[:, : arch.vocab_size]  # lane-padded LM head
     return logits, new_bkv

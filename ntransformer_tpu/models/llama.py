@@ -394,9 +394,14 @@ def head_logits(arch: Arch, weights: ModelWeights, x, n_valid=None,
         kloc, _ = plane_dims(weights.lm_head.planes, weights.lm_head.dtype)
         idx = jax.lax.axis_index(tp_axis)
         xs = jax.lax.dynamic_slice(sel, (0, idx * kloc), (sel.shape[0], kloc))
-        return jax.lax.psum(
+        logits = jax.lax.psum(
             qmatmul(xs.astype(jnp.bfloat16), weights.lm_head), tp_axis)
-    return qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
+    else:
+        logits = qmatmul(sel.astype(jnp.bfloat16), weights.lm_head)
+    if logits.shape[-1] > arch.vocab_size:
+        # lane-padded LM head (pad_qlinear_lanes): drop the zero columns
+        logits = logits[:, : arch.vocab_size]
+    return logits
 
 
 @partial(jax.jit, static_argnames=("arch", "all_logits", "with_cosine",

@@ -145,6 +145,18 @@ def load_model(path: str, *, max_seq_len: int | None = None,
             lm_head = _to_device(lm_head)
     else:
         lm_head = embed  # tied embeddings (transformer.cpp:92-99)
+    import os
+    pad = int(os.environ.get("NT_PAD_VOCAB", "0"))
+    if pad:
+        # lane-pad so the LM-head matmul gets wider tn tiles; padded
+        # columns dequant to exactly 0 and head_logits slices them off.
+        # Tied case pads the SHARED table (gather ids stay < vocab, and
+        # the single padded copy keeps memory flat).
+        from ..ops.linear import pad_qlinear_lanes
+        if lm_head is embed:
+            embed = lm_head = pad_qlinear_lanes(embed, pad)
+        else:
+            lm_head = pad_qlinear_lanes(lm_head, pad)
     cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta,
                           rope_freq_factors(reader))
 

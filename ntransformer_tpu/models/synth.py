@@ -87,6 +87,13 @@ def synth_model(preset: str, dtype: str, max_seq_len: int = 4096,
         stacked = fuse_layer_weights(stacked)
     embed = synth_qlinear(v, h, policy("token_embd"))
     lm_head = synth_qlinear(v, h, policy("output."))
+    import os
+    pad = int(os.environ.get("NT_PAD_VOCAB", "0"))
+    if pad:
+        # lane-pad the LM head so its N hits wider tn tiles (the 128256
+        # vocab is not 512-divisible); head_logits slices the zeros off
+        from ..ops.linear import pad_qlinear_lanes
+        lm_head = pad_qlinear_lanes(lm_head, pad)
     cos, sin = rope_table(cfg.max_seq_len, head_dim, cfg.rope_theta)
     weights = ModelWeights(embed=embed, layers=stacked,
                            output_norm=jnp.ones((h,), jnp.float32),

@@ -11,6 +11,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.dtypes import DType
 from ..core.layout import LAYOUTS, SPLIT_UNIT
@@ -81,6 +82,26 @@ def plane_dims(planes: dict, dtype: DType) -> tuple[int, int]:
     first = LAYOUTS[dtype][0]
     arr = planes[first.name]
     return arr.shape[0] * first.rows_div, arr.shape[1]
+
+
+def pad_qlinear_lanes(ql: QLinear, multiple: int) -> QLinear:
+    """Zero-pad every plane's lane (N) axis to the next `multiple` — wider
+    tn tiles for shapes whose N is not 512-divisible (the 128256-vocab LM
+    head runs tn=256 → 501 grid steps). Padded columns dequantize to
+    EXACTLY 0 for every supported dtype (all plane kinds — codes, scales,
+    mins — multiply into w, and all pad to 0), so callers just slice the
+    output back to the logical n (head_logits keeps arch.vocab_size)."""
+    if ql.n % multiple == 0:
+        return ql
+    pad = multiple - ql.n % multiple
+    first = next(iter(ql.planes.values()))
+    xp = np if isinstance(first, np.ndarray) else jnp
+
+    def padded(a):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return xp.pad(a, widths)
+    return QLinear(ql.dtype, ql.k, ql.n + pad,
+                   {nm: padded(a) for nm, a in ql.planes.items()})
 
 
 def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,

@@ -255,3 +255,42 @@ def test_fused_wqk_mixed_dtype_parity(tmp_path, monkeypatch):
     l1, kv1, _ = forward(arch, wf, KVCache.create(arch), toks, 0)
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_padded_lm_head_logits_match(tmp_path, monkeypatch):
+    """NT_PAD_VOCAB lane-pads the LM head (and the tied table); logits must
+    equal the unpadded model's over the real vocab, both model paths."""
+    import os
+    import jax.numpy as jnp
+    from ntransformer_tpu.models.llama import KVCache, forward
+    from ntransformer_tpu.models.loader import load_model
+    from tools.make_test_gguf import write_model
+    path = str(tmp_path / "pad.gguf")
+    write_model(path, "tiny", "q8_0", seed=29)
+    ref = load_model(path)
+    monkeypatch.setenv("NT_PAD_VOCAB", "300")  # 512 -> 600 (88 zero lanes)
+    padded = load_model(path)
+    assert padded.weights.lm_head.n == 600
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+    lr, _, _ = forward(ref.arch, ref.weights, KVCache.create(ref.arch),
+                       toks, 0)
+    lp, _, _ = forward(padded.arch, padded.weights,
+                       KVCache.create(padded.arch), toks, 0)
+    assert lp.shape == lr.shape  # sliced back to vocab_size
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lr),
+                               rtol=1e-5, atol=1e-5)
+
+    # batched step path
+    from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
+    lb, _ = batched_decode_step(ref.arch, padded.weights,
+                                BatchedKV.create(ref.arch, 2),
+                                jnp.asarray([3, 7], jnp.int32),
+                                jnp.zeros(2, jnp.int32),
+                                jnp.ones(2, bool))
+    lb_ref, _ = batched_decode_step(ref.arch, ref.weights,
+                                    BatchedKV.create(ref.arch, 2),
+                                    jnp.asarray([3, 7], jnp.int32),
+                                    jnp.zeros(2, jnp.int32),
+                                    jnp.ones(2, bool))
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lb_ref),
+                               rtol=1e-5, atol=1e-5)
