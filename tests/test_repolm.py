@@ -57,3 +57,28 @@ def test_repolm_beats_uniform_on_repo_text(engine):
         meta = json.load(open(META))
         # quantized eval should be in the neighborhood of the f32 val loss
         assert r["nll_per_token"] < meta["val_loss"] + 1.0
+
+
+@pytest.mark.parametrize("target", ["q6_k", "q4_k", "q4_0"])
+def test_repolm_requant_quality(engine, target, tmp_path):
+    """REAL-WEIGHTS cross-dtype quality: requantize the trained model
+    through the repo's own quantizer and verify byte-level NLL stays
+    within a small delta of the Q8_0 artifact — the per-bit-width quality
+    table on learned weights instead of synthetic ones (r2 weak #10)."""
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.inference.engine import Engine
+    from tools.perplexity import perplexity
+    from tools.requant_gguf import requant
+    out = str(tmp_path / f"repolm_{target}.gguf")
+    requant(ART, out, DType(target), progress=lambda *a: None)
+    eng = Engine.load(out)
+    text = open(os.path.join(os.path.dirname(ART), "..",
+                             "ntransformer_tpu", "ops", "layers.py")).read()
+    ids = engine.tokenizer.encode(text[:4096], add_bos=False)
+    base = perplexity(engine.model, ids, ctx=256)["nll_per_token"]
+    got = perplexity(eng.model, ids, ctx=256)["nll_per_token"]
+    # 4-bit on a 3.6M byte-LM degrades more than on big models; the bound
+    # still certifies learned structure survives every dtype end to end
+    assert got < 3.5, (target, got)
+    assert abs(got - base) < (0.08 if target == "q6_k" else 0.6), \
+        (target, got, base)
