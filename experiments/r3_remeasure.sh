@@ -16,6 +16,25 @@ for dt in q8_0 q4_k_m q6_k q4_0; do
   NT_BENCH_DTYPE=$dt timeout 2400 python bench.py >>"$LOG" 2>&1
 done
 
+stamp "A/B: NT_KV_APPEND=dus at B=1 (q8_0, q4_k_m)"
+for dt in q8_0 q4_k_m; do
+  stamp "bench $dt dus-append"
+  NT_KV_APPEND=dus NT_BENCH_DTYPE=$dt timeout 2400 python bench.py >>"$LOG" 2>&1
+done
+
+stamp "A/B: NT_PAD_VOCAB=2048 (q4_k_m, q6_k)"
+for dt in q4_k_m q6_k; do
+  stamp "bench $dt padded-vocab"
+  NT_PAD_VOCAB=2048 NT_BENCH_DTYPE=$dt timeout 2400 python bench.py >>"$LOG" 2>&1
+done
+
+stamp "A/B: both switches (q4_k_m, q6_k, q8_0)"
+for dt in q4_k_m q6_k q8_0; do
+  stamp "bench $dt dus+pad"
+  NT_KV_APPEND=dus NT_PAD_VOCAB=2048 NT_BENCH_DTYPE=$dt \
+    timeout 2400 python bench.py >>"$LOG" 2>&1
+done
+
 stamp "serve replay B=8 (warmup outside the clock)"
 timeout 2400 python experiments/serve_replay.py 8 24 >>"$LOG" 2>&1
 
