@@ -75,8 +75,11 @@ def chain(step, x0):
 def lmhead_case(dtype: str, n: int, tiles=None):
     dt = DType(dtype)
     if tiles is not None:
+        # the tiling is a STATIC jit arg of _quant_matmul_impl, so the
+        # override is honored on the next call (clear_cache was never
+        # enough — jax's global trace cache ignores it, so earlier runs
+        # of the override rows re-timed the default tiling)
         mm.TILE_OVERRIDE[(dt, K, n)] = tiles
-        mm._quant_matmul_impl.clear_cache()
     try:
         qls = [synth_qlinear(n, K, dt) for _ in range(COPIES)]
         nbytes = qls[0].nbytes
@@ -99,7 +102,6 @@ def lmhead_case(dtype: str, n: int, tiles=None):
     finally:
         if tiles is not None:
             del mm.TILE_OVERRIDE[(dt, K, n)]
-            mm._quant_matmul_impl.clear_cache()
 
 
 def probe_lmhead():

@@ -64,7 +64,8 @@ def synth_planes(dtype: DType, k: int, n: int, seed=0):
 def time_shape(dtype: DType, k: int, n: int, tn: int, tk: int,
                x, ql) -> float:
     mm.TILE_OVERRIDE[(dtype, k, n)] = (tn, tk)
-    mm._quant_matmul_impl.clear_cache()  # override changes the traced program
+    # the tiling is a static jit arg resolved per call — each override is
+    # a distinct cache entry (clear_cache never forced a retrace; r3 fix)
 
     import functools
 

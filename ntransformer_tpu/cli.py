@@ -173,13 +173,15 @@ def main(argv=None) -> int:
         log.info(f"loading {args.model} (resident, {args.cp}-way context "
                  "parallel)")
         engine = CPEngine.load(args.model, cp=args.cp,
-                               max_seq_len=args.ctx_size)
+                               max_seq_len=args.ctx_size,
+                               kv_quant=args.kv_int8)
     elif args.tp:
         from .inference.engine import TPEngine
         log.info(f"loading {args.model} (resident, {args.tp}-way TP)")
         engine = TPEngine.load(args.model, tp=args.tp,
                                max_seq_len=args.ctx_size,
-                               fuse=not args.no_fuse)
+                               fuse=not args.no_fuse,
+                               kv_quant=args.kv_int8)
     else:
         log.info(f"loading {args.model} (resident)")
         # draft loaded FIRST so it gets HBM priority (main.cpp:121-132)

@@ -465,8 +465,9 @@ class TPEngine(Engine):
     (parallel/tp.py): weights and KV heads sharded, per-layer psums over
     ICI — the multi-chip serving mode the single-GPU reference lacks."""
 
-    def __init__(self, model: LoadedModel, mesh, fuse: bool = False):
-        super().__init__(model, None)
+    def __init__(self, model: LoadedModel, mesh, fuse: bool = False,
+                 kv_quant: bool = False):
+        super().__init__(model, None, kv_quant=kv_quant)
         import dataclasses
         from ..parallel.tp import TP_AXIS, shard_weights
         self.mesh = mesh
@@ -489,22 +490,24 @@ class TPEngine(Engine):
 
     @classmethod
     def load(cls, path: str, mesh=None, tp: int | None = None,
-             fuse: bool = False, **kw):
+             fuse: bool = False, kv_quant: bool = False, **kw):
         from ..parallel.multihost import make_mesh
         if mesh is None:
             mesh = make_mesh(tp=tp)
         # device=False: weights stay host-side until sharded placement, so
         # the full model never lands unsharded on device 0
-        return cls(load_model(path, device=False, **kw), mesh, fuse=fuse)
+        return cls(load_model(path, device=False, **kw), mesh, fuse=fuse,
+                   kv_quant=kv_quant)
 
     def _make_kv(self):
         from ..parallel.tp import kv_spec
         from jax.sharding import NamedSharding
-        kv = KVCache.create(self.arch)
-        spec = kv_spec()
-        return KVCache(
-            jax.device_put(kv.k, NamedSharding(self.mesh, spec.k)),
-            jax.device_put(kv.v, NamedSharding(self.mesh, spec.v)))
+        kv = KVCache.create(self.arch, quant=self.kv_quant)
+        spec = kv_spec(self.kv_quant)
+        put = lambda x, s: (None if x is None else
+                            jax.device_put(x, NamedSharding(self.mesh, s)))
+        return KVCache(put(kv.k, spec.k), put(kv.v, spec.v),
+                       put(kv.ks, spec.ks), put(kv.vs, spec.vs))
 
     def _fwd(self, *, all_logits=False, with_cosine=False, has_sel=False,
              has_nv=False):
@@ -514,7 +517,8 @@ class TPEngine(Engine):
             self._fwd_cache[key] = make_tp_forward(
                 self.mesh, self.arch, all_logits=all_logits,
                 with_cosine=with_cosine, weights_template=self._w_template,
-                has_layer_sel=has_sel, has_n_valid=has_nv)
+                has_layer_sel=has_sel, has_n_valid=has_nv,
+                kv_quant=self.kv_quant)
         return self._fwd_cache[key]
 
     def generate_self_speculative_fused(self, prompt, cfg=None, callback=None,
@@ -577,7 +581,8 @@ class TPEngine(Engine):
             n_tokens = min(n_tokens,
                            max(1, (self.arch.max_seq_len - len(ids) - 1) // 2))
             loop = make_tp_decode_loop(self.mesh, self.arch, n_tokens,
-                                       weights_template=self._w_template)
+                                       weights_template=self._w_template,
+                                       kv_quant=self.kv_quant)
             # warmup compiles AND advances the cache; the timed run starts
             # past it (same protocol as Engine.benchmark)
             toks, kv = loop(self._weights, kv, nxt, jnp.int32(pos))
@@ -615,7 +620,15 @@ class CPEngine(Engine):
         self._fwd_cache: dict = {}
 
     @classmethod
-    def load(cls, path: str, cp: int | None = None, mesh=None, **kw):
+    def load(cls, path: str, cp: int | None = None, mesh=None,
+             kv_quant: bool = False, **kw):
+        if kv_quant:
+            # fail at LOAD time, not first decode: silently dropping the
+            # flag would run a 2x-bigger cache than the user budgeted for
+            raise NotImplementedError(
+                "--kv-int8 with context parallelism is not supported "
+                "(int8 KV + CP guard, models/llama.py); drop --kv-int8 "
+                "or use --tp, where int8 KV composes")
         from ..parallel.cp import make_cp_mesh
         if mesh is None:
             mesh = make_cp_mesh(cp)

@@ -244,15 +244,16 @@ class BatchServer:
                 return logits, kv
         self._prefill = _prefill
 
-    def warmup(self, buckets=(8, 64, 512)) -> float:
+    def warmup(self, buckets=None) -> float:
         """Compile every program the serving loop dispatches BEFORE the
         first request: the batched decode step, the slot insert, the
-        prefill chunk set (first-chunk buckets + the steady chunk), and
-        the batched sampler. On this rig a cold program costs minutes of
-        remote compile — measured as a 184 s ttft p50 in the arrival
-        replay when warmup happened inside the serve clock. A production
-        server calls this once at startup; run() calls it automatically.
-        Returns the wall seconds spent."""
+        prefill chunk set (EVERY first-chunk bucket _Admission.step can
+        produce — the full _bucket ladder up to admit_chunk — plus the
+        steady chunk), and the batched sampler. On this rig a cold
+        program costs minutes of remote compile — measured as a 184 s
+        ttft p50 in the arrival replay when warmup happened inside the
+        serve clock. A production server calls this once at startup;
+        run() calls it automatically. Returns the wall seconds spent."""
         t0 = time.perf_counter()
         arch = self.arch
         bkv = self._make_bkv()
@@ -262,6 +263,13 @@ class BatchServer:
         logits, bkv = self._step(self.weights, bkv, toks, pos, act)
         np.asarray(jnp.argmax(logits, axis=-1))
         kv = self._make_kv()
+        if buckets is None:
+            # the admission path buckets a request's FIRST chunk with
+            # _bucket(t) for any t <= admit_chunk: warm the whole ladder,
+            # or a 16-token prompt still hits a cold multi-minute compile
+            # inside the serve clock
+            buckets = [b for b in (8, 16, 32, 64, 128, 256, 512, 1024,
+                                   2048, 4096) if b <= self.admit_chunk]
         for p in sorted({_bucket(min(b, self.admit_chunk))
                          for b in buckets} | {self.admit_chunk}):
             if p > arch.max_seq_len:

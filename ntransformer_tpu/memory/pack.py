@@ -235,15 +235,29 @@ def pack_path_for(gguf_path: str, requant: DType | None = None) -> str:
 
 def gguf_content_key(gguf_path: str) -> str:
     """Content key for pack staleness: file size + hash of the header
-    region (the GGUF header carries every tensor's dtype/offset, so a
-    requant rewrites it even when mtimes lie — the mtime check this
-    replaces silently served stale weights after a fresh clone; same
-    source-hash idiom as memory/native.py)."""
+    region PLUS strided samples of the tensor-data region. The header
+    catches any dtype/offset/layout change, but a same-size re-export
+    (fine-tuned weights, identical arch) changes ONLY tensor data — and
+    on real models the header hash alone never sees it (Llama-3 tokenizer
+    metadata is several MB, so a first-MB hash covers no data at all).
+    16 × 256 KB strided samples make that case detectable for a few ms of
+    buffered reads. Replaces the mtime check that silently served stale
+    weights after a fresh clone; same source-hash idiom as
+    memory/native.py."""
     import hashlib
     size = os.path.getsize(gguf_path)
     h = hashlib.sha256()
+    head = 4 << 20
     with open(gguf_path, "rb") as f:
-        h.update(f.read(1 << 20))
+        h.update(f.read(head))
+        if size > head:
+            sample, n = 256 << 10, 16
+            span = size - head
+            for i in range(n):
+                f.seek(head + (span * i) // n)
+                h.update(f.read(min(sample, size - f.tell())))
+            f.seek(max(size - sample, head))  # always include the tail
+            h.update(f.read())
     return f"{size}-{h.hexdigest()[:16]}"
 
 

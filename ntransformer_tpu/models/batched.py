@@ -232,12 +232,13 @@ def _batched_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
         kq, ks_new, vq, vs_new = _quantize_rows(k_t, v_t)
         att = flash_decode_batched(
             q.reshape(B, Hq, D), (bkv.k, bkv.ks), (bkv.v, bkv.vs),
-            (kq, ks_new), (vq, vs_new), pos, scale, layer=layer)
+            (kq, ks_new), (vq, vs_new), pos, scale, layer=layer,
+            active=active)
         rows = (kq, ks_new, vq, vs_new)
     else:
         att = flash_decode_batched(
             q.reshape(B, Hq, D), bkv.k, bkv.v, k_t, v_t, pos, scale,
-            layer=layer)
+            layer=layer, active=active)
         rows = (k_t, v_t)
     x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
     return x, rows
@@ -254,16 +255,65 @@ def _insert(bkv: "BatchedKV", kv: KVCache, slot):
                      bkv.v.at[:, slot].set(kv.v))
 
 
-@partial(jax.jit, static_argnames=("arch", "tp_axis"), donate_argnames=("kv",))
+def _resolve_impl(impl: str | None, kv_append: str | None):
+    """Resolve the implementation switches from the environment OUTSIDE
+    any traced code. They become STATIC jit arguments — reading env vars
+    inside the traced body latches the first-traced choice for the whole
+    process (jax's global trace cache survives even Lowered.clear_cache),
+    which made env-flip A/Bs silently compare one path against itself."""
+    import os
+    if impl is None:
+        impl = "kernel" if _batched_kernels_on() else "jnp"
+    if kv_append is None:
+        kv_append = os.environ.get("NT_KV_APPEND", "kernel")
+    assert impl in ("kernel", "jnp") and kv_append in ("kernel", "dus")
+    return impl, kv_append
+
+
 def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
-                        active: jnp.ndarray, tp_axis: str | None = None):
+                        active: jnp.ndarray, tp_axis: str | None = None,
+                        impl: str | None = None,
+                        kv_append: str | None = None):
     """One decode step for B sequences.
 
     tokens [B] int32; pos [B] int32 (per-sequence write offset);
     active [B] bool (inactive slots compute but neither write KV nor
-    advance). Returns (logits [B, V] f32, new BatchedKV).
+    advance). impl: "kernel" (deferred-write Pallas path) | "jnp" |
+    None (NT_BATCHED_FLASH / backend default); kv_append: "kernel" |
+    "dus" | None (NT_KV_APPEND). Returns (logits [B, V] f32, BatchedKV).
     """
+    impl, kv_append = _resolve_impl(impl, kv_append)
+    return _batched_decode_step(arch, weights, kv, tokens, pos, active,
+                                tp_axis, impl, kv_append)
+
+
+def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
+                        tokens, pos, active, tp_axis: str | None = None,
+                        impl: str | None = None,
+                        kv_append: str | None = None):
+    """Un-jitted step body for callers that trace it inside their own
+    transform (shard_map in parallel/dp.py). Env switches resolve at the
+    caller's trace time."""
+    impl, kv_append = _resolve_impl(impl, kv_append)
+    return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
+                      impl, kv_append)
+
+
+@partial(jax.jit, static_argnames=("arch", "tp_axis", "impl", "kv_append"),
+         donate_argnames=("kv",))
+def _batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
+                         tokens: jnp.ndarray, pos: jnp.ndarray,
+                         active: jnp.ndarray, tp_axis: str | None,
+                         impl: str, kv_append: str):
+    return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
+                      impl, kv_append)
+
+
+def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
+               tokens: jnp.ndarray, pos: jnp.ndarray,
+               active: jnp.ndarray, tp_axis: str | None,
+               impl: str, kv_append: str):
     B = tokens.shape[0]
     x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
                      tp_axis=tp_axis)              # [B, H]
@@ -276,7 +326,7 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     cos_t, sin_t = jax.vmap(rope_rows)(pos)      # [B, 1, d2]
 
     indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
-    deferred = _batched_kernels_on()
+    deferred = impl == "kernel"
     if deferred:
         from ..ops.pallas.kv_update import (append_rows_stacked,
                                             append_rows_stacked_dus,
@@ -284,8 +334,7 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         caches = ((kv.k, kv.ks, kv.v, kv.vs) if kv.quantized
                   else (kv.k, kv.v))
         deferred = supports(caches)
-        import os as _os
-        if _os.environ.get("NT_KV_APPEND", "kernel") == "dus":
+        if kv_append == "dus":
             # experiment switch: XLA scalar-indexed DUS instead of the
             # Pallas tile merge (A/B for the append-cost bisect)
             def append_rows_stacked(cs, rs, p, a):  # noqa: F811

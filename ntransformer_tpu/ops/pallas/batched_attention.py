@@ -84,12 +84,17 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     pos = scal_ref[1, b]  # the NEW token's position; cache keys are < pos
+    # active flag: ACTIVE slots attend cache [0, pos-1] plus the virtual
+    # row; INACTIVE slots attend the FROZEN cache [0, pos] and the virtual
+    # row is masked out — bit-matching the jnp path's masked-write-then-
+    # attend semantics (the write kernel also freezes inactive rows).
+    act = scal_ref[2, b]
 
-    @pl.when(j * block_s <= pos - 1)
+    @pl.when(j * block_s <= pos - act)
     def _block():
         kpos = j * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (group, block_s), 1)
-        live = kpos < pos
+        live = kpos <= pos - act
         for h in range(hkv):
             q = q_ref[0, h].astype(F32)          # [group, D]
             k = at(k_ref, h).astype(F32)         # [block_s, D]
@@ -127,6 +132,8 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
                 preferred_element_type=F32) * scale  # [group, 1]
             if quant:
                 s = s * kns_ref[0, h].astype(F32)    # [1, 1]
+            s = jnp.where(act == 1, s, NEG_INF)      # no virtual row when
+            #                                          the slot is inactive
             m_prev = m_ref[h][:, :1]
             m_new = jnp.maximum(m_prev, s)
             alpha = jnp.exp(m_prev - m_new)
@@ -150,16 +157,19 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
     n_blocks = s // block_s
     grid = (b, n_blocks)
 
-    # index maps: scal[0,0] = layer (stacked caches), scal[1,:] = pos.
-    # blocks past a sequence's last live key clamp to the previous index
-    # (pos-1: the new token's row is NOT in the cache; it arrives as the
-    # virtual block). max(pos-1, 0) keeps pos=0 in range.
+    # index maps: scal[0,0] = layer (stacked caches), scal[1,:] = pos,
+    # scal[2,:] = active. Blocks past a sequence's last live key clamp to
+    # the previous index (active: pos-1 — the new token's row is NOT in
+    # the cache, it arrives as the virtual block; inactive: pos — the
+    # frozen row at pos IS attended). max(.., 0) keeps pos=0 in range.
     def kv_map(bi, j, sref):
-        jl = jnp.minimum(j, jnp.maximum(sref[1, bi] - 1, 0) // block_s)
+        last = jnp.maximum(sref[1, bi] - sref[2, bi], 0)
+        jl = jnp.minimum(j, last // block_s)
         return ((sref[0, 0], bi, 0, jl, 0) if stacked else (bi, 0, jl, 0))
 
     def sc_map(bi, j, sref):
-        jl = jnp.minimum(j, jnp.maximum(sref[1, bi] - 1, 0) // block_s)
+        last = jnp.maximum(sref[1, bi] - sref[2, bi], 0)
+        jl = jnp.minimum(j, last // block_s)
         return ((sref[0, 0], bi, 0, 0, jl) if stacked else (bi, 0, 0, jl))
 
     def b_map(bi, j, sref):
@@ -204,7 +214,7 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
 
 def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
                          pos: jnp.ndarray, scale: float, *,
-                         layer=None,
+                         layer=None, active=None,
                          interpret: bool | None = None) -> jnp.ndarray:
     """Batched decode attention over per-sequence caches plus the CURRENT
     token's (not-yet-written) k/v row.
@@ -216,6 +226,9 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
     cache carries a leading [L] axis and the kernel indexes it via scalar
     prefetch (no slice copies). k_new/v_new: [B, Hkv, D] floats or
     (codes [B, Hkv, D], scales [B, Hkv, 1]) matching the cache.
+    active [B] bool (default all-active): INACTIVE slots attend the
+    frozen cache rows [0, pos] and the virtual row is masked out, exactly
+    matching the jnp path's masked-write-then-attend semantics.
     Returns [B, Hq, D] f32.
     """
     if interpret is None:
@@ -247,7 +260,9 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
     group = hq // hkv
     qr = q.reshape(b, hkv, group, d)
     li = jnp.full((b,), 0 if layer is None else layer, jnp.int32)
-    scal = jnp.stack([li, jnp.asarray(pos, jnp.int32)])
+    act = (jnp.ones((b,), jnp.int32) if active is None
+           else jnp.asarray(active, jnp.int32))
+    scal = jnp.stack([li, jnp.asarray(pos, jnp.int32), act])
     out = _impl(qr, k, v, ks, vs, kn, vn, kns, vns, scal, scale=scale,
                 quant=quant, stacked=stacked, interpret=interpret)
     return out.reshape(b, hq, d)

@@ -263,19 +263,25 @@ def _pick_tiles(dtype: DType, k: int, n: int) -> tuple[int, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "k", "n", "out_dtype",
-                                             "interpret", "stacked"))
+                                             "interpret", "stacked", "tiles"))
 def _quant_matmul_impl(x, planes_tuple, dtype: DType, k: int, n: int,
                        out_dtype, interpret: bool, stacked: bool = False,
-                       layer=None):
+                       layer=None, tiles: tuple | None = None):
     """Fused dequant+matmul. With stacked=True, each plane carries a leading
     [L] dim and `layer` (scalar-prefetched) selects the layer INSIDE the
     kernel's index_map — the model's layer scan then reads weights straight
     from the stacked arrays with zero copies (profiling showed XLA's
-    dynamic-slice of scan-carried weights costing ~55% of decode time)."""
+    dynamic-slice of scan-carried weights costing ~55% of decode time).
+
+    tiles: the (tn, tk) choice as a STATIC argument, resolved by the
+    caller via _pick_tiles — it must be part of the jit cache key, or a
+    TILE_OVERRIDE change between calls is invisible (jax's global trace
+    cache survives clear_cache(), which made override A/B sweeps time the
+    first-traced tiling under every label)."""
     t = x.shape[0]
     names = QLinear.plane_names(dtype)
     planes = dict(zip(names, planes_tuple))
-    tn, tk = _pick_tiles(dtype, k, n)
+    tn, tk = tiles if tiles is not None else _pick_tiles(dtype, k, n)
     # Mosaic requires the sublane block be a multiple of 8 or span the whole
     # dim — odd T (unbucketed prefill) falls back to one whole-T block.
     tt = _largest_tile(t, (256, 128, 64, 32, 16, 8)) if t % 8 == 0 else t
@@ -384,4 +390,5 @@ def quant_matmul_pallas(x: jnp.ndarray, ql: QLinear, *,
     k, n = plane_dims(ref_planes, ql.dtype)
     return _quant_matmul_impl(x, planes_tuple, ql.dtype, k, n,
                               out_dtype, interpret, stacked=stacked,
-                              layer=layer)
+                              layer=layer,
+                              tiles=_pick_tiles(ql.dtype, k, n))

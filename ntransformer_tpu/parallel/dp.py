@@ -28,7 +28,7 @@ with warnings.catch_warnings():
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.batched import BatchedKV, batched_decode_step
+from ..models.batched import BatchedKV, batched_decode_body
 from ..models.llama import Arch, ModelWeights
 from .multihost import DP_AXIS
 from .tp import TP_AXIS, local_arch, weight_specs
@@ -73,7 +73,7 @@ def make_batched_decode_sharded(mesh: Mesh, arch: Arch,
     vec = P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None)
 
     def body(weights, kv, tokens, pos, active):
-        return batched_decode_step.__wrapped__(
+        return batched_decode_body(
             arch_l, weights, kv, tokens, pos, active,
             tp_axis=TP_AXIS if has_tp else None)
 

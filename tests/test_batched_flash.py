@@ -123,8 +123,13 @@ def test_flash_decode_batched_stacked_layer():
 def test_deferred_step_matches_jnp_step(tmp_path):
     """The full deferred-write decode step (stacked-cache kernel reads +
     virtual rows + post-scan bulk append) reproduces the jnp path's logits
-    AND cache contents on a tiny model."""
-    import os
+    AND cache contents on a tiny model — INCLUDING an inactive slot, whose
+    logits must come from the frozen cache with the virtual row masked.
+
+    The implementations are selected via the STATIC `impl` argument (a
+    real retrace per choice); the old env-flip + _clear_cache() harness
+    was vacuous — jax 0.9's global trace cache ignores clear_cache, so
+    both calls silently reused the first-traced path."""
     from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
     from ntransformer_tpu.models.loader import load_model
     from tools.make_test_gguf import write_model
@@ -136,19 +141,10 @@ def test_deferred_step_matches_jnp_step(tmp_path):
     tokens = jnp.asarray([3, 7, 11], jnp.int32)
     pos = jnp.asarray([0, 5, 63], jnp.int32)
     active = jnp.asarray([True, True, False])
-    os.environ["NT_BATCHED_FLASH"] = "off"
-    try:
-        l_ref, kv_ref = batched_decode_step(arch, w, BatchedKV.create(arch, B),
-                                            tokens, pos, active)
-        os.environ["NT_BATCHED_FLASH"] = "on"
-        # distinct donate buffers; jit retraces because env flips the path —
-        # force it by clearing the cache
-        batched_decode_step._clear_cache()
-        l_k, kv_k = batched_decode_step(arch, w, BatchedKV.create(arch, B),
-                                        tokens, pos, active)
-    finally:
-        os.environ.pop("NT_BATCHED_FLASH", None)
-        batched_decode_step._clear_cache()
+    l_ref, kv_ref = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                        tokens, pos, active, impl="jnp")
+    l_k, kv_k = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                    tokens, pos, active, impl="kernel")
     np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_array_equal(
@@ -157,6 +153,43 @@ def test_deferred_step_matches_jnp_step(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(kv_k.v).astype(np.float32),
         np.asarray(kv_ref.v).astype(np.float32))
+
+
+def test_deferred_step_inactive_nonzero_cache(tmp_path):
+    """Same parity with an inactive slot whose frozen cache region is
+    NON-zero (the slot decoded earlier, then was retired): the kernel
+    must attend rows [0, pos] of the frozen cache, not the virtual row."""
+    from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
+    from ntransformer_tpu.models.loader import load_model
+    from tools.make_test_gguf import write_model
+    path = str(tmp_path / "ti.gguf")
+    write_model(path, "tiny", "q8_0", seed=23)
+    m = load_model(path)
+    arch, w = m.arch, m.weights
+    B = 2
+    tokens = jnp.asarray([3, 7], jnp.int32)
+    # two all-active warm steps fill rows 0-1 of both slots
+    kv_j = BatchedKV.create(arch, B)
+    kv_n = BatchedKV.create(arch, B)
+    act1 = jnp.asarray([True, True])
+    for p in range(2):
+        pv = jnp.full((B,), p, jnp.int32)
+        _, kv_j = batched_decode_step(arch, w, kv_j, tokens, pv, act1,
+                                      impl="jnp")
+        _, kv_n = batched_decode_step(arch, w, kv_n, tokens, pv, act1,
+                                      impl="kernel")
+    # now slot 1 goes inactive at pos=2 (frozen rows 0-1 are non-zero)
+    pos = jnp.asarray([2, 2], jnp.int32)
+    active = jnp.asarray([True, False])
+    l_ref, kv_j = batched_decode_step(arch, w, kv_j, tokens, pos, active,
+                                      impl="jnp")
+    l_k, kv_n = batched_decode_step(arch, w, kv_n, tokens, pos, active,
+                                    impl="kernel")
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(
+        np.asarray(kv_n.k).astype(np.float32),
+        np.asarray(kv_j.k).astype(np.float32))
 
 
 def test_pick_block_s():
@@ -234,9 +267,10 @@ def test_kv_append_bf16_cast():
 
 
 def test_dus_append_matches_kernel_append(tmp_path):
-    """NT_KV_APPEND=dus (scalar-indexed XLA updates) must produce the same
-    cache contents and logits as the Pallas tile-merge append."""
-    import os
+    """kv_append="dus" (scalar-indexed XLA updates) must produce the same
+    cache contents and logits as the Pallas tile-merge append. Selected
+    via the static argument (see test_deferred_step_matches_jnp_step on
+    why env flips were vacuous)."""
     from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
     from ntransformer_tpu.models.loader import load_model
     from tools.make_test_gguf import write_model
@@ -248,18 +282,12 @@ def test_dus_append_matches_kernel_append(tmp_path):
     tokens = jnp.asarray([2, 9, 13], jnp.int32)
     pos = jnp.asarray([1, 4, 32], jnp.int32)
     active = jnp.asarray([True, False, True])
-    os.environ["NT_BATCHED_FLASH"] = "on"
-    try:
-        l_k, kv_k = batched_decode_step(arch, w, BatchedKV.create(arch, B),
-                                        tokens, pos, active)
-        os.environ["NT_KV_APPEND"] = "dus"
-        batched_decode_step._clear_cache()
-        l_d, kv_d = batched_decode_step(arch, w, BatchedKV.create(arch, B),
-                                        tokens, pos, active)
-    finally:
-        os.environ.pop("NT_BATCHED_FLASH", None)
-        os.environ.pop("NT_KV_APPEND", None)
-        batched_decode_step._clear_cache()
+    l_k, kv_k = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                    tokens, pos, active,
+                                    impl="kernel", kv_append="kernel")
+    l_d, kv_d = batched_decode_step(arch, w, BatchedKV.create(arch, B),
+                                    tokens, pos, active,
+                                    impl="kernel", kv_append="dus")
     np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_k),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(

@@ -53,3 +53,28 @@ def test_kernel_q8_large_k_tail():
     x = (np.random.default_rng(5).standard_normal((1, k)) * 0.3).astype(np.float32)
     got = np.asarray(quant_matmul_pallas(jnp.asarray(x), ql, interpret=True))
     np.testing.assert_allclose(got, x @ dense.T, rtol=1e-4, atol=1e-4)
+
+
+def test_tile_override_changes_program_and_preserves_result():
+    """TILE_OVERRIDE must take effect on the NEXT call (the tiling is a
+    static jit argument): a new override means a new cache entry — no
+    clear_cache() needed, which never forced a retrace anyway (jax 0.9's
+    global trace cache ignores it; advisor r3 found the override A/B
+    sweeps timing the first-traced tiling under every label). And any
+    tiling must produce identical results."""
+    from ntransformer_tpu.ops.pallas import matmul as mm
+    dt = DType.Q8_0
+    n, k = 256, 512
+    ql, dense = _make(dt, n, k, seed=7)
+    x = (np.random.default_rng(8).standard_normal((1, k)) * 0.3).astype(np.float32)
+    base = np.asarray(quant_matmul_pallas(jnp.asarray(x), ql, interpret=True))
+    size0 = mm._quant_matmul_impl._cache_size()
+    mm.TILE_OVERRIDE[(dt, k, n)] = (128, 128)
+    try:
+        got = np.asarray(quant_matmul_pallas(jnp.asarray(x), ql,
+                                             interpret=True))
+    finally:
+        del mm.TILE_OVERRIDE[(dt, k, n)]
+    assert mm._quant_matmul_impl._cache_size() > size0, \
+        "override did not produce a new compiled program"
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)

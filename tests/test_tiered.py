@@ -435,6 +435,35 @@ def test_ensure_pack_content_stale_rebuilds(tmp_path):
     assert os.path.getmtime(p3.path) == mt
 
 
+def test_content_key_sees_data_beyond_header(tmp_path):
+    """A same-size change ONLY in the tensor-data region — past the 4 MB
+    header hash window — must flip the content key (a fine-tune re-export
+    of a real model keeps the multi-MB metadata block byte-identical;
+    advisor r3: the first-MB-only hash missed this entirely). The strided
+    samples cover the data span start/middle/end."""
+    from ntransformer_tpu.memory.pack import gguf_content_key
+    path = str(tmp_path / "big.bin")
+    size = 24 << 20
+    with open(path, "wb") as f:
+        f.write(b"\x7f" * size)
+    key0 = gguf_content_key(path)
+    head = 4 << 20
+    # a fine-tune rewrites essentially every data byte; the sampled-window
+    # guarantee is: changes at the span start, any stride point, or the
+    # tail are seen
+    for off in (head, head + (size - head) // 2 // (1 << 18) * (1 << 18),
+                size - 1):
+        with open(path, "r+b") as f:
+            f.seek(off)
+            f.write(b"\x00")
+        key1 = gguf_content_key(path)
+        assert key1 != key0, f"change at {off} not detected"
+        with open(path, "r+b") as f:  # restore
+            f.seek(off)
+            f.write(b"\x7f")
+        assert gguf_content_key(path) == key0
+
+
 def test_kv_quant_shrinks_hbm_reserve(tiny_gguf):
     """The tier auto-sizer budgets the int8 KV cache at its real size
     (codes + f32 scales ~53% of bf16), so --kv-int8 frees HBM for more

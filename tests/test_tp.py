@@ -97,6 +97,25 @@ def test_tp_engine_generate_matches_resident():
     assert got2.startswith(want[: len(want) // 2])
 
 
+def test_tp_engine_kv_int8(model):
+    """TPEngine(kv_quant=True) — the --kv-int8 --tp CLI combination —
+    actually runs an int8 head-sharded cache (advisor r3: the flag was
+    silently dropped and a full bf16 cache allocated) and reproduces the
+    resident int8-KV engine's greedy tokens."""
+    from ntransformer_tpu.inference.engine import (Engine, GenerateConfig,
+                                                   TPEngine)
+    from jax.sharding import Mesh
+    ref = Engine(model, kv_quant=True)
+    eng = TPEngine(model, Mesh(np.array(jax.devices()[:2]), (TP_AXIS,)),
+                   kv_quant=True)
+    kv = eng._make_kv()
+    assert kv.k.dtype == jnp.int8 and kv.ks is not None
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    want, _ = ref.generate("hello int8 tp", cfg)
+    got, _ = eng.generate("hello int8 tp", cfg)
+    assert got == want
+
+
 def test_tp_engine_chunked_prefill(model):
     """TPEngine inherits the shared PREFILL_CHUNK loop (r1 verdict item 8):
     a prompt longer than the chunk size prefills in chunks at nonzero
