@@ -115,7 +115,7 @@ def main():
     log(f"decode: {dt*1e3:.2f} ms/tok "
         f"({tps:.2f} tok/s, {nbytes*tps/1e9:.0f} GB/s effective)")
     print(json.dumps({
-        "metric": "llama8b_q8_0_resident_decode",
+        "metric": f"llama{preset}_{dtype}_resident_decode",
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / BASELINE_8B_Q8_DECODE, 3),
