@@ -242,9 +242,7 @@ class Engine:
             PROFILER.end("engine/decode_step")
             pos += 1
         if callback:
-            tail = dec.flush()
-            if tail:
-                callback(tail)
+            dec.flush_to(callback)
         jax.block_until_ready(logits)
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
@@ -350,9 +348,7 @@ class Engine:
                     break
             pos += n_acc + 1
         if callback:
-            tail = dec.flush()
-            if tail:
-                callback(tail)
+            dec.flush_to(callback)
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return tok.decode(out_ids), stats
@@ -403,9 +399,7 @@ class Engine:
                 if int(t) in tok.stop_ids:
                     break
         if callback:
-            tail = dec.flush()
-            if tail:
-                callback(tail)
+            dec.flush_to(callback)
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
         return tok.decode(out_ids), stats

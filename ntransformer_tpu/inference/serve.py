@@ -63,9 +63,7 @@ class Request:
 
     def done(self, text: str):
         if self.on_token is not None and self._dec is not None:
-            tail = self._dec.flush()  # trailing incomplete bytes, if any
-            if tail:
-                self.on_token(tail)
+            self._dec.flush_to(self.on_token)  # trailing incomplete bytes
         self._text = text
         self.finished_at = time.time()
 
@@ -152,6 +150,12 @@ class BatchServer:
         self.mesh = mesh
         if mesh is not None:
             self._init_sharded(mesh)
+            # host-side weights served their purpose (sharded placement +
+            # spec templates); keeping them would hold a full host copy
+            # for the server's lifetime (~35 GB at 70B — same drop as
+            # TPEngine, advisor finding r1)
+            import dataclasses
+            self.model = dataclasses.replace(model, weights=None)
         else:
             self.weights = model.weights
             self._step = lambda w, bkv, t, p, a: batched_decode_step(
@@ -194,9 +198,8 @@ class BatchServer:
         self.weights, _ = shard_server_state(mesh, arch, template, self.B,
                                              quant=self.kv_quant)
         _, bkv_spec, has_tp = _specs(mesh, template, quant=self.kv_quant)
-        step = make_batched_decode_sharded(mesh, arch, template,
-                                           quant=self.kv_quant)
-        self._step = lambda w, bkv, t, p, a: step(w, bkv, t, p, a)
+        self._step = make_batched_decode_sharded(mesh, arch, template,
+                                                 quant=self.kv_quant)
         vec_sh = NamedSharding(
             mesh, P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None))
         self._vec = lambda x: jax.device_put(np.asarray(x), vec_sh)

@@ -399,3 +399,9 @@ class StreamDecoder:
         piece = bytes(self.buf).decode("utf-8", errors="replace")
         self.buf.clear()
         return piece
+
+    def flush_to(self, callback) -> None:
+        """End-of-stream: hand any trailing bytes to the callback."""
+        tail = self.flush()
+        if tail:
+            callback(tail)
