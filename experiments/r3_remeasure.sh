@@ -1,14 +1,14 @@
 #!/bin/bash
 # Chained r3 re-measurement pass (run on a quiet rig; every stage appends
-# to experiments/r3_remeasure.log). Order matters: probes first (smallest
-# compiles), then per-dtype headline decode, then the warm serve replay.
+# to experiments/r3_remeasure.log). Order: decisive in-model runs first
+# (headline per-dtype decode + switch A/Bs + serve replay + scaling), the
+# isolated-kernel probe last — the r3 kernel fix changed every batched
+# program's HLO, so everything recompiles; spend that budget on the
+# numbers that decide.
 set -u
 cd /root/repo
 LOG=experiments/r3_remeasure.log
 stamp() { echo "# ===== [$(date +%H:%M:%S)] $1 =====" | tee -a "$LOG"; }
-
-stamp "lmhead+append probe"
-timeout 3600 python experiments/lmhead_append_probe.py all >>"$LOG" 2>&1
 
 stamp "per-dtype single-stream decode (batched1 mode, B=1)"
 for dt in q8_0 q4_k_m q6_k q4_0; do
@@ -37,5 +37,11 @@ done
 
 stamp "serve replay B=8 (warmup outside the clock)"
 timeout 2400 python experiments/serve_replay.py 8 24 >>"$LOG" 2>&1
+
+stamp "batched scaling incl. B=64 int8 (serving headline curve)"
+timeout 3600 python experiments/batched_scaling.py >>"$LOG" 2>&1
+
+stamp "lmhead+append probe"
+timeout 3600 python experiments/lmhead_append_probe.py all >>"$LOG" 2>&1
 
 stamp "done"
