@@ -76,6 +76,30 @@ def test_sharded_server_int8_kv(model):
         assert r.finished_at > 0 and len(r.output_ids) >= 1
 
 
+def test_sharded_server_flagship_combo(model):
+    """The full 70B-serving configuration in ONE server: DP×TP mesh +
+    int8 KV + interleaved fused QKV/gate-up. Each pairwise combination is
+    tested above; the product ships them together, so the triple must
+    reproduce the SINGLE-CHIP server run with the same int8 KV config
+    (int8 quantization legitimately moves near-tie argmaxes on this
+    random tiny model, so the bf16 text is not the baseline — same
+    reasoning as test_sharded_server_int8_kv)."""
+    srv1 = BatchServer(model, batch_size=2, kv_quant=True,
+                       sampler_cfg=SamplerConfig(temperature=0.0))
+    want_reqs = [Request(prompt=p, max_tokens=6) for p in PROMPTS]
+    srv1.run(want_reqs)
+    want = [r.text for r in want_reqs]
+    mesh = make_mesh(tp=2, dp=4)
+    srv = BatchServer(model, batch_size=4, mesh=mesh, kv_quant=True,
+                      fuse=True, sampler_cfg=SamplerConfig(temperature=0.0))
+    assert srv.model.weights is None  # host copy dropped after sharding
+    reqs = [Request(prompt=p, max_tokens=6) for p in PROMPTS]
+    stats = srv.run(reqs)
+    assert stats.requests == len(PROMPTS)
+    for r, w in zip(reqs, want):
+        assert r.text == w, f"{r.prompt!r}: {r.text!r} != {w!r}"
+
+
 def test_dryrun_16dev_two_host_shape():
     """The 2×8 two-host-shaped DP×TP config must actually EXECUTE (r2 weak
     #7: the block was gated on 16 visible devices and never ran). Spawned
