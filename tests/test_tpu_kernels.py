@@ -134,3 +134,74 @@ def test_compiled_flash_attention_parity():
                                     jnp.asarray(vc, dtype=jnp.bfloat16),
                                     0, T, scale))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_compiled_batched_flash_decode_parity(quant):
+    """Mosaic-compiled batched flash-decode (the serving kernel) == jnp
+    batched attention, bf16 and int8 caches, INCLUDING an inactive slot
+    (attends the frozen cache rows [0, pos]; virtual row masked)."""
+    from ntransformer_tpu.models.batched import batched_attention
+    from ntransformer_tpu.ops.pallas.batched_attention import (
+        flash_decode_batched)
+
+    B, Hq, Hkv, D, S = 4, 8, 2, 128, 256
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32) * 0.3
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.3
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.3
+    pos = np.array([0, 7, 63, 255], np.int32)
+    active = np.array([True, True, False, True])
+    scale = 1.0 / np.sqrt(D)
+    bidx = np.arange(B)
+    dev = TPU[0]
+    put = lambda a, dt=None: jax.device_put(
+        jnp.asarray(a, dt) if dt else jnp.asarray(a), dev)
+    if quant:
+        ks = np.abs(k).max(-1, keepdims=True) / 127.0 + 1e-9
+        vs = np.abs(v).max(-1, keepdims=True) / 127.0 + 1e-9
+        kc = np.round(k / ks).astype(np.int8)
+        vc = np.round(v / vs).astype(np.int8)
+        kv_k = (put(kc), put(ks.astype(np.float32)))
+        kv_v = (put(vc), put(vs.astype(np.float32)))
+        k_new = (put(kc[bidx, :, pos]), put(ks[bidx, :, pos].astype(np.float32)))
+        v_new = (put(vc[bidx, :, pos]), put(vs[bidx, :, pos].astype(np.float32)))
+    else:
+        kv_k, kv_v = put(k, jnp.bfloat16), put(v, jnp.bfloat16)
+        k_new = put(k[bidx, :, pos], jnp.bfloat16)
+        v_new = put(v[bidx, :, pos], jnp.bfloat16)
+    got = np.asarray(flash_decode_batched(
+        put(q), kv_k, kv_v, k_new, v_new, put(pos), scale,
+        active=put(active), interpret=False))
+    # jnp reference semantics: the row at pos is ALREADY in the cache —
+    # true here by construction (virtual rows are the cache's own rows),
+    # and the inactive slot's [0, pos] window reads the same data
+    want = np.asarray(batched_attention(jnp.asarray(q), kv_k, kv_v,
+                                        jnp.asarray(pos), scale))
+    _assert_rel_rms(got, want)
+
+
+def test_compiled_bulk_kv_append():
+    """Mosaic-compiled whole-L in-place append: rows land at per-sequence
+    positions, inactive slots frozen, all other tiles untouched."""
+    from ntransformer_tpu.ops.pallas.kv_update import append_rows_stacked
+
+    L, B, Hkv, S, D = 3, 4, 2, 64, 128
+    rng = np.random.default_rng(9)
+    cache = rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32)
+    rows = rng.standard_normal((L, B, Hkv, 1, D)).astype(np.float32)
+    pos = np.array([0, 9, 31, 63], np.int32)
+    active = np.array([True, True, False, True])
+    dev = TPU[0]
+    cached = jax.device_put(jnp.asarray(cache, jnp.bfloat16), dev)
+    (got,) = append_rows_stacked(
+        (cached,), (jax.device_put(jnp.asarray(rows), dev),),
+        jax.device_put(jnp.asarray(pos), dev),
+        jax.device_put(jnp.asarray(active), dev), interpret=False)
+    want = np.asarray(jnp.asarray(cache, jnp.bfloat16)).copy()
+    rb = np.asarray(jnp.asarray(rows, jnp.bfloat16))
+    for b in range(B):
+        if active[b]:
+            want[:, b, :, pos[b]] = rb[:, b, :, 0]
+    np.testing.assert_array_equal(
+        np.asarray(got).astype(np.float32), want.astype(np.float32))
