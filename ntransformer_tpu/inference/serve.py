@@ -162,6 +162,7 @@ class BatchServer:
                 self.arch, w, bkv, t, p, a)
             self._insert = lambda bkv, kv, slot: bkv.insert(slot, kv)
             self._vec = jnp.asarray
+            self._fetch = np.asarray
             self._make_bkv = lambda: BatchedKV.create(self.arch, self.B,
                                                       quant=self.kv_quant)
             self._make_kv = lambda: KVCache.create(self.arch,
@@ -176,7 +177,18 @@ class BatchServer:
 
     def _init_sharded(self, mesh):
         """Build the DP(×TP) serving path: sharded weights/caches and the
-        shard_map'd decode step (parallel/dp.py)."""
+        shard_map'd decode step (parallel/dp.py).
+
+        Works on a single-process multi-device mesh AND on a true
+        multi-PROCESS mesh (jax.distributed — the north star's
+        "continuous batching across hosts"): host values enter as GLOBAL
+        arrays via make_array_from_callback (every process holds the same
+        host copy and contributes its addressable shards), caches are
+        created ON device by jitted creators with pinned out_shardings
+        (no host zeros upload), and per-step token fetches reshard to
+        fully-replicated before the D2H so every process can read them.
+        All host-side slot/admission decisions are deterministic given
+        the fetched tokens, so N processes stay in lock-step."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..models.batched import _insert
         from ..parallel.dp import (_specs, make_batched_decode_sharded,
@@ -185,6 +197,11 @@ class BatchServer:
         from ..parallel.tp import TP_AXIS, kv_spec, make_tp_forward
 
         arch = self.arch
+        if jax.process_count() > 1 and not self.scfg.greedy:
+            raise NotImplementedError(
+                "cross-process serving is greedy-only for now: the "
+                "BatchedSampler keeps process-local state that would "
+                "need global placement")
         template = self.model.weights
         if self._fuse and TP_AXIS in mesh.axis_names:
             # fuse with the per-shard interleaved lane order so column
@@ -202,14 +219,24 @@ class BatchServer:
                                                  quant=self.kv_quant)
         vec_sh = NamedSharding(
             mesh, P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None))
-        self._vec = lambda x: jax.device_put(np.asarray(x), vec_sh)
+
+        def _global(x, sh):
+            """Host value (same on every process) → global array."""
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
+        self._vec = lambda x: _global(x, vec_sh)
+        rep = NamedSharding(mesh, P())
+        # fetch: reshard to fully-replicated (an all-gather across dp),
+        # then one D2H every process can perform
+        self._fetch_rep = jax.jit(lambda x: x, out_shardings=rep)
+        self._fetch = lambda x: np.asarray(jax.device_get(
+            self._fetch_rep(x)))
         bkv_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), bkv_spec,
                               is_leaf=lambda x: isinstance(x, P))
-
-        def _make_bkv():
-            kv = BatchedKV.create(arch, self.B, quant=self.kv_quant)
-            return jax.tree.map(jax.device_put, kv, bkv_sh)
-        self._make_bkv = _make_bkv
+        self._make_bkv = jax.jit(
+            lambda: BatchedKV.create(arch, self.B, quant=self.kv_quant),
+            out_shardings=bkv_sh)
         # slot insert with the batched cache's sharding pinned on the output
         # (a bare jit would let GSPMD re-infer it)
         self._insert = jax.jit(_insert.__wrapped__,
@@ -219,30 +246,25 @@ class BatchServer:
             ksp = kv_spec(self.kv_quant)
             kv_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), ksp,
                                  is_leaf=lambda x: isinstance(x, P))
-
-            def _make_kv():
-                kv = KVCache.create(arch, quant=self.kv_quant)
-                return jax.tree.map(jax.device_put, kv, kv_sh)
-            self._make_kv = _make_kv
+            self._make_kv = jax.jit(
+                lambda: KVCache.create(arch, quant=self.kv_quant),
+                out_shardings=kv_sh)
             fwd = make_tp_forward(mesh, arch, weights_template=template,
                                   has_n_valid=True, kv_quant=self.kv_quant)
 
             def _prefill(w, kv, padded, off, n_valid):
-                logits, kv, _ = fwd(w, kv, jnp.asarray(padded),
+                logits, kv, _ = fwd(w, kv, _global(padded, rep),
                                     jnp.int32(off), jnp.int32(n_valid))
                 return logits, kv
         else:
-            rep = NamedSharding(mesh, P())
-
-            def _make_kv():
-                kv = KVCache.create(arch, quant=self.kv_quant)
-                return jax.tree.map(lambda x: jax.device_put(x, rep), kv)
-            self._make_kv = _make_kv
+            kv_tmpl = jax.eval_shape(
+                lambda: KVCache.create(arch, quant=self.kv_quant))
+            self._make_kv = jax.jit(
+                lambda: KVCache.create(arch, quant=self.kv_quant),
+                out_shardings=jax.tree.map(lambda _: rep, kv_tmpl))
 
             def _prefill(w, kv, padded, off, n_valid):
-                logits, kv, _ = forward(arch, w, kv,
-                                        jax.device_put(
-                                            jnp.asarray(padded), rep),
+                logits, kv, _ = forward(arch, w, kv, _global(padded, rep),
                                         off, n_valid=n_valid)
                 return logits, kv
         self._prefill = _prefill
@@ -264,7 +286,7 @@ class BatchServer:
         pos = self._vec(np.zeros(self.B, np.int32))
         act = self._vec(np.zeros(self.B, bool))
         logits, bkv = self._step(self.weights, bkv, toks, pos, act)
-        np.asarray(jnp.argmax(logits, axis=-1))
+        self._fetch(jnp.argmax(logits, axis=-1))
         kv = self._make_kv()
         if buckets is None:
             # the admission path buckets a request's FIRST chunk with
@@ -279,7 +301,7 @@ class BatchServer:
                 continue
             padded = np.zeros(p, np.int32)
             lg, kv = self._prefill(self.weights, kv, padded, 0, p)
-            np.asarray(lg[0][:1])
+            self._fetch(lg[0][:1])
         self._insert(bkv, kv, 0)
         if not self.scfg.greedy:
             bs = BatchedSampler(self.scfg, arch.vocab_size, self.B)
@@ -379,7 +401,7 @@ class BatchServer:
                     self._vec(tokens), self._vec(pos), self._vec(active))
                 stats.steps += 1
                 if self.scfg.greedy:
-                    toks_np = np.asarray(jnp.argmax(logits, axis=-1))
+                    toks_np = self._fetch(jnp.argmax(logits, axis=-1))
                 else:
                     toks_np = bsampler.sample(logits)  # one jit, one D2H
                 for b in range(B):

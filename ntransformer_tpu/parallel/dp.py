@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import warnings
 
 with warnings.catch_warnings():
@@ -53,13 +54,24 @@ def _specs(mesh: Mesh, weights_template: ModelWeights, quant: bool = False):
 def shard_server_state(mesh: Mesh, arch: Arch, weights: ModelWeights,
                        batch: int, quant: bool = False
                        ) -> tuple[ModelWeights, BatchedKV]:
-    """Place replicated/TP-sharded weights and a dp-sharded batched KV."""
+    """Place replicated/TP-sharded weights and a dp-sharded batched KV.
+
+    Weight placement goes through make_array_from_callback so it also
+    works on a multi-PROCESS mesh (jax.distributed): every process holds
+    the same host-side weights and contributes its addressable shards —
+    device_put to a sharding spanning non-addressable devices would
+    fail. Single-process behavior is identical."""
     wspecs, kv_spec, _ = _specs(mesh, weights, quant)
-    w = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), weights, wspecs)
-    kv = BatchedKV.create(arch, batch, quant=quant)
-    kv = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), kv, kv_spec)
+
+    def place(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, s), lambda idx: x[idx])
+    w = jax.tree.map(place, weights, wspecs)
+    kv_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), kv_spec,
+                         is_leaf=lambda x: isinstance(x, P))
+    kv = jax.jit(lambda: BatchedKV.create(arch, batch, quant=quant),
+                 out_shardings=kv_sh)()
     return w, kv
 
 

@@ -73,3 +73,78 @@ def test_two_process_tp():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-1200:]}"
         assert f"MH-OK {i}" in out
+
+
+SERVE_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    pid = int(sys.argv[1]); port = sys.argv[2]; gguf = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=pid)
+    assert jax.device_count() == 8 and jax.process_count() == 2
+    from ntransformer_tpu.inference.sampler import SamplerConfig
+    from ntransformer_tpu.inference.serve import BatchServer, Request
+    from ntransformer_tpu.models.loader import load_model
+    from ntransformer_tpu.parallel.multihost import make_mesh
+    model = load_model(gguf, device=False)
+    mesh = make_mesh(tp=2, dp=4)   # dp crosses the two processes
+    srv = BatchServer(model, batch_size=4, mesh=mesh,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    reqs = [Request(prompt=p, max_tokens=5)
+            for p in ["alpha beta", "gamma", "delta epsilon", "zeta"]]
+    stats = srv.run(reqs)
+    assert stats.requests == 4 and stats.steps > 0
+    for r in reqs:
+        print("SRV-TEXT %d %d %r" % (pid, r.request_id, r.text), flush=True)
+    print("SRV-OK", pid, flush=True)
+""").format(repo=REPO)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_batch_server():
+    """Continuous batching across two OS PROCESSES (the north star
+    phrase, literally): the same BatchServer loop runs SPMD in both
+    processes over a dp=4 x tp=2 mesh whose dp axis crosses the process
+    boundary — host values enter as global arrays, sampled tokens come
+    back through a replicate-then-fetch, and both processes must emit
+    identical completions that match the single-process sharded server."""
+    from ntransformer_tpu.inference.sampler import SamplerConfig
+    from ntransformer_tpu.inference.serve import BatchServer, Request
+    from ntransformer_tpu.models.loader import load_model
+    from ntransformer_tpu.parallel.multihost import make_mesh
+    from tools.make_test_gguf import write_model
+    import tempfile
+    gguf = tempfile.mkdtemp() + "/mh_srv.gguf"
+    write_model(gguf, "tiny", "q8_0", seed=77)
+
+    # single-process sharded reference on the same prompts
+    ref_model = load_model(gguf, device=False)
+    srv = BatchServer(ref_model, batch_size=4, mesh=make_mesh(tp=2, dp=4),
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    ref_reqs = [Request(prompt=p, max_tokens=5)
+                for p in ["alpha beta", "gamma", "delta epsilon", "zeta"]]
+    srv.run(ref_reqs)
+    want = {r.request_id: r.text for r in ref_reqs}
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", SERVE_WORKER, str(i), port, gguf],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"SRV-OK {i}" in out
+        for rid, text in want.items():
+            assert f"SRV-TEXT {i} {rid} {text!r}" in out, \
+                f"proc {i} text mismatch for request {rid}:\n{out[-2000:]}"
