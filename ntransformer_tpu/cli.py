@@ -170,9 +170,10 @@ def main(argv=None) -> int:
             draft_path=args.draft_model)
     elif args.cp:
         from .inference.engine import CPEngine
-        log.info(f"loading {args.model} (resident, {args.cp}-way context "
-                 "parallel)")
-        engine = CPEngine.load(args.model, cp=args.cp,
+        ways = (f"{args.cp}x{args.tp} context x tensor parallel"
+                if args.tp else f"{args.cp}-way context parallel")
+        log.info(f"loading {args.model} (resident, {ways})")
+        engine = CPEngine.load(args.model, cp=args.cp, tp=args.tp,
                                max_seq_len=args.ctx_size,
                                kv_quant=args.kv_int8)
     elif args.tp:

@@ -603,19 +603,25 @@ class CPEngine(Engine):
     the sequence axis over the mesh (parallel/cp.py), so max context is
     bounded by the mesh's aggregate HBM instead of one chip's — the
     capacity axis the reference's smem attention hard-capped at ~16K
-    (SURVEY §5.7). Weights replicate (compose with TP via
-    parallel.cp.make_cp_tp_forward when weight bandwidth matters too)."""
+    (SURVEY §5.7). With a (cp, tp) mesh the CP×TP compose runs: weights
+    megatron-shard over tp, KV shards over BOTH axes (heads on tp,
+    sequence on cp) — long context AND weight bandwidth (--cp N --tp M)."""
 
     def __init__(self, model: LoadedModel, mesh):
         super().__init__(model, None)
         from ..parallel.cp import replicate_weights
+        from ..parallel.tp import TP_AXIS, shard_weights
         self.mesh = mesh
-        self._weights = replicate_weights(model.weights, mesh)
+        self._has_tp = TP_AXIS in mesh.axis_names
+        if self._has_tp:
+            self._weights = shard_weights(model.weights, mesh, model.arch)
+        else:
+            self._weights = replicate_weights(model.weights, mesh)
         self._fwd_cache: dict = {}
 
     @classmethod
-    def load(cls, path: str, cp: int | None = None, mesh=None,
-             kv_quant: bool = False, **kw):
+    def load(cls, path: str, cp: int | None = None, tp: int | None = None,
+             mesh=None, kv_quant: bool = False, **kw):
         if kv_quant:
             # fail at LOAD time, not first decode: silently dropping the
             # flag would run a 2x-bigger cache than the user budgeted for
@@ -623,23 +629,32 @@ class CPEngine(Engine):
                 "--kv-int8 with context parallelism is not supported "
                 "(int8 KV + CP guard, models/llama.py); drop --kv-int8 "
                 "or use --tp, where int8 KV composes")
-        from ..parallel.cp import make_cp_mesh
+        from ..parallel.cp import make_cp_mesh, make_cp_tp_mesh
         if mesh is None:
-            mesh = make_cp_mesh(cp)
+            mesh = (make_cp_tp_mesh(cp, tp) if tp and tp > 1
+                    else make_cp_mesh(cp))
         return cls(load_model(path, device=False, **kw), mesh)
 
     def _make_kv(self):
-        from ..parallel.cp import shard_kv
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.cp import CP_AXIS, shard_kv
+        from ..parallel.tp import TP_AXIS
         assert not self.kv_quant, \
             "int8 KV + context parallelism not supported (documented " \
             "combination guard, models/llama.py)"
-        return shard_kv(KVCache.create(self.arch), self.mesh)
+        if not self._has_tp:
+            return shard_kv(KVCache.create(self.arch), self.mesh)
+        spec = P(None, TP_AXIS, CP_AXIS, None)
+        kv = KVCache.create(self.arch)
+        sh = NamedSharding(self.mesh, spec)
+        return KVCache(jax.device_put(kv.k, sh), jax.device_put(kv.v, sh))
 
     def _fwd(self, *, all_logits=False, has_nv=False):
         key = (all_logits, has_nv)
         if key not in self._fwd_cache:
-            from ..parallel.cp import make_cp_forward
-            self._fwd_cache[key] = make_cp_forward(
+            from ..parallel.cp import make_cp_forward, make_cp_tp_forward
+            mk = make_cp_tp_forward if self._has_tp else make_cp_forward
+            self._fwd_cache[key] = mk(
                 self.mesh, self.arch, all_logits=all_logits,
                 weights_template=self.model.weights, has_n_valid=has_nv)
         return self._fwd_cache[key]

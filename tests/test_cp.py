@@ -103,6 +103,23 @@ def test_cp_engine_long_prompt_chunks(model, monkeypatch):
     assert got == want, (got, want)
 
 
+def test_cp_tp_engine_generate_matches_resident(model):
+    """CPEngine over a (cp, tp) mesh — the --cp N --tp M CLI composition
+    (previously --tp was silently ignored under --cp) — reproduces
+    resident greedy generation: weights megatron-shard on tp, KV shards
+    on BOTH axes."""
+    from ntransformer_tpu.inference.engine import (CPEngine, Engine,
+                                                   GenerateConfig)
+    from ntransformer_tpu.parallel.cp import make_cp_tp_mesh
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    ref = Engine(model)
+    want, _ = ref.generate("compose cp tp", cfg)
+    eng = CPEngine(model, make_cp_tp_mesh(cp=4, tp=2))
+    got, stats = eng.generate("compose cp tp", cfg)
+    assert got == want, (got, want)
+    assert stats.decode_tokens > 0
+
+
 def test_cp_tp_compose_parity(model):
     """CP×TP: heads shard on tp, sequence on cp — one forward matches the
     unsharded model (r2 weak #6: compose test)."""
