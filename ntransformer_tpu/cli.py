@@ -149,7 +149,18 @@ def main(argv=None) -> int:
         print(stats.report(), file=sys.stderr)
         return 0
 
+    if args.dp and not args.serve:
+        log.error("--dp shards batch slots of the continuous-batching "
+                  "server; it requires --serve (use --tp for "
+                  "single-request tensor parallelism)")
+        return 2
+
     stream = should_stream(args.model, args.ctx_size, args)
+    if args.draft_model and (args.cp or args.tp):
+        log.error("--draft-model pairs with the single-chip resident or "
+                  "tiered engine (reference main.cpp:121-132); it is not "
+                  "supported under --tp/--cp")
+        return 2
     if stream:
         from .core.dtypes import DType
         if args.draft_model:
@@ -161,13 +172,21 @@ def main(argv=None) -> int:
                      "priority) + target (tiered streaming)")
         else:
             log.info(f"loading {args.model} (tiered streaming)")
+        mesh = None
+        if args.tp:
+            # tiered-over-TP: each shard stages its slice of every
+            # streamed layer (tests/test_tiered.py::test_tiered_tp_parity)
+            from .parallel.multihost import make_mesh
+            mesh = make_mesh(tp=args.tp)
+            log.info(f"tiered streaming over {args.tp}-way TP")
         engine = TieredEngine.load(
             args.model, max_seq_len=args.ctx_size,
             requant=DType.Q4_K if args.requant_q4k else None,
             max_hbm_layers=args.max_hbm_layers,
             max_ram_layers=args.max_ram_layers,
             kv_quant=args.kv_int8,
-            draft_path=args.draft_model)
+            draft_path=args.draft_model,
+            mesh=mesh)
     elif args.cp:
         from .inference.engine import CPEngine
         ways = (f"{args.cp}x{args.tp} context x tensor parallel"

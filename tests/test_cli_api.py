@@ -82,3 +82,22 @@ def test_cli_serve_sharded(tiny_gguf, tmp_path, capsys):
     out = capsys.readouterr()
     assert out.out.count("###") == 2
     assert "served 2 requests" in out.err
+
+
+def test_cli_rejects_dead_flag_combos(tiny_gguf):
+    """Flags that previously dropped silently now fail loudly: --dp
+    without --serve, and --draft-model under --tp/--cp."""
+    assert main(["-m", tiny_gguf, "--dp", "2", "-p", "x"]) == 2
+    assert main(["-m", tiny_gguf, "--draft-model", tiny_gguf,
+                 "--tp", "2", "-p", "x"]) == 2
+    assert main(["-m", tiny_gguf, "--draft-model", tiny_gguf,
+                 "--cp", "2", "-p", "x"]) == 2
+
+
+def test_cli_streaming_over_tp(tiny_gguf, capsys, monkeypatch):
+    """--streaming --tp N: tiered streaming over a TP mesh end-to-end."""
+    monkeypatch.setenv("NT_MAX_HBM_LAYERS", "1")
+    rc = main(["-m", tiny_gguf, "--streaming", "--tp", "2",
+               "--max-hbm-layers", "1", "-p", "hello", "-n", "3", "-t", "0"])
+    assert rc == 0
+    assert "decode:" in capsys.readouterr().err

@@ -99,3 +99,20 @@ def test_tiered_draft_reserve_accounted(tiny_gguf, tmp_path_factory):
                                  ram_bytes=64 * GB,
                                  reserve_extra_bytes=900 << 20)
     assert squeezed.tiers.n_hbm < base.tiers.n_hbm
+
+
+def test_tiered_engine_over_tp_mesh(tiny_gguf, resident_engine):
+    """TieredEngine over a TP mesh — the `--streaming --tp N` CLI path:
+    each shard stages its slice of every streamed layer; greedy output
+    matches the unsharded resident engine."""
+    import jax
+    import numpy as _np
+    from jax.sharding import Mesh
+    mesh = Mesh(_np.asarray(jax.devices()[:2]), ("tp",))
+    tm = load_model_tiered(tiny_gguf, max_hbm_layers=2, max_ram_layers=1,
+                           hbm_bytes=64 * GB, ram_bytes=64 * GB, mesh=mesh)
+    assert tm.tp is not None and tm.tiers.n_disk >= 1
+    eng = TieredEngine(tm)
+    want, _ = resident_engine.generate("tp tiered hello", GREEDY)
+    got, _ = eng.generate("tp tiered hello", GREEDY)
+    assert got == want
