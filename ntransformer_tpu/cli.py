@@ -119,6 +119,12 @@ def main(argv=None) -> int:
         from .inference.serve import BatchServer, Request
         from .inference.sampler import SamplerConfig
         from .models.loader import load_model
+        if args.cp:
+            log.error("--serve shards slots over dp and weights over tp; "
+                      "context parallelism (--cp) is a single-request "
+                      "long-context mode and does not compose with the "
+                      "batch server")
+            return 2
         mesh = None
         if args.tp or args.dp:
             from .parallel.multihost import make_mesh

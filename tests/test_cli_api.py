@@ -92,6 +92,7 @@ def test_cli_rejects_dead_flag_combos(tiny_gguf):
                  "--tp", "2", "-p", "x"]) == 2
     assert main(["-m", tiny_gguf, "--draft-model", tiny_gguf,
                  "--cp", "2", "-p", "x"]) == 2
+    assert main(["-m", tiny_gguf, "--serve", "/dev/null", "--cp", "2"]) == 2
 
 
 def test_cli_streaming_over_tp(tiny_gguf, capsys, monkeypatch):
