@@ -148,3 +148,17 @@ def test_sharded_server_fused_matches_single(model):
     for r, w in zip(reqs, want):
         assert r.text == w, f"{r.prompt!r}: {r.text!r} != {w!r}"
     assert stats.steps > 0
+
+
+def test_sharded_server_non_greedy(model):
+    """Non-greedy sampling on the DP×TP serve path: the BatchedSampler's
+    device state composes with globally-sharded logits (single-process
+    mesh; cross-process non-greedy is guarded)."""
+    mesh = make_mesh(tp=2, dp=4)
+    srv = BatchServer(model, batch_size=4, mesh=mesh,
+                      sampler_cfg=SamplerConfig(temperature=0.8, seed=7))
+    reqs = [Request(prompt=p, max_tokens=5) for p in PROMPTS[:3]]
+    stats = srv.run(reqs)
+    assert stats.requests == 3
+    for r in reqs:
+        assert r.finished_at > 0 and len(r.output_ids) >= 1
