@@ -11,7 +11,10 @@ LOG=experiments/r3_remeasure.log
 stamp() { echo "# ===== [$(date +%H:%M:%S)] $1 =====" | tee -a "$LOG"; }
 
 stamp "on-TPU Mosaic kernel parity (validates the r3 kernel fix on hardware first)"
-NT_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_kernels.py -q >>"$LOG" 2>&1
+if ! NT_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_kernels.py -q >>"$LOG" 2>&1; then
+  stamp "KERNEL PARITY FAILED - aborting the bench chain (numbers from a broken kernel are worthless)"
+  exit 1
+fi
 
 stamp "per-dtype single-stream decode (batched1 mode, B=1)"
 for dt in q8_0 q4_k_m q6_k q4_0; do

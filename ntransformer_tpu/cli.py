@@ -125,6 +125,12 @@ def main(argv=None) -> int:
                       "long-context mode and does not compose with the "
                       "batch server")
             return 2
+        if args.draft_model or args.self_spec or args.streaming:
+            log.error("--serve is the resident continuous-batching loop; "
+                      "--draft-model/--self-spec/--streaming are "
+                      "single-request engine modes and do not compose "
+                      "with it")
+            return 2
         mesh = None
         if args.tp or args.dp:
             from .parallel.multihost import make_mesh
@@ -167,6 +173,12 @@ def main(argv=None) -> int:
                   "tiered engine (reference main.cpp:121-132); it is not "
                   "supported under --tp/--cp")
         return 2
+    if stream and args.cp:
+        log.error("--cp is a resident long-context mode; it does not "
+                  "compose with tiered streaming (drop --cp, or drop the "
+                  "flags/model-size that force streaming — use --tp for "
+                  "streamed-layer sharding)")
+        return 2
     if stream:
         from .core.dtypes import DType
         if args.draft_model:
@@ -181,9 +193,19 @@ def main(argv=None) -> int:
         mesh = None
         if args.tp:
             # tiered-over-TP: each shard stages its slice of every
-            # streamed layer (tests/test_tiered.py::test_tiered_tp_parity)
-            from .parallel.multihost import make_mesh
-            mesh = make_mesh(tp=args.tp)
+            # streamed layer (tests/test_tiered.py::test_tiered_tp_parity).
+            # Use a PURE tp-way mesh over the first tp devices —
+            # make_mesh(tp=N) on a bigger rig would infer a dp axis and
+            # replicate every streamed layer's staging dp times
+            import jax as _jax
+            import numpy as _np
+            from jax.sharding import Mesh as _Mesh
+            from .parallel.tp import TP_AXIS
+            devs = _jax.devices()
+            if len(devs) < args.tp:
+                log.error(f"--tp {args.tp}: only {len(devs)} devices")
+                return 2
+            mesh = _Mesh(_np.asarray(devs[: args.tp]), (TP_AXIS,))
             log.info(f"tiered streaming over {args.tp}-way TP")
         engine = TieredEngine.load(
             args.model, max_seq_len=args.ctx_size,

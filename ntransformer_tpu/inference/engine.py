@@ -637,17 +637,19 @@ class CPEngine(Engine):
 
     def _make_kv(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.cp import CP_AXIS, shard_kv
+        from ..parallel.cp import CP_AXIS
         from ..parallel.tp import TP_AXIS
         assert not self.kv_quant, \
             "int8 KV + context parallelism not supported (documented " \
             "combination guard, models/llama.py)"
-        if not self._has_tp:
-            return shard_kv(KVCache.create(self.arch), self.mesh)
-        spec = P(None, TP_AXIS, CP_AXIS, None)
-        kv = KVCache.create(self.arch)
+        # create ON device with the sharding pinned — CP's whole point is
+        # a context bigger than one chip's HBM, so an eager
+        # allocate-then-reshard would OOM on exactly the target configs
+        spec = (P(None, TP_AXIS, CP_AXIS, None) if self._has_tp
+                else P(None, None, CP_AXIS, None))
         sh = NamedSharding(self.mesh, spec)
-        return KVCache(jax.device_put(kv.k, sh), jax.device_put(kv.v, sh))
+        return jax.jit(lambda: KVCache.create(self.arch),
+                       out_shardings=KVCache(sh, sh))()
 
     def _fwd(self, *, all_logits=False, has_nv=False):
         key = (all_logits, has_nv)

@@ -213,7 +213,8 @@ class BatchServer:
                 template, layers=fuse_layer_weights(
                     template.layers, mesh.shape[TP_AXIS]))
         self.weights, _ = shard_server_state(mesh, arch, template, self.B,
-                                             quant=self.kv_quant)
+                                             quant=self.kv_quant,
+                                             with_kv=False)
         _, bkv_spec, has_tp = _specs(mesh, template, quant=self.kv_quant)
         self._step = make_batched_decode_sharded(mesh, arch, template,
                                                  quant=self.kv_quant)
@@ -304,9 +305,13 @@ class BatchServer:
             self._fetch(lg[0][:1])
         self._insert(bkv, kv, 0)
         if not self.scfg.greedy:
+            # warm the sampler with the REAL step/prefill outputs so the
+            # compiled programs key on the same shardings run() will feed
+            # (host zeros compile a different program on a sharded mesh —
+            # the cold in-clock compile warmup exists to prevent)
             bs = BatchedSampler(self.scfg, arch.vocab_size, self.B)
-            bs.admit(0, 0, jnp.zeros((arch.vocab_size,), jnp.float32))
-            bs.sample(jnp.zeros((self.B, arch.vocab_size), jnp.float32))
+            bs.admit(0, 0, lg[0])
+            bs.sample(logits)
         self._warm = True
         return time.perf_counter() - t0
 

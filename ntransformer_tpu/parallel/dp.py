@@ -52,15 +52,19 @@ def _specs(mesh: Mesh, weights_template: ModelWeights, quant: bool = False):
 
 
 def shard_server_state(mesh: Mesh, arch: Arch, weights: ModelWeights,
-                       batch: int, quant: bool = False
-                       ) -> tuple[ModelWeights, BatchedKV]:
-    """Place replicated/TP-sharded weights and a dp-sharded batched KV.
+                       batch: int, quant: bool = False,
+                       with_kv: bool = True
+                       ) -> tuple[ModelWeights, BatchedKV | None]:
+    """Place replicated/TP-sharded weights and (with_kv) a dp-sharded
+    batched KV, created ON device with the sharding pinned.
 
     Weight placement goes through make_array_from_callback so it also
     works on a multi-PROCESS mesh (jax.distributed): every process holds
     the same host-side weights and contributes its addressable shards —
     device_put to a sharding spanning non-addressable devices would
-    fail. Single-process behavior is identical."""
+    fail. Single-process behavior is identical. Callers that build their
+    own cache (BatchServer has a jitted creator) pass with_kv=False so a
+    multi-GB batched cache isn't allocated just to be dropped."""
     wspecs, kv_spec, _ = _specs(mesh, weights, quant)
 
     def place(x, s):
@@ -68,6 +72,8 @@ def shard_server_state(mesh: Mesh, arch: Arch, weights: ModelWeights,
         return jax.make_array_from_callback(
             x.shape, NamedSharding(mesh, s), lambda idx: x[idx])
     w = jax.tree.map(place, weights, wspecs)
+    if not with_kv:
+        return w, None
     kv_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), kv_spec,
                          is_leaf=lambda x: isinstance(x, P))
     kv = jax.jit(lambda: BatchedKV.create(arch, batch, quant=quant),
