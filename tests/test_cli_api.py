@@ -93,6 +93,14 @@ def test_cli_rejects_dead_flag_combos(tiny_gguf):
     assert main(["-m", tiny_gguf, "--draft-model", tiny_gguf,
                  "--cp", "2", "-p", "x"]) == 2
     assert main(["-m", tiny_gguf, "--serve", "/dev/null", "--cp", "2"]) == 2
+    # --serve is the resident continuous-batching loop; the single-request
+    # engine modes don't compose with it
+    assert main(["-m", tiny_gguf, "--serve", "/dev/null",
+                 "--draft-model", tiny_gguf]) == 2
+    assert main(["-m", tiny_gguf, "--serve", "/dev/null", "--self-spec"]) == 2
+    assert main(["-m", tiny_gguf, "--serve", "/dev/null", "--streaming"]) == 2
+    # --cp is a resident long-context mode; it can't shard streamed layers
+    assert main(["-m", tiny_gguf, "--streaming", "--cp", "2", "-p", "x"]) == 2
 
 
 def test_cli_streaming_over_tp(tiny_gguf, capsys, monkeypatch):
