@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continuous-batching mode: one prompt per line; "
                         "prints completions + aggregate throughput; "
                         "composes with --tp/--dp for the multi-chip server")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="live continuous-batching HTTP server (OpenAI-style "
+                        "POST /v1/completions, SSE streaming); same mesh "
+                        "options as --serve; runs until interrupted")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --http (default loopback)")
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel ways for --serve (batch slots shard "
                         "across dp groups; with --tp builds a dp x tp mesh)")
@@ -114,19 +120,24 @@ def main(argv=None) -> int:
         draft_k=args.draft_k, skip_threshold=args.skip_threshold,
         early_exit_threshold=args.early_exit)
 
-    if args.serve:
+    if args.serve and args.http is not None:
+        log.error("--serve replays a prompts file to completion; --http is "
+                  "the live network server — pick one")
+        return 2
+    if args.serve or args.http is not None:
         # continuous batching needs the resident batched step
         from .inference.serve import BatchServer, Request
         from .inference.sampler import SamplerConfig
         from .models.loader import load_model
+        mode = "--serve" if args.serve else "--http"
         if args.cp:
-            log.error("--serve shards slots over dp and weights over tp; "
+            log.error(f"{mode} shards slots over dp and weights over tp; "
                       "context parallelism (--cp) is a single-request "
                       "long-context mode and does not compose with the "
                       "batch server")
             return 2
         if args.draft_model or args.self_spec or args.streaming:
-            log.error("--serve is the resident continuous-batching loop; "
+            log.error(f"{mode} is the resident continuous-batching loop; "
                       "--draft-model/--self-spec/--streaming are "
                       "single-request engine modes and do not compose "
                       "with it")
@@ -151,6 +162,10 @@ def main(argv=None) -> int:
                               top_k=args.top_k, top_p=args.top_p,
                               repeat_penalty=args.repeat_penalty,
                               seed=args.seed))
+        if args.http is not None:
+            from .inference.http_server import serve_http
+            serve_http(srv, host=args.host, port=args.http)
+            return 0
         with open(args.serve) as f:
             prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
         reqs = [Request(prompt=pr, max_tokens=args.max_tokens)
@@ -161,9 +176,9 @@ def main(argv=None) -> int:
         print(stats.report(), file=sys.stderr)
         return 0
 
-    if args.dp and not args.serve:
+    if args.dp:
         log.error("--dp shards batch slots of the continuous-batching "
-                  "server; it requires --serve (use --tp for "
+                  "server; it requires --serve or --http (use --tp for "
                   "single-request tensor parallelism)")
         return 2
 

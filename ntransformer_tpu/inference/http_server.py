@@ -1,0 +1,189 @@
+"""HTTP front-end over the live continuous-batching server (stdlib-only).
+
+Beyond the reference (whose serving surface is a CLI binary,
+src/main.cpp): an OpenAI-completions-style endpoint where concurrent
+clients' requests join the in-flight batch MID-FLIGHT via
+BatchServer.serve_forever — continuous batching as a network service,
+the BASELINE north star made user-facing. Works over any serve mesh
+(--dp/--tp, int8 KV): the HTTP layer only enqueues Requests and waits;
+all jax work stays on the single serving thread.
+
+Endpoints:
+  GET  /health           -> {"status": "ok", "model": ..., "slots": B}
+  POST /v1/completions   -> {"prompt", "max_tokens", "stream"}
+       stream=false: one JSON body with choices[0].text + usage
+       stream=true : SSE frames `data: {"text": piece}` per sampled
+                     token piece, then `data: [DONE]`
+
+Sampling (temperature/top-k/top-p/seed) is SERVER-level configuration —
+the batch shares one compiled sampler (SamplerConfig at startup), so
+per-request sampling fields in the body are ignored by design.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .serve import BatchServer, Request
+
+_DONE = object()
+
+
+class HttpFrontend:
+    """Owns the serving thread (BatchServer.serve_forever) and the
+    threaded HTTP listener. `port=0` binds an ephemeral port (tests);
+    read the bound port from `.port` after start()."""
+
+    def __init__(self, server: BatchServer, host: str = "127.0.0.1",
+                 port: int = 8000, request_timeout_s: float = 600.0):
+        self.server = server
+        self.host = host
+        self.port = port
+        self.request_timeout_s = request_timeout_s
+        self.inbox: queue.Queue = queue.Queue()
+        self.stop_event = threading.Event()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._threads: list[threading.Thread] = []
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def do_GET(self):
+                if self.path == "/health":
+                    frontend._json(self, 200, {
+                        "status": "ok",
+                        "model": frontend.server.model_name,
+                        "slots": frontend.server.B,
+                    })
+                else:
+                    frontend._json(self, 404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/v1/completions":
+                    frontend._json(self, 404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    prompt = body["prompt"]
+                except (KeyError, ValueError) as e:
+                    frontend._json(self, 400, {"error": f"bad request: {e}"})
+                    return
+                if not isinstance(prompt, str):
+                    frontend._json(self, 400,
+                                   {"error": "prompt must be a string"})
+                    return
+                max_tokens = int(body.get("max_tokens", 128))
+                if body.get("stream", False):
+                    frontend._stream(self, prompt, max_tokens)
+                else:
+                    frontend._complete(self, prompt, max_tokens)
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd.daemon_threads = True
+        self.port = self._httpd.server_address[1]  # resolve port=0
+        t_serve = threading.Thread(
+            target=self.server.serve_forever,
+            args=(self.inbox, self.stop_event), daemon=True,
+            name="nt-serve-loop")
+        t_http = threading.Thread(target=self._httpd.serve_forever,
+                                  daemon=True, name="nt-http")
+        self._threads = [t_serve, t_http]
+        t_serve.start()
+        t_http.start()
+
+    def stop(self) -> None:
+        """Stop accepting, drain in-flight sequences, join both threads."""
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        self.stop_event.set()
+        for t in self._threads:
+            t.join(timeout=self.request_timeout_s)
+        self._threads = []
+
+    # -- request handling (HTTP handler threads) ---------------------------
+
+    @staticmethod
+    def _json(handler, code: int, obj: dict) -> None:
+        data = json.dumps(obj).encode()
+        handler.send_response(code)
+        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Content-Length", str(len(data)))
+        handler.end_headers()
+        handler.wfile.write(data)
+
+    def _complete(self, handler, prompt: str, max_tokens: int) -> None:
+        done = threading.Event()
+        r = Request(prompt=prompt, max_tokens=max_tokens,
+                    on_done=lambda _r: done.set())
+        self.inbox.put(r)
+        if not done.wait(self.request_timeout_s):
+            self._json(handler, 504, {"error": "request timed out"})
+            return
+        self._json(handler, 200, {
+            "object": "text_completion",
+            "model": self.server.model_name,
+            "choices": [{"index": 0, "text": r.text,
+                         "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": len(r.prompt_ids),
+                      "completion_tokens": len(r.output_ids),
+                      "total_tokens": len(r.prompt_ids) + len(r.output_ids)},
+        })
+
+    def _stream(self, handler, prompt: str, max_tokens: int) -> None:
+        pieces: queue.Queue = queue.Queue()
+        # on_token/on_done run on the serving thread: enqueue only, never
+        # block — the handler thread does all socket writes
+        r = Request(prompt=prompt, max_tokens=max_tokens,
+                    on_token=pieces.put,
+                    on_done=lambda _r: pieces.put(_DONE))
+        handler.send_response(200)
+        handler.send_header("Content-Type", "text/event-stream")
+        handler.send_header("Cache-Control", "no-cache")
+        # SSE has no length; HTTP/1.1 keep-alive needs chunked framing
+        handler.send_header("Transfer-Encoding", "chunked")
+        handler.end_headers()
+
+        def chunk(payload: bytes) -> None:
+            handler.wfile.write(f"{len(payload):x}\r\n".encode()
+                                + payload + b"\r\n")
+
+        self.inbox.put(r)
+        while True:
+            try:
+                piece = pieces.get(timeout=self.request_timeout_s)
+            except queue.Empty:
+                break
+            if piece is _DONE:
+                chunk(b"data: [DONE]\n\n")
+                break
+            if piece:  # '' while a multi-byte char is incomplete
+                chunk(b"data: " + json.dumps({"text": piece}).encode()
+                      + b"\n\n")
+        chunk(b"")  # terminal zero-length chunk
+
+
+def serve_http(server: BatchServer, host: str = "127.0.0.1",
+               port: int = 8000) -> None:
+    """CLI entry: run until interrupted (SIGINT drains and exits)."""
+    fe = HttpFrontend(server, host, port)
+    fe.start()
+    print(f"listening on http://{fe.host}:{fe.port} "
+          f"(POST /v1/completions; {server.B} slots)", flush=True)
+    try:
+        fe.stop_event.wait()
+    except KeyboardInterrupt:
+        print("draining...", flush=True)
+    finally:
+        fe.stop()

@@ -14,6 +14,12 @@ waiting request — so an admission stalls decode by ≤ 1 chunk regardless of
 prompt length. Per-token streaming callbacks (`Request.on_token`) fire as
 tokens are sampled, and `Request.arrival_s` supports arrival-time
 simulation in benchmarks.
+
+Two entry points share the same loop: `run(requests)` serves a fixed list
+(optionally replaying an arrival process) and `serve_forever(inbox, stop)`
+is the LIVE mode — other threads submit Requests on a queue.Queue while
+the loop runs (inference/http_server.py is the stdlib HTTP front-end over
+it). All jax work stays on the serving thread either way.
 """
 from __future__ import annotations
 
@@ -48,6 +54,9 @@ class Request:
     # simulated arrival offset (seconds after server start); 0 = available
     # immediately — lets benchmarks replay an arrival process
     arrival_s: float = 0.0
+    # called once with the finished Request (after text is set); the HTTP
+    # front-end uses it to wake the handler thread blocked on this request
+    on_done: object = None
     # filled by the server:
     prompt_ids: list = field(default_factory=list)
     output_ids: list = field(default_factory=list)
@@ -66,6 +75,8 @@ class Request:
             self._dec.flush_to(self.on_token)  # trailing incomplete bytes
         self._text = text
         self.finished_at = time.time()
+        if self.on_done is not None:
+            self.on_done(self)
 
 
 @dataclass
@@ -315,22 +326,89 @@ class BatchServer:
         self._warm = True
         return time.perf_counter() - t0
 
+    @property
+    def model_name(self) -> str:
+        return self.model.config.model_name
+
+    def _prepare(self, r: Request, rid: int) -> None:
+        """Tokenize + clamp a request as it enters the serving loop."""
+        r.request_id = rid
+        r.prompt_ids = self.tokenizer.encode(
+            r.prompt, add_bos=True, parse_special=r.parse_special)
+        max_prompt = max(1, self.arch.max_seq_len - 2)
+        if len(r.prompt_ids) > max_prompt:
+            # clamp: a longer prompt would scatter past the cache end
+            r.prompt_ids = r.prompt_ids[-max_prompt:]
+
     def run(self, requests: list[Request]) -> ServeStats:
-        """Serve all requests to completion; returns aggregate stats."""
-        if not getattr(self, "_warm", False):
-            self.warmup()
+        """Serve a fixed list of requests to completion (`arrival_s`
+        replays an arrival process); returns aggregate stats."""
         stats = ServeStats(requests=len(requests))
         queue = list(requests)
-        max_prompt = max(1, self.arch.max_seq_len - 2)
         for i, r in enumerate(queue):
-            r.request_id = i
             r.submitted_at = time.time()
-            r.prompt_ids = self.tokenizer.encode(
-                r.prompt, add_bos=True, parse_special=r.parse_special)
-            if len(r.prompt_ids) > max_prompt:
-                # clamp: a longer prompt would scatter past the cache end
-                r.prompt_ids = r.prompt_ids[-max_prompt:]
+            self._prepare(r, i)
 
+        def pull(now: float) -> Request | None:
+            for i, r in enumerate(queue):
+                if r.arrival_s <= now:
+                    return queue.pop(i)
+            return None
+
+        def idle_wait(now: float) -> None:
+            nxt = min(r.arrival_s for r in queue)
+            if nxt > now:
+                time.sleep(min(nxt - now, 0.05))
+
+        return self._serve(stats, pull, lambda: not queue, idle_wait)
+
+    def serve_forever(self, inbox, stop) -> ServeStats:
+        """Live continuous batching: pull Requests from a thread-safe
+        `queue.Queue` until `stop` (a threading.Event) is set AND every
+        in-flight sequence has drained. Submitters (e.g. HTTP handler
+        threads) put Request objects on `inbox` and wait on
+        `Request.on_done` / `Request.on_token`; ALL jax work stays on
+        the single thread that calls this. Not reentrant."""
+        import queue as _queue
+        if not getattr(self, "_warm", False):
+            self.warmup()  # BEFORE the ttft anchor: warmup is startup cost
+        stats = ServeStats()
+        t0_wall = time.time()
+        counter = iter(range(1 << 62))
+
+        def pull(now: float) -> Request | None:
+            try:
+                r = inbox.get_nowait()
+            except _queue.Empty:
+                return None
+            if not r.submitted_at:
+                r.submitted_at = time.time()
+            # ttft is measured from SUBMISSION, not from dequeue: anchor
+            # the arrival offset to the wall-clock submit time
+            r.arrival_s = max(0.0, r.submitted_at - t0_wall)
+            self._prepare(r, next(counter))
+            stats.requests += 1
+            return r
+
+        def idle_wait(now: float) -> None:
+            stop.wait(0.02)
+
+        return self._serve(
+            stats, pull,
+            lambda: stop.is_set() and inbox.empty(),  # drain late submits
+            idle_wait)
+
+    def _serve(self, stats: ServeStats, pull, drained, idle_wait
+               ) -> ServeStats:
+        """The lock-step serving loop shared by run() / serve_forever().
+
+        pull(now) -> Request|None : next admissible request, if any
+        drained() -> bool         : no further requests will ever arrive
+        idle_wait(now)            : brief block when idle (nothing active,
+                                    nothing admissible, not drained)
+        """
+        if not getattr(self, "_warm", False):
+            self.warmup()
         B = self.B
         bkv = self._make_bkv()
         slot_req: list[Request | None] = [None] * B
@@ -391,14 +469,7 @@ class BatchServer:
             slot_req[slot] = None
             active[slot] = False
 
-        def next_arrived() -> Request | None:
-            now = time.perf_counter() - t0
-            for i, r in enumerate(queue):
-                if r.arrival_s <= now:
-                    return queue.pop(i)
-            return None
-
-        while any(active) or queue or pending is not None:
+        while any(active) or pending is not None or not drained():
             # 1) one lock-step decode step for the active batch
             if any(active):
                 logits, bkv = self._step(
@@ -425,7 +496,7 @@ class BatchServer:
             # 2) advance admission by AT MOST one prefill chunk (decode
             #    stalls ≤ 1 chunk per step, never a whole prompt)
             if pending is None and free_slot() >= 0:
-                r = next_arrived()
+                r = pull(time.perf_counter() - t0)
                 if r is not None:
                     pending = _Admission(r, self.arch, self.admit_chunk,
                                          self._make_kv, self._prefill)
@@ -435,11 +506,8 @@ class BatchServer:
                 if pending.finished:
                     finish_admission(pending)
                     pending = None
-            elif not any(active) and queue:
-                # nothing active and nothing arrived yet: wait for arrivals
-                now = time.perf_counter() - t0
-                nxt = min(r.arrival_s for r in queue)
-                if nxt > now:
-                    time.sleep(min(nxt - now, 0.05))
+            elif not any(active) and not drained():
+                # nothing active and nothing admissible yet: block briefly
+                idle_wait(time.perf_counter() - t0)
         stats.wall_s = time.perf_counter() - t0
         return stats

@@ -101,6 +101,11 @@ def test_cli_rejects_dead_flag_combos(tiny_gguf):
     assert main(["-m", tiny_gguf, "--serve", "/dev/null", "--streaming"]) == 2
     # --cp is a resident long-context mode; it can't shard streamed layers
     assert main(["-m", tiny_gguf, "--streaming", "--cp", "2", "-p", "x"]) == 2
+    # --http is the live server: same composition rules as --serve, and
+    # mutually exclusive with the file-replay mode
+    assert main(["-m", tiny_gguf, "--serve", "/dev/null", "--http", "0"]) == 2
+    assert main(["-m", tiny_gguf, "--http", "0", "--cp", "2"]) == 2
+    assert main(["-m", tiny_gguf, "--http", "0", "--streaming"]) == 2
 
 
 def test_cli_streaming_over_tp(tiny_gguf, capsys, monkeypatch):

@@ -1,0 +1,142 @@
+"""Live serving: BatchServer.serve_forever + the stdlib HTTP front-end.
+
+The reference's serving surface is a CLI binary; this layer makes the
+continuous-batching loop a network service. Tests drive real HTTP over a
+loopback socket against the tiny model: concurrent non-stream requests,
+SSE streaming, health, and clean drain-on-stop — and assert the greedy
+outputs are IDENTICAL to BatchServer.run (same loop, same programs).
+"""
+import json
+import queue
+import threading
+import urllib.request
+
+import pytest
+
+from tools.make_test_gguf import write_model
+from ntransformer_tpu.models.loader import load_model
+from ntransformer_tpu.inference.serve import BatchServer, Request
+from ntransformer_tpu.inference.sampler import SamplerConfig
+from ntransformer_tpu.inference.http_server import HttpFrontend
+
+PROMPTS = ["alpha beta", "gamma delta", "epsilon"]
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "http_q8.gguf"
+    write_model(str(path), "tiny", "q8_0", seed=33)
+    return load_model(str(path))
+
+
+@pytest.fixture(scope="module")
+def expected(model):
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    reqs = [Request(prompt=p, max_tokens=6) for p in PROMPTS]
+    srv.run(reqs)
+    return {p: r.text for p, r in zip(PROMPTS, reqs)}
+
+
+@pytest.fixture()
+def frontend(model):
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    fe = HttpFrontend(srv, port=0, request_timeout_s=120.0)
+    fe.start()
+    yield fe
+    fe.stop()
+
+
+def _post(port, body, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, resp.read()
+
+
+def test_health(frontend):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{frontend.port}/health", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["slots"] == 2
+
+
+def test_concurrent_completions_match_run(frontend, expected):
+    """3 clients against 2 slots: continuous batching over HTTP must
+    reproduce the batch loop's greedy outputs exactly."""
+    results = {}
+
+    def client(p):
+        status, raw = _post(frontend.port, {"prompt": p, "max_tokens": 6})
+        assert status == 200
+        results[p] = json.loads(raw)
+
+    threads = [threading.Thread(target=client, args=(p,)) for p in PROMPTS]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "HTTP client thread hung"
+    for p in PROMPTS:
+        body = results[p]
+        assert body["choices"][0]["text"] == expected[p], p
+        assert body["usage"]["completion_tokens"] == 6
+        assert body["usage"]["prompt_tokens"] > 0
+
+
+def test_streaming_sse(frontend, expected):
+    """stream=true: SSE pieces concatenate to the non-stream text."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{frontend.port}/v1/completions",
+        data=json.dumps({"prompt": PROMPTS[0], "max_tokens": 6,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    pieces, done = [], False
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        for line in resp:
+            line = line.strip()
+            if not line.startswith(b"data: "):
+                continue
+            payload = line[len(b"data: "):]
+            if payload == b"[DONE]":
+                done = True
+                break
+            pieces.append(json.loads(payload)["text"])
+    assert done
+    assert "".join(pieces) == expected[PROMPTS[0]]
+
+
+def test_bad_requests(frontend):
+    for body in ({}, {"prompt": 7}):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{frontend.port}/v1/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+
+def test_stop_drains_in_flight(model, expected):
+    """stop() after submit: the in-flight request still completes (the
+    live loop drains before exiting)."""
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    inbox: queue.Queue = queue.Queue()
+    stop = threading.Event()
+    done = threading.Event()
+    r = Request(prompt=PROMPTS[0], max_tokens=6,
+                on_done=lambda _r: done.set())
+    inbox.put(r)
+    t = threading.Thread(target=srv.serve_forever, args=(inbox, stop))
+    t.start()
+    stop.set()  # set IMMEDIATELY — inbox still holds the request
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert done.is_set()
+    assert r.text == expected[PROMPTS[0]]
