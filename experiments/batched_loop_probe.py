@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
+from ntransformer_tpu.models.batched import BatchedKV, batched_decode_body
 from ntransformer_tpu.models.synth import synth_model
 
 CTX = 1024
@@ -40,7 +40,9 @@ def fused_loop(arch, weights, bkv, tokens, pos0, n):
 
     def step(carry, i):
         bkv, toks = carry
-        logits, bkv = batched_decode_step.__wrapped__(
+        # un-jitted body: this scan IS the enclosing transform (the
+        # jitted wrapper lost __wrapped__ when the jit moved inward)
+        logits, bkv = batched_decode_body(
             arch, weights, bkv, toks, pos0 + i, active)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         return (bkv, nxt), nxt[0]

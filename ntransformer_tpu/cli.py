@@ -168,7 +168,11 @@ def main(argv=None) -> int:
             return 0
         with open(args.serve) as f:
             prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
-        reqs = [Request(prompt=pr, max_tokens=args.max_tokens)
+        # the replay file is operator-authored (trusted): chat-template
+        # control strings must become real control ids, unlike --http
+        # prompts from untrusted clients (parse_special stays False there)
+        reqs = [Request(prompt=pr, max_tokens=args.max_tokens,
+                        parse_special=True)
                 for pr in prompts]
         stats = srv.run(reqs)
         for r in reqs:

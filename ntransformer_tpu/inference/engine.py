@@ -617,6 +617,13 @@ class CPEngine(Engine):
             self._weights = shard_weights(model.weights, mesh, model.arch)
         else:
             self._weights = replicate_weights(model.weights, mesh)
+        # drop the full host copy once device shards exist (~35 GB at 70B,
+        # same as TPEngine); the forward builders only need shapes/dtypes
+        self._w_template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            model.weights)
+        import dataclasses
+        self.model = dataclasses.replace(model, weights=None)
         self._fwd_cache: dict = {}
 
     @classmethod
@@ -658,7 +665,7 @@ class CPEngine(Engine):
             mk = make_cp_tp_forward if self._has_tp else make_cp_forward
             self._fwd_cache[key] = mk(
                 self.mesh, self.arch, all_logits=all_logits,
-                weights_template=self.model.weights, has_n_valid=has_nv)
+                weights_template=self._w_template, has_n_valid=has_nv)
         return self._fwd_cache[key]
 
     def _prefill_chunk(self, kv, padded, off, n_valid, model=None,
@@ -688,6 +695,13 @@ class CPEngine(Engine):
                   n_tokens: int = 64, on_device_loop: bool = False) -> Stats:
         # the fused unsharded loop doesn't know the cp axis — host-driven
         return super().benchmark(prompt, n_tokens, on_device_loop=False)
+
+    def generate_self_speculative_fused(self, prompt, cfg=None, callback=None,
+                                        draft_layers=None):
+        """The fused on-device iteration assumes unsharded weights; under CP
+        delegate to the host-driven protocol over the sharded forward."""
+        return self.generate_self_speculative(prompt, cfg, callback,
+                                              draft_layers)
 
 
 class TieredEngine(Engine):

@@ -75,15 +75,16 @@ class HttpFrontend:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(n) or b"{}")
+                    # non-dict JSON (lists, strings) must 400, not crash
                     prompt = body["prompt"]
-                except (KeyError, ValueError) as e:
+                    max_tokens = int(body.get("max_tokens", 128))
+                except (KeyError, TypeError, ValueError) as e:
                     frontend._json(self, 400, {"error": f"bad request: {e}"})
                     return
                 if not isinstance(prompt, str):
                     frontend._json(self, 400,
                                    {"error": "prompt must be a string"})
                     return
-                max_tokens = int(body.get("max_tokens", 128))
                 if body.get("stream", False):
                     frontend._stream(self, prompt, max_tokens)
                 else:

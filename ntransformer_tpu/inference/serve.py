@@ -159,6 +159,7 @@ class BatchServer:
         self.admit_chunk = (admit_chunk if admit_chunk is not None
                             else Engine.PREFILL_CHUNK)
         self.mesh = mesh
+        self._multiproc = jax.process_count() > 1
         if mesh is not None:
             self._init_sharded(mesh)
             # host-side weights served their purpose (sharded placement +
@@ -300,17 +301,27 @@ class BatchServer:
         logits, bkv = self._step(self.weights, bkv, toks, pos, act)
         self._fetch(jnp.argmax(logits, axis=-1))
         kv = self._make_kv()
+        S, chunk = arch.max_seq_len, self.admit_chunk
         if buckets is None:
             # the admission path buckets a request's FIRST chunk with
-            # _bucket(t) for any t <= admit_chunk: warm the whole ladder,
-            # or a 16-token prompt still hits a cold multi-minute compile
-            # inside the serve clock
-            buckets = [b for b in (8, 16, 32, 64, 128, 256, 512, 1024,
-                                   2048, 4096) if b <= self.admit_chunk]
-        for p in sorted({_bucket(min(b, self.admit_chunk))
-                         for b in buckets} | {self.admit_chunk}):
-            if p > arch.max_seq_len:
-                continue
+            # _bucket(t) for any t <= min(admit_chunk, S): warm the whole
+            # reachable ladder, or a 16-token prompt still hits a cold
+            # multi-minute compile inside the serve clock
+            buckets = [1, min(chunk, S)] + [
+                b for b in (8, 16, 32, 64, 128, 256, 512, 1024,
+                            2048, 4096) if b <= chunk]
+        # exact reachable _Admission.step shapes: first-chunk buckets are
+        # capped by S (not dropped — _bucket can exceed S or admit_chunk
+        # and still pads only to S), and later chunks run at
+        # min(chunk, S - k*chunk), whose tail when S is not a multiple of
+        # admit_chunk is otherwise a cold in-clock compile on the first
+        # long prompt
+        shapes = {min(_bucket(min(b, chunk, S)), S) for b in buckets}
+        off = chunk
+        while off < S:
+            shapes.add(min(chunk, S - off))
+            off += chunk
+        for p in sorted(shapes):
             padded = np.zeros(p, np.int32)
             lg, kv = self._prefill(self.weights, kv, padded, 0, p)
             self._fetch(lg[0][:1])
@@ -343,6 +354,14 @@ class BatchServer:
     def run(self, requests: list[Request]) -> ServeStats:
         """Serve a fixed list of requests to completion (`arrival_s`
         replays an arrival process); returns aggregate stats."""
+        if self._multiproc and any(r.arrival_s > 0 for r in requests):
+            # arrival replay gates admission on the LOCAL wall clock; two
+            # processes crossing arrival_s on different loop iterations
+            # would dispatch mismatched collectives (distributed hang).
+            # Cross-process lock-step requires state-driven admission only.
+            raise ValueError(
+                "arrival_s replay is wall-clock-gated and cannot run on a "
+                "multi-process mesh; submit all requests with arrival_s=0")
         stats = ServeStats(requests=len(requests))
         queue = list(requests)
         for i, r in enumerate(queue):
@@ -369,11 +388,20 @@ class BatchServer:
         threads) put Request objects on `inbox` and wait on
         `Request.on_done` / `Request.on_token`; ALL jax work stays on
         the single thread that calls this. Not reentrant."""
+        if self._multiproc:
+            # the inbox is process-local: processes would admit different
+            # requests on different iterations and desynchronize the SPMD
+            # collectives. A cross-process live server needs a replicated
+            # request log (every process sees the same admissions in the
+            # same order) — use run() with identical request lists instead.
+            raise NotImplementedError(
+                "serve_forever is single-process; on a jax.distributed "
+                "mesh use run() with the same request list on every "
+                "process")
         import queue as _queue
         if not getattr(self, "_warm", False):
             self.warmup()  # BEFORE the ttft anchor: warmup is startup cost
         stats = ServeStats()
-        t0_wall = time.time()
         counter = iter(range(1 << 62))
 
         def pull(now: float) -> Request | None:
@@ -384,8 +412,10 @@ class BatchServer:
             if not r.submitted_at:
                 r.submitted_at = time.time()
             # ttft is measured from SUBMISSION, not from dequeue: anchor
-            # the arrival offset to the wall-clock submit time
-            r.arrival_s = max(0.0, r.submitted_at - t0_wall)
+            # the arrival offset to the SAME instant as the loop's t0
+            # (emit computes perf_counter()-t0-arrival_s; a different
+            # anchor would understate ttft by the loop-setup gap)
+            r.arrival_s = max(0.0, r.submitted_at - self._loop_t0_wall)
             self._prepare(r, next(counter))
             stats.requests += 1
             return r
@@ -423,6 +453,7 @@ class BatchServer:
         stop = self.tokenizer.stop_ids
         pending: _Admission | None = None
         t0 = time.perf_counter()
+        self._loop_t0_wall = time.time()  # same instant as t0 (ttft anchor)
 
         def emit(r: Request, tid: int):
             if r.first_token_at == 0.0:

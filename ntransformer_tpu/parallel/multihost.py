@@ -59,6 +59,15 @@ def make_mesh(tp: int | None = None, dp: int | None = None):
         dp = n // tp
     if explicit:
         assert dp * tp <= n, f"dp({dp}) * tp({tp}) > n_devices({n})"
+        if dp * tp < n and jax.process_count() > 1:
+            # a leading subset can exclude EVERY device of some process —
+            # that process would then drive a mesh it is not in (hangs or
+            # 'devices not addressable'); multi-process meshes must cover
+            # the full device set so all participants stay lock-step
+            raise ValueError(
+                f"dp({dp}) * tp({tp}) covers only {dp * tp} of {n} devices "
+                f"across {jax.process_count()} processes; multi-process "
+                "meshes must use all devices (pick dp*tp == n)")
         devices = devices[: dp * tp]
     else:
         assert dp * tp == n, f"dp({dp}) * tp({tp}) != n_devices({n})"

@@ -219,3 +219,47 @@ def test_server_prompt_specials_not_parsed(model):
     reqs = [Request(prompt="hi </s> there", max_tokens=2)]
     srv.run(reqs)
     assert model.tokenizer.eos_id not in reqs[0].prompt_ids
+
+
+def test_warmup_covers_every_admission_shape(model):
+    """Every padded prefill shape _Admission.step can produce must be
+    compiled by warmup() — including the TAIL chunk when max_seq_len is
+    not a multiple of admit_chunk (review finding r3: a 600-ctx server
+    with 512-chunks hit a cold in-clock compile at shape 88)."""
+    # chunk=300 on ctx 512: a >300-token prompt's second chunk runs at
+    # min(300, 512-300) = 212 — a shape in neither the bucket ladder nor
+    # {admit_chunk}
+    srv = BatchServer(model, batch_size=2, admit_chunk=300,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    seen: list[int] = []
+    inner = srv._prefill
+    srv._prefill = (lambda w, kv, padded, off, n:
+                    (seen.append(len(padded)) or inner(w, kv, padded, off, n)))
+    srv.warmup()
+    warmed = set(seen)
+    seen.clear()
+    # a prompt long enough to reach the tail zone of the context window
+    long_prompt = " ".join(["tok"] * 600)  # clamps to max_seq_len - 2
+    srv.run([Request(prompt=long_prompt, max_tokens=1)])
+    assert seen, "expected chunked admission prefills"
+    assert set(seen) <= warmed, \
+        f"admission shapes {sorted(set(seen) - warmed)} were never warmed"
+    # the tail shape (S - chunk) must genuinely occur in this run
+    assert (model.arch.max_seq_len - 300) in seen
+
+
+def test_multiprocess_guards(model, monkeypatch):
+    """Wall-clock arrival replay and the process-local live inbox cannot
+    run SPMD across processes (admission would desynchronize collectives);
+    both refuse loudly instead of hanging."""
+    import queue
+    import threading
+
+    import ntransformer_tpu.inference.serve as serve_mod
+    monkeypatch.setattr(serve_mod.jax, "process_count", lambda: 2)
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    with pytest.raises(ValueError, match="arrival_s"):
+        srv.run([Request(prompt="a", max_tokens=1, arrival_s=0.5)])
+    with pytest.raises(NotImplementedError, match="single-process"):
+        srv.serve_forever(queue.Queue(), threading.Event())

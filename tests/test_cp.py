@@ -84,6 +84,9 @@ def test_cp_engine_generate_matches_resident(model):
     ref = Engine(model)
     want, _ = ref.generate("alpha beta gamma", cfg)
     eng = CPEngine(model, make_cp_mesh(4))
+    # the full host weight copy is dropped once device shards exist
+    # (~35 GB at 70B; same discipline as TPEngine/BatchServer)
+    assert eng.model.weights is None
     got, stats = eng.generate("alpha beta gamma", cfg)
     assert got == want, (got, want)
     assert stats.decode_tokens > 0

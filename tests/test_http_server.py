@@ -112,7 +112,9 @@ def test_streaming_sse(frontend, expected):
 
 
 def test_bad_requests(frontend):
-    for body in ({}, {"prompt": 7}):
+    # non-dict JSON and non-int max_tokens must 400, not crash the handler
+    for body in ({}, {"prompt": 7}, [1, 2], "x", 3,
+                 {"prompt": "hi", "max_tokens": "abc"}):
         req = urllib.request.Request(
             f"http://127.0.0.1:{frontend.port}/v1/completions",
             data=json.dumps(body).encode(),

@@ -148,3 +148,22 @@ def test_two_process_batch_server():
         for rid, text in want.items():
             assert f"SRV-TEXT {i} {rid} {text!r}" in out, \
                 f"proc {i} text mismatch for request {rid}:\n{out[-2000:]}"
+
+
+def test_make_mesh_subset_refused_multiprocess(monkeypatch):
+    """A leading-subset mesh (dp*tp < n) can exclude every device of some
+    process on a jax.distributed rig — that process would drive a mesh it
+    is not in (hang / 'not addressable'). Multi-process meshes must cover
+    the full device set; single-process subsets stay allowed."""
+    import jax
+    import pytest
+    from ntransformer_tpu.parallel import multihost
+
+    n = len(jax.devices("cpu"))
+    assert n >= 4
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="multi-process"):
+        multihost.make_mesh(tp=1, dp=n // 2)
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    mesh = multihost.make_mesh(tp=1, dp=n // 2)  # subset OK single-process
+    assert mesh.devices.size == n // 2
