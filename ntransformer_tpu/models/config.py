@@ -22,7 +22,16 @@ class ModelConfig:
     head_dim: int = 128
     norm_eps: float = 1e-5
     rope_theta: float = 10000.0
-    rope_interleaved: bool = False  # GPT-NeoX style vs Llama pairs
+    # True = ADJACENT pairs (2i, 2i+1) — ggml ROPE_TYPE_NORM, the order
+    # llama.cpp's converter PERMUTES llama q/k rows into. False =
+    # HALF-SPLIT pairs (i, i+D/2) — HF rotate_half / ggml NEOX, used by
+    # unpermuted arches (qwen2, gpt-neox) and this repo's own writers.
+    # See from_gguf_metadata for the per-arch default and the
+    # ntransformer.rope_style override. NOTE: the reference applies
+    # half-split to EVERY file (rotary.cu:25-60; config.h:36 default is
+    # never overridden), which mismatches llama.cpp-converted llama
+    # GGUFs — a real-weights correctness defect this repo fixes.
+    rope_interleaved: bool = False
     max_seq_len: int = 4096
     bos_token_id: int = 1
     eos_token_id: int = 2
@@ -64,6 +73,20 @@ class ModelConfig:
         cfg.n_kv_heads = get(p + "attention.head_count_kv", cfg.n_heads)
         cfg.head_dim = get(p + "attention.key_length",
                            cfg.hidden_size // cfg.n_heads)
+        # RoPE pairing. Explicit key wins (this repo's writers stamp
+        # "half" — they emit q/k rows unpermuted in HF order); otherwise
+        # the llama.cpp-ecosystem default per architecture: the llama
+        # converter permutes q/k into ADJACENT-pair order (ggml NORM),
+        # qwen2/neox-family files stay HALF-SPLIT (ggml NEOX).
+        style = md.get("ntransformer.rope_style")
+        if style is not None:
+            style = str(style)
+            if style not in ("adjacent", "half"):
+                raise ValueError(f"ntransformer.rope_style={style!r} "
+                                 "(want 'adjacent' or 'half')")
+            cfg.rope_interleaved = style == "adjacent"
+        else:
+            cfg.rope_interleaved = arch in ("llama", "mistral")
         if cfg.vocab_size == 0:
             toks = md.get("tokenizer.ggml.tokens")
             cfg.vocab_size = len(toks) if toks is not None else 32000

@@ -54,24 +54,29 @@ def make_vocab(n: int, gpt2: bool = False):
 
 
 def write_model(path: str, preset: str, dtype: str, seed: int = 0,
-                gpt2_vocab: bool = False, scale: float = 0.02):
+                gpt2_vocab: bool = False, scale: float = 0.02,
+                arch: str = "llama"):
+    """arch "qwen2" additionally emits attn_{q,k,v}.bias tensors (the
+    qwen2-family QKV biases) and uses the qwen2.* metadata prefix."""
     p = PRESETS[preset]
     rng = np.random.default_rng(seed)
     head_dim = p["hidden"] // p["heads"]
     kv_dim = p["kv_heads"] * head_dim
 
     w = GGUFWriter(path)
-    w.add_meta("general.architecture", "llama")
+    w.add_meta("general.architecture", arch)
     w.add_meta("general.name", f"synthetic-{preset}")
-    w.add_meta("llama.vocab_size", p["vocab"])
-    w.add_meta("llama.embedding_length", p["hidden"])
-    w.add_meta("llama.feed_forward_length", p["inter"])
-    w.add_meta("llama.block_count", p["layers"])
-    w.add_meta("llama.attention.head_count", p["heads"])
-    w.add_meta("llama.attention.head_count_kv", p["kv_heads"])
-    w.add_meta("llama.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add_meta("llama.rope.freq_base", float(p["rope_theta"]))
-    w.add_meta("llama.context_length", p["ctx"])
+    # this writer emits q/k rows UNPERMUTED (HF half-split rope order)
+    w.add_meta("ntransformer.rope_style", "half")
+    w.add_meta(f"{arch}.vocab_size", p["vocab"])
+    w.add_meta(f"{arch}.embedding_length", p["hidden"])
+    w.add_meta(f"{arch}.feed_forward_length", p["inter"])
+    w.add_meta(f"{arch}.block_count", p["layers"])
+    w.add_meta(f"{arch}.attention.head_count", p["heads"])
+    w.add_meta(f"{arch}.attention.head_count_kv", p["kv_heads"])
+    w.add_meta(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_meta(f"{arch}.rope.freq_base", float(p["rope_theta"]))
+    w.add_meta(f"{arch}.context_length", p["ctx"])
     tokens, scores, types = make_vocab(min(p["vocab"], 4096), gpt2=gpt2_vocab)
     # vocab arrays may be shorter than vocab_size for synthetic models
     w.add_meta("tokenizer.ggml.tokens", tokens,
@@ -108,6 +113,12 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
         emit(pre + "attn_q.weight", p["hidden"], p["hidden"])
         emit(pre + "attn_k.weight", kv_dim, p["hidden"])
         emit(pre + "attn_v.weight", kv_dim, p["hidden"])
+        if arch == "qwen2":
+            # qwen2-family QKV biases (f32 vectors, one per projection)
+            for nm, n in (("attn_q.bias", p["hidden"]),
+                          ("attn_k.bias", kv_dim), ("attn_v.bias", kv_dim)):
+                w.add_tensor(pre + nm, (rng.standard_normal(n)
+                                        * scale).astype(np.float32))
         emit(pre + "attn_output.weight", p["hidden"], p["hidden"])
         w.add_tensor(pre + "ffn_norm.weight", np.ones(p["hidden"], np.float32))
         emit(pre + "ffn_gate.weight", p["inter"], p["hidden"])

@@ -271,6 +271,8 @@ def export(params, out_dir: str, val_loss: float):
     w = GGUFWriter(path)
     w.add_meta("general.architecture", "llama")
     w.add_meta("general.name", "repolm-byte-6L")
+    # this writer emits q/k rows UNPERMUTED (HF half-split rope order)
+    w.add_meta("ntransformer.rope_style", "half")
     w.add_meta("llama.vocab_size", VOCAB)
     w.add_meta("llama.embedding_length", HIDDEN)
     w.add_meta("llama.feed_forward_length", INTER)
