@@ -42,6 +42,10 @@ LAYER_TENSORS = {
     "w_up": "ffn_up.weight", "w_down": "ffn_down.weight",
 }
 LAYER_NORMS = {"attn_norm": "attn_norm.weight", "ffn_norm": "ffn_norm.weight"}
+# qwen2-family QKV biases: small f32 vectors that ride the same plain-array
+# mechanism as the norms, included per layer only when the GGUF has them
+LAYER_BIASES = {"bq": "attn_q.bias", "bk": "attn_k.bias",
+                "bv": "attn_v.bias"}
 
 
 def _align(n: int, a: int = ALIGN) -> int:
@@ -96,6 +100,13 @@ class PackWriter:
             n_elems = int(np.prod(info.shape))
             norms[key] = {"off": off, "dtype": "float32", "shape": [n_elems]}
             off += n_elems * 4
+        for key, suffix in LAYER_BIASES.items():
+            if pre + suffix not in self.reader:
+                continue
+            info = self.reader.info(pre + suffix)
+            n_elems = int(np.prod(info.shape))
+            norms[key] = {"off": off, "dtype": "float32", "shape": [n_elems]}
+            off += n_elems * 4
         return {"tensors": tensors, "norms": norms, "size": off}
 
     def _layer_blob(self, i: int, meta: dict) -> bytes:
@@ -124,6 +135,10 @@ class PackWriter:
         for key, suffix in LAYER_NORMS.items():
             chunks.append(load_norm(self.reader, pre + suffix)
                           .astype(np.float32).tobytes())
+        for key, suffix in LAYER_BIASES.items():
+            if pre + suffix in self.reader:
+                chunks.append(load_norm(self.reader, pre + suffix)
+                              .astype(np.float32).tobytes())
         blob = b"".join(chunks)
         assert len(blob) == meta["size"], (len(blob), meta["size"])
         return blob

@@ -131,6 +131,11 @@ def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
         q = qmatmul(h, lw.wq, layer=layer).reshape(B, 1, Hq, D)
         k = qmatmul(h, lw.wk, layer=layer).reshape(B, 1, Hkv, D)
         v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
+    if lw.bq is not None:
+        # qwen2-family QKV biases, pre-RoPE (HF Qwen2Attention order)
+        q = q + norm_w(lw.bq).reshape(Hq, D)
+        k = k + norm_w(lw.bk).reshape(Hkv, D)
+        v = v + norm_w(lw.bv).reshape(Hkv, D)
     q = jax.vmap(apply_rope, (0, 0, 0, None))(q, cos_t, sin_t,
                                               arch.rope_interleaved)
     k = jax.vmap(apply_rope, (0, 0, 0, None))(k, cos_t, sin_t,

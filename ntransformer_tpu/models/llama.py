@@ -103,6 +103,14 @@ class LayerWeights:
     wqkv: QLinear | None = None
     w_gate_up: QLinear | None = None
     wqk: QLinear | None = None
+    # qwen2-family QKV biases ([Nq]/[Nkv] f32, stacked [L, N] like every
+    # other leaf; llama/mistral files have none). Applied pre-RoPE after
+    # the q/k/v matmuls — they stay PER-PART even when the matrices fuse
+    # (the fused output is sliced back to q/k/v before the add), and under
+    # TP they column-shard on the lane axis exactly like their matrices.
+    bq: jnp.ndarray | None = None
+    bk: jnp.ndarray | None = None
+    bv: jnp.ndarray | None = None
 
 
 @_register
@@ -259,6 +267,11 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         q = qmatmul(h, lw.wq, layer=layer).reshape(T, Hq, D)
         k = qmatmul(h, lw.wk, layer=layer).reshape(T, Hkv, D)
         v = qmatmul(h, lw.wv, layer=layer).reshape(T, Hkv, D)
+    if lw.bq is not None:
+        # qwen2-family QKV biases, pre-RoPE (HF Qwen2Attention order)
+        q = q + norm_w(lw.bq).reshape(Hq, D)
+        k = k + norm_w(lw.bk).reshape(Hkv, D)
+        v = v + norm_w(lw.bv).reshape(Hkv, D)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
     k = jnp.swapaxes(k, 0, 1)  # [Hkv, T, D] f32

@@ -74,6 +74,12 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
     """One layer's weights on host (used by both resident load and the
     tier-B/C staging path)."""
     pre = f"blk.{i}."
+
+    def bias(name):
+        # qwen2-family QKV biases; absent in llama/mistral files
+        full = pre + name
+        return load_norm(reader, full) if full in reader else None
+
     return LayerWeights(
         attn_norm=load_norm(reader, pre + "attn_norm.weight"),
         wq=load_qlinear_host(reader, pre + "attn_q.weight", compute),
@@ -84,6 +90,8 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
         w_gate=load_qlinear_host(reader, pre + "ffn_gate.weight", compute),
         w_up=load_qlinear_host(reader, pre + "ffn_up.weight", compute),
         w_down=load_qlinear_host(reader, pre + "ffn_down.weight", compute),
+        bq=bias("attn_q.bias"), bk=bias("attn_k.bias"),
+        bv=bias("attn_v.bias"),
     )
 
 

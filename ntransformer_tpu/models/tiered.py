@@ -109,6 +109,9 @@ class _TPFns:
 
         def lw_specs(lw: LayerWeights, stacked: bool) -> LayerWeights:
             norm = P(None, None) if stacked else P(None)
+            # qwen2 QKV biases shard on lanes with their matrices' columns
+            bias = ((P(None, TP_AXIS) if stacked else P(TP_AXIS))
+                    if lw.bq is not None else None)
             return LayerWeights(
                 attn_norm=norm,
                 wq=_qlinear_spec(lw.wq, col, stacked),
@@ -119,6 +122,7 @@ class _TPFns:
                 w_gate=_qlinear_spec(lw.w_gate, col, stacked),
                 w_up=_qlinear_spec(lw.w_up, col, stacked),
                 w_down=_qlinear_spec(lw.w_down, row, stacked),
+                bq=bias, bk=bias, bv=bias,
             )
 
         self._lw_specs = lw_specs

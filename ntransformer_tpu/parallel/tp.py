@@ -78,6 +78,10 @@ def weight_specs(weights: ModelWeights) -> ModelWeights:
         wqkv=opt(lw.wqkv, col),
         w_gate_up=opt(lw.w_gate_up, col),
         wqk=opt(lw.wqk, col),
+        # qwen2 QKV biases [L, N]: lanes shard with their matrices' columns
+        bq=P(None, TP_AXIS) if lw.bq is not None else None,
+        bk=P(None, TP_AXIS) if lw.bk is not None else None,
+        bv=P(None, TP_AXIS) if lw.bv is not None else None,
     )
     return ModelWeights(
         embed=_qlinear_spec(weights.embed, row, False),
