@@ -130,6 +130,9 @@ class HttpFrontend:
                     on_done=lambda _r: done.set())
         self.inbox.put(r)
         if not done.wait(self.request_timeout_s):
+            # free the batch slot — an abandoned request must not keep
+            # decoding to max_tokens
+            r.cancelled = True
             self._json(handler, 504, {"error": "request timed out"})
             return
         self._json(handler, 200, {
@@ -161,18 +164,23 @@ class HttpFrontend:
                                 + payload + b"\r\n")
 
         self.inbox.put(r)
-        while True:
-            try:
-                piece = pieces.get(timeout=self.request_timeout_s)
-            except queue.Empty:
-                break
-            if piece is _DONE:
-                chunk(b"data: [DONE]\n\n")
-                break
-            if piece:  # '' while a multi-byte char is incomplete
-                chunk(b"data: " + json.dumps({"text": piece}).encode()
-                      + b"\n\n")
-        chunk(b"")  # terminal zero-length chunk
+        try:
+            while True:
+                try:
+                    piece = pieces.get(timeout=self.request_timeout_s)
+                except queue.Empty:
+                    r.cancelled = True
+                    break
+                if piece is _DONE:
+                    chunk(b"data: [DONE]\n\n")
+                    break
+                if piece:  # '' while a multi-byte char is incomplete
+                    chunk(b"data: " + json.dumps({"text": piece}).encode()
+                          + b"\n\n")
+            chunk(b"")  # terminal zero-length chunk
+        except (BrokenPipeError, ConnectionResetError, TimeoutError):
+            # client disconnected mid-stream: release its batch slot
+            r.cancelled = True
 
 
 def serve_http(server: BatchServer, host: str = "127.0.0.1",

@@ -57,6 +57,11 @@ class Request:
     # called once with the finished Request (after text is set); the HTTP
     # front-end uses it to wake the handler thread blocked on this request
     on_done: object = None
+    # cooperative cancellation: any thread may set this (bool writes are
+    # atomic under the GIL); the serving loop retires the slot at the next
+    # step boundary instead of decoding to max_tokens — a disconnected
+    # client stops consuming batch capacity. done() still fires.
+    cancelled: bool = False
     # filled by the server:
     prompt_ids: list = field(default_factory=list)
     output_ids: list = field(default_factory=list)
@@ -478,6 +483,9 @@ class BatchServer:
             finish immediately on a stop token."""
             nonlocal bkv
             r = adm.r
+            if r.cancelled:
+                r.done(self.tokenizer.decode(r.output_ids))
+                return
             slot = free_slot()
             if self.scfg.greedy:
                 first = int(jnp.argmax(adm.last_logits))
@@ -515,6 +523,10 @@ class BatchServer:
                     if not active[b]:
                         continue
                     r = slot_req[b]
+                    if r.cancelled:
+                        # client went away: free the slot now, don't emit
+                        retire(b)
+                        continue
                     nxt = int(toks_np[b])
                     emit(r, nxt)
                     pos[b] += 1
@@ -531,6 +543,11 @@ class BatchServer:
                 if r is not None:
                     pending = _Admission(r, self.arch, self.admit_chunk,
                                          self._make_kv, self._prefill)
+            if pending is not None and pending.r.cancelled:
+                # cancelled mid-prefill: drop the admission, skip the
+                # remaining chunks entirely
+                pending.r.done(self.tokenizer.decode(pending.r.output_ids))
+                pending = None
             if pending is not None:
                 pending.step(self.weights)
                 stats.prefill_chunks += 1

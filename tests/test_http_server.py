@@ -142,3 +142,38 @@ def test_stop_drains_in_flight(model, expected):
     assert not t.is_alive()
     assert done.is_set()
     assert r.text == expected[PROMPTS[0]]
+
+
+def test_cancelled_request_frees_slot(model):
+    """Setting Request.cancelled mid-decode retires the slot at the next
+    step boundary (a disconnected client stops consuming batch capacity),
+    and a queued request then takes the freed slot."""
+    srv = BatchServer(model, batch_size=1,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    big = Request(prompt=PROMPTS[0], max_tokens=400)
+    seen = []
+
+    def on_tok(piece):
+        seen.append(piece)
+        if len(seen) == 3:
+            big.cancelled = True
+    big.on_token = on_tok
+    follow = Request(prompt=PROMPTS[1], max_tokens=4)
+    stats = srv.run([big, follow])
+    assert big.finished_at > 0 and follow.finished_at > 0
+    assert 3 <= len(big.output_ids) <= 4  # retired right after the flag
+    assert len(follow.output_ids) == 4    # reused the single slot
+    assert stats.tokens < 30
+
+
+def test_cancelled_during_admission_drops_prefill(model):
+    """A request cancelled while still prefilling never takes a slot and
+    its remaining chunks are skipped."""
+    srv = BatchServer(model, batch_size=1, admit_chunk=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    r = Request(prompt=" ".join(["tok"] * 40), max_tokens=8)
+    r.cancelled = True  # cancelled before the server ever runs it
+    stats = srv.run([r])
+    assert r.finished_at > 0
+    assert r.output_ids == []
+    assert stats.prefill_chunks <= 1
