@@ -198,12 +198,20 @@ class Engine:
 
     # --- public API -----------------------------------------------------------
     def generate(self, prompt: str, cfg: GenerateConfig | None = None,
-                 callback=None) -> tuple[str, Stats]:
+                 callback=None, *, prompt_ids: list[int] | None = None
+                 ) -> tuple[str, Stats]:
+        """prompt_ids: pre-encoded prompt (e.g. a chat-template rendering)
+        used as-is instead of tokenizing `prompt`; the context-window
+        clamp still applies."""
         cfg = cfg or GenerateConfig()
         stats = Stats()
         tok = self.tokenizer
         sampler = Sampler(cfg.sampler(), self.arch.vocab_size)
-        ids = self._encode(prompt)
+        if prompt_ids is not None:
+            limit = max(1, self.arch.max_seq_len - 2)
+            ids = list(prompt_ids)[-limit:]
+        else:
+            ids = self._encode(prompt)
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids))
         kv = self._make_kv()
 
@@ -405,9 +413,20 @@ class Engine:
         return tok.decode(out_ids), stats
 
     # --- chat / benchmark -------------------------------------------------------
-    def chat(self, cfg: GenerateConfig | None = None, input_fn=input, print_fn=print):
-        """Stateless chat REPL (engine.cpp:547-571)."""
-        print_fn("Chat mode. Empty line or 'exit' to quit.")
+    def chat(self, cfg: GenerateConfig | None = None, input_fn=input,
+             print_fn=print):
+        """Chat REPL. With a recognized chat template (GGUF
+        tokenizer.chat_template, inference/chat.py) each turn renders the
+        FULL message history through the model's own format; without one
+        it is the reference's raw stateless loop (engine.cpp:547-571)."""
+        from .chat import detect_format, encode_chat
+        mdl = self.model if self.model is not None else getattr(self, "tm",
+                                                                None)
+        fmt = detect_format(mdl.config.metadata, self.tokenizer) \
+            if mdl is not None else None
+        print_fn(f"Chat mode ({fmt.name + ' template' if fmt else 'raw'})."
+                 f" Empty line or 'exit' to quit.")
+        history: list[dict] = []
         while True:
             try:
                 line = input_fn("> ")
@@ -415,7 +434,13 @@ class Engine:
                 break
             if not line or line.strip() == "exit":
                 break
-            text, stats = self.generate(line, cfg)
+            if fmt is None:
+                text, stats = self.generate(line, cfg)
+            else:
+                history.append({"role": "user", "content": line})
+                ids = encode_chat(self.tokenizer, fmt, history)
+                text, stats = self.generate("", cfg, prompt_ids=ids)
+                history.append({"role": "assistant", "content": text})
             print_fn(text)
             print_fn(f"[{stats.decode_tps:.2f} tok/s]")
 
@@ -783,12 +808,13 @@ class TieredEngine(Engine):
         self.skip = frozenset(skip)
         return skip
 
-    def generate(self, prompt, cfg=None, callback=None):
+    def generate(self, prompt, cfg=None, callback=None, *, prompt_ids=None):
         if cfg is not None:
             # early exit only pays on the tiered path: breaking the streamed
             # loop skips the remaining layers' host→HBM I/O
             self.early_exit_threshold = cfg.early_exit_threshold
-        return super().generate(prompt, cfg, callback)
+        return super().generate(prompt, cfg, callback,
+                                prompt_ids=prompt_ids)
 
     def generate_self_speculative(self, prompt, cfg=None, callback=None,
                                   draft_layers=None):

@@ -9,11 +9,17 @@ the BASELINE north star made user-facing. Works over any serve mesh
 all jax work stays on the single serving thread.
 
 Endpoints:
-  GET  /health           -> {"status": "ok", "model": ..., "slots": B}
-  POST /v1/completions   -> {"prompt", "max_tokens", "stream"}
+  GET  /health                -> {"status", "model", "slots", "chat_format"}
+  POST /v1/completions        -> {"prompt", "max_tokens", "stream"}
        stream=false: one JSON body with choices[0].text + usage
        stream=true : SSE frames `data: {"text": piece}` per sampled
                      token piece, then `data: [DONE]`
+  POST /v1/chat/completions   -> {"messages": [{"role", "content"}], ...}
+       messages render through the model's own chat template
+       (inference/chat.py — fingerprinted from tokenizer.chat_template;
+       501 when the model has no recognized one). Scaffold tokens parse
+       specials; message CONTENT never does (no control-id smuggling).
+       stream=true emits `data: {"delta": {"content": piece}}` frames.
 
 Sampling (temperature/top-k/top-p/seed) is SERVER-level configuration —
 the batch shares one compiled sampler (SamplerConfig at startup), so
@@ -38,6 +44,7 @@ class HttpFrontend:
 
     def __init__(self, server: BatchServer, host: str = "127.0.0.1",
                  port: int = 8000, request_timeout_s: float = 600.0):
+        from .chat import detect_format
         self.server = server
         self.host = host
         self.port = port
@@ -46,6 +53,18 @@ class HttpFrontend:
         self.stop_event = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
+        # /v1/chat/completions is live iff the model's template is known
+        self.chat_format = detect_format(server.model.config.metadata,
+                                         server.tokenizer)
+
+    def _encode_messages(self, messages) -> list:
+        """Chat messages → templated token ids (scaffold parses specials,
+        content never does). Raises ValueError on malformed messages."""
+        from .chat import encode_chat
+        if not isinstance(messages, list) or not messages:
+            raise ValueError("messages must be a non-empty list")
+        return encode_chat(self.server.tokenizer, self.chat_format,
+                           messages)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -60,35 +79,56 @@ class HttpFrontend:
 
             def do_GET(self):
                 if self.path == "/health":
+                    fmt = frontend.chat_format
                     frontend._json(self, 200, {
                         "status": "ok",
                         "model": frontend.server.model_name,
                         "slots": frontend.server.B,
+                        "chat_format": fmt.name if fmt else None,
                     })
+                elif self.path == "/stats":
+                    frontend._json(self, 200, frontend.server.snapshot())
                 else:
                     frontend._json(self, 404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/v1/completions":
+                if self.path not in ("/v1/completions",
+                                     "/v1/chat/completions"):
                     frontend._json(self, 404, {"error": "not found"})
+                    return
+                chat = self.path.endswith("/chat/completions")
+                if chat and frontend.chat_format is None:
+                    frontend._json(self, 501, {
+                        "error": "model has no recognized chat template; "
+                                 "use /v1/completions with a raw prompt"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(n) or b"{}")
                     # non-dict JSON (lists, strings) must 400, not crash
-                    prompt = body["prompt"]
                     max_tokens = int(body.get("max_tokens", 128))
-                except (KeyError, TypeError, ValueError) as e:
+                    if chat:
+                        prompt_ids = frontend._encode_messages(
+                            body["messages"])
+                        prompt = ""
+                    else:
+                        prompt = body["prompt"]
+                        prompt_ids = []
+                except (AttributeError, KeyError, TypeError,
+                        ValueError) as e:
+                    # AttributeError: .get on a non-dict JSON body
                     frontend._json(self, 400, {"error": f"bad request: {e}"})
                     return
-                if not isinstance(prompt, str):
+                if not chat and not isinstance(prompt, str):
                     frontend._json(self, 400,
                                    {"error": "prompt must be a string"})
                     return
                 if body.get("stream", False):
-                    frontend._stream(self, prompt, max_tokens)
+                    frontend._stream(self, prompt, max_tokens,
+                                     prompt_ids=prompt_ids, chat=chat)
                 else:
-                    frontend._complete(self, prompt, max_tokens)
+                    frontend._complete(self, prompt, max_tokens,
+                                       prompt_ids=prompt_ids, chat=chat)
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self._httpd.daemon_threads = True
@@ -124,9 +164,12 @@ class HttpFrontend:
         handler.end_headers()
         handler.wfile.write(data)
 
-    def _complete(self, handler, prompt: str, max_tokens: int) -> None:
+    def _complete(self, handler, prompt: str, max_tokens: int,
+                  prompt_ids: list | None = None,
+                  chat: bool = False) -> None:
         done = threading.Event()
         r = Request(prompt=prompt, max_tokens=max_tokens,
+                    prompt_ids=list(prompt_ids or []),
                     on_done=lambda _r: done.set())
         self.inbox.put(r)
         if not done.wait(self.request_timeout_s):
@@ -135,21 +178,26 @@ class HttpFrontend:
             r.cancelled = True
             self._json(handler, 504, {"error": "request timed out"})
             return
+        choice = ({"index": 0, "finish_reason": "stop",
+                   "message": {"role": "assistant", "content": r.text}}
+                  if chat else
+                  {"index": 0, "text": r.text, "finish_reason": "stop"})
         self._json(handler, 200, {
-            "object": "text_completion",
+            "object": "chat.completion" if chat else "text_completion",
             "model": self.server.model_name,
-            "choices": [{"index": 0, "text": r.text,
-                         "finish_reason": "stop"}],
+            "choices": [choice],
             "usage": {"prompt_tokens": len(r.prompt_ids),
                       "completion_tokens": len(r.output_ids),
                       "total_tokens": len(r.prompt_ids) + len(r.output_ids)},
         })
 
-    def _stream(self, handler, prompt: str, max_tokens: int) -> None:
+    def _stream(self, handler, prompt: str, max_tokens: int,
+                prompt_ids: list | None = None, chat: bool = False) -> None:
         pieces: queue.Queue = queue.Queue()
         # on_token/on_done run on the serving thread: enqueue only, never
         # block — the handler thread does all socket writes
         r = Request(prompt=prompt, max_tokens=max_tokens,
+                    prompt_ids=list(prompt_ids or []),
                     on_token=pieces.put,
                     on_done=lambda _r: pieces.put(_DONE))
         handler.send_response(200)
@@ -175,7 +223,9 @@ class HttpFrontend:
                     chunk(b"data: [DONE]\n\n")
                     break
                 if piece:  # '' while a multi-byte char is incomplete
-                    chunk(b"data: " + json.dumps({"text": piece}).encode()
+                    payload = ({"delta": {"content": piece}} if chat
+                               else {"text": piece})
+                    chunk(b"data: " + json.dumps(payload).encode()
                           + b"\n\n")
             chunk(b"")  # terminal zero-length chunk
         except (BrokenPipeError, ConnectionResetError, TimeoutError):

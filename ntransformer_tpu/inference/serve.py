@@ -346,11 +346,38 @@ class BatchServer:
     def model_name(self) -> str:
         return self.model.config.model_name
 
+    def snapshot(self) -> dict:
+        """Point-in-time serving metrics (ServeStats.report's live twin,
+        SURVEY §5.5 observability). Safe to call from any thread while
+        the loop runs; zeros before the first run starts."""
+        live = getattr(self, "_live", None)
+        if live is None:
+            return {"running": False, "slots": self.B}
+        st = live["stats"]
+        elapsed = max(time.perf_counter() - live["t0"], 1e-9)
+        ttft = sorted(st.ttft_s)
+        return {
+            "running": True,
+            "slots": self.B,
+            "slots_active": int(np.count_nonzero(live["active"])),
+            "requests": st.requests,
+            "tokens": st.tokens,
+            "steps": st.steps,
+            "prefill_chunks": st.prefill_chunks,
+            "elapsed_s": round(elapsed, 3),
+            "tokens_per_s": round(st.tokens / elapsed, 2),
+            "ttft_p50_ms": (round(ttft[len(ttft) // 2] * 1e3, 1)
+                            if ttft else None),
+        }
+
     def _prepare(self, r: Request, rid: int) -> None:
-        """Tokenize + clamp a request as it enters the serving loop."""
+        """Tokenize + clamp a request as it enters the serving loop.
+        Pre-filled prompt_ids (e.g. the chat endpoint's templated
+        encoding) are honored as-is, clamp included."""
         r.request_id = rid
-        r.prompt_ids = self.tokenizer.encode(
-            r.prompt, add_bos=True, parse_special=r.parse_special)
+        if not r.prompt_ids:
+            r.prompt_ids = self.tokenizer.encode(
+                r.prompt, add_bos=True, parse_special=r.parse_special)
         max_prompt = max(1, self.arch.max_seq_len - 2)
         if len(r.prompt_ids) > max_prompt:
             # clamp: a longer prompt would scatter past the cache end
@@ -459,6 +486,11 @@ class BatchServer:
         pending: _Admission | None = None
         t0 = time.perf_counter()
         self._loop_t0_wall = time.time()  # same instant as t0 (ttft anchor)
+        # live observability (GET /stats): the loop thread only writes,
+        # reader threads only read — snapshot() composes a consistent-
+        # enough view without any lock on the hot loop
+        self._live = {"stats": stats, "active": active,
+                      "slot_req": slot_req, "t0": t0}
 
         def emit(r: Request, tid: int):
             if r.first_token_at == 0.0:

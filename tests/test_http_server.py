@@ -177,3 +177,20 @@ def test_cancelled_during_admission_drops_prefill(model):
     assert r.finished_at > 0
     assert r.output_ids == []
     assert stats.prefill_chunks <= 1
+
+
+def test_stats_endpoint(frontend):
+    """GET /stats: live serving metrics (ServeStats' running twin)."""
+    # before any request the loop may not have started its first run
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{frontend.port}/stats", timeout=30) as resp:
+        base = json.loads(resp.read())
+    assert base["slots"] == 2
+    _post(frontend.port, {"prompt": PROMPTS[0], "max_tokens": 4})
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{frontend.port}/stats", timeout=30) as resp:
+        after = json.loads(resp.read())
+    assert after["running"] is True
+    assert after["requests"] >= 1
+    assert after["tokens"] >= 4
+    assert after["ttft_p50_ms"] is not None

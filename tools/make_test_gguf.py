@@ -22,13 +22,28 @@ from ntransformer_tpu.core.dtypes import GGUFValueType  # noqa: E402
 
 from ntransformer_tpu.models.presets import PRESETS, q4_k_m_policy  # noqa: F401 (re-export)
 
-def make_vocab(n: int, gpt2: bool = False):
+_CHAT_SPECIALS = {
+    # template-family name -> (control tokens, jinja fingerprint snippet)
+    "llama3": (["<|start_header_id|>", "<|end_header_id|>", "<|eot_id|>"],
+               "{{ '<|start_header_id|>' + message['role'] }}"),
+    "chatml": (["<|im_start|>", "<|im_end|>"],
+               "{{ '<|im_start|>' + message['role'] }}"),
+}
+
+
+def make_vocab(n: int, gpt2: bool = False, chat: str | None = None):
     """Build a small synthetic vocab. SP-style with ▁-prefixed words and byte
-    fallback tokens, or GPT-2-style with Ġ-prefixed words."""
+    fallback tokens, or GPT-2-style with Ġ-prefixed words. chat adds that
+    template family's control tokens."""
     space = "Ġ" if gpt2 else "▁"
     tokens = ["<unk>", "<s>", "</s>"]
     types = [2, 3, 3]
     scores = [0.0, 0.0, 0.0]
+    if chat is not None:
+        for t in _CHAT_SPECIALS[chat][0]:
+            tokens.append(t)
+            types.append(3)  # CONTROL
+            scores.append(0.0)
     if not gpt2:
         for b in range(256):
             tokens.append(f"<0x{b:02X}>")
@@ -55,9 +70,11 @@ def make_vocab(n: int, gpt2: bool = False):
 
 def write_model(path: str, preset: str, dtype: str, seed: int = 0,
                 gpt2_vocab: bool = False, scale: float = 0.02,
-                arch: str = "llama"):
+                arch: str = "llama", chat: str | None = None):
     """arch "qwen2" additionally emits attn_{q,k,v}.bias tensors (the
-    qwen2-family QKV biases) and uses the qwen2.* metadata prefix."""
+    qwen2-family QKV biases) and uses the qwen2.* metadata prefix.
+    chat ("llama3"/"chatml") adds that family's control tokens to the
+    vocab and a fingerprint-able tokenizer.chat_template."""
     p = PRESETS[preset]
     rng = np.random.default_rng(seed)
     head_dim = p["hidden"] // p["heads"]
@@ -77,7 +94,10 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
     w.add_meta(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_meta(f"{arch}.rope.freq_base", float(p["rope_theta"]))
     w.add_meta(f"{arch}.context_length", p["ctx"])
-    tokens, scores, types = make_vocab(min(p["vocab"], 4096), gpt2=gpt2_vocab)
+    tokens, scores, types = make_vocab(min(p["vocab"], 4096),
+                                       gpt2=gpt2_vocab, chat=chat)
+    if chat is not None:
+        w.add_meta("tokenizer.chat_template", _CHAT_SPECIALS[chat][1])
     # vocab arrays may be shorter than vocab_size for synthetic models
     w.add_meta("tokenizer.ggml.tokens", tokens,
                vtype=GGUFValueType.ARRAY, elem_type=GGUFValueType.STRING)
