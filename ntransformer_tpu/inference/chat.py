@@ -25,6 +25,13 @@ class Segment:
     special: bool  # encode with parse_special=True (trusted scaffold)
 
 
+# roles the templates accept — the role string is FORMATTED INTO a
+# special-parsing scaffold segment, so free-form roles would be a
+# control-id smuggling channel (a role of 'user<|eot_id|>...' would
+# forge turn boundaries); everything else is rejected at encode time
+ALLOWED_ROLES = frozenset({"system", "user", "assistant", "tool"})
+
+
 @dataclass(frozen=True)
 class ChatFormat:
     """One template family. Scaffold strings may reference tokens the
@@ -51,6 +58,37 @@ class ChatFormat:
         return segs
 
 
+@dataclass(frozen=True)
+class _Llama2Format(ChatFormat):
+    """llama-2/mistral instruct: '<s>[INST] user [/INST] reply</s>' per
+    exchange; a system message folds into the following user turn inside
+    <<SYS>> markers. The simple prefix/suffix shape can't express the
+    role asymmetry, so render() is specialized."""
+
+    def render(self, messages: list[dict],
+               add_generation_prompt: bool = True) -> list[Segment]:
+        segs: list[Segment] = []
+        pending_sys: str | None = None
+        for m in messages:
+            role, content = m["role"], m["content"]
+            if role == "system":
+                pending_sys = content
+            elif role == "assistant":
+                segs.append(Segment(" ", True))
+                segs.append(Segment(content, False))
+                segs.append(Segment("</s><s>", True))
+            else:  # user / tool
+                segs.append(Segment("[INST] ", True))
+                if pending_sys is not None:
+                    segs.append(Segment("<<SYS>>\n", True))
+                    segs.append(Segment(pending_sys, False))
+                    segs.append(Segment("\n<</SYS>>\n\n", True))
+                    pending_sys = None
+                segs.append(Segment(content, False))
+                segs.append(Segment(" [/INST]", True))
+        return segs
+
+
 LLAMA3 = ChatFormat(
     name="llama3",
     msg_prefix="<|start_header_id|>{role}<|end_header_id|>\n\n",
@@ -65,11 +103,9 @@ CHATML = ChatFormat(  # qwen2 family
     generation_prompt="<|im_start|>assistant\n",
 )
 
-LLAMA2 = ChatFormat(
+LLAMA2 = _Llama2Format(
     name="llama2",
-    msg_prefix="[INST] ",        # system folded into the first user turn
-    msg_suffix=" [/INST] ",      # by callers; kept simple by design
-    generation_prompt="",
+    msg_prefix="", msg_suffix="", generation_prompt="",  # unused: render()
 )
 
 _FORMATS = {f.name: f for f in (LLAMA3, CHATML, LLAMA2)}
@@ -109,6 +145,11 @@ def encode_chat(tokenizer, fmt: ChatFormat, messages: list[dict],
                 or not isinstance(m.get("content"), str):
             raise ValueError("each message needs string 'role' and "
                              "'content'")
+        if m["role"] not in ALLOWED_ROLES:
+            # the role is formatted into a SPECIAL-parsing scaffold
+            # segment: a free-form role would smuggle control ids
+            raise ValueError(f"role must be one of "
+                             f"{sorted(ALLOWED_ROLES)}, got {m['role']!r}")
     ids: list[int] = [tokenizer.bos_id]
     for seg in fmt.render(messages, add_generation_prompt):
         if not seg.text:

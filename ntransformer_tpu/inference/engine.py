@@ -113,12 +113,14 @@ class Engine:
         return cls(load_model(path, **kw), draft, kv_quant=kv_quant)
 
     # --- internals ----------------------------------------------------------
-    def _encode(self, prompt: str) -> list[int]:
-        """Tokenize, clamped to the context window (a longer prompt would
-        scatter KV past the cache end; keep the most recent tokens)."""
-        ids = self.tokenizer.encode(prompt, add_bos=True)
+    def _clamp_ids(self, ids: list[int]) -> list[int]:
+        """Clamp to the context window (a longer prompt would scatter KV
+        past the cache end; keep the most recent tokens)."""
         limit = max(1, self.arch.max_seq_len - 2)
-        return ids[-limit:] if len(ids) > limit else ids
+        return list(ids[-limit:]) if len(ids) > limit else list(ids)
+
+    def _encode(self, prompt: str) -> list[int]:
+        return self._clamp_ids(self.tokenizer.encode(prompt, add_bos=True))
 
     def _make_kv(self):
         return KVCache.create(self.arch, quant=self.kv_quant)
@@ -207,11 +209,8 @@ class Engine:
         stats = Stats()
         tok = self.tokenizer
         sampler = Sampler(cfg.sampler(), self.arch.vocab_size)
-        if prompt_ids is not None:
-            limit = max(1, self.arch.max_seq_len - 2)
-            ids = list(prompt_ids)[-limit:]
-        else:
-            ids = self._encode(prompt)
+        ids = (self._clamp_ids(prompt_ids) if prompt_ids is not None
+               else self._encode(prompt))
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids))
         kv = self._make_kv()
 

@@ -354,10 +354,12 @@ class BatchServer:
         if live is None:
             return {"running": False, "slots": self.B}
         st = live["stats"]
-        elapsed = max(time.perf_counter() - live["t0"], 1e-9)
+        end = live["ended"] if live["ended"] is not None \
+            else time.perf_counter()
+        elapsed = max(end - live["t0"], 1e-9)
         ttft = sorted(st.ttft_s)
         return {
-            "running": True,
+            "running": live["ended"] is None,
             "slots": self.B,
             "slots_active": int(np.count_nonzero(live["active"])),
             "requests": st.requests,
@@ -489,8 +491,8 @@ class BatchServer:
         # live observability (GET /stats): the loop thread only writes,
         # reader threads only read — snapshot() composes a consistent-
         # enough view without any lock on the hot loop
-        self._live = {"stats": stats, "active": active,
-                      "slot_req": slot_req, "t0": t0}
+        self._live = {"stats": stats, "active": active, "t0": t0,
+                      "ended": None}
 
         def emit(r: Request, tid: int):
             if r.first_token_at == 0.0:
@@ -590,4 +592,5 @@ class BatchServer:
                 # nothing active and nothing admissible yet: block briefly
                 idle_wait(time.perf_counter() - t0)
         stats.wall_s = time.perf_counter() - t0
+        self._live["ended"] = time.perf_counter()  # freeze /stats clocks
         return stats

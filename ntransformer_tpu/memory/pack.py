@@ -33,6 +33,11 @@ from ..models.llama import LayerWeights
 from ..ops.linear import QLinear
 
 MAGIC = b"NTP1"
+# format version: 2 = layer blobs may carry qwen2 QKV bias vectors
+# (LAYER_BIASES). Readers check this against the source GGUF: a v1
+# pack of a bias-carrying GGUF must rebuild or tiered decode would
+# silently drop the biases.
+PACK_VERSION = 2
 ALIGN = 4096
 
 # pack tensor key -> (GGUF suffix, LayerWeights field)
@@ -152,7 +157,7 @@ class PackWriter:
             int(self.reader.metadata[
                 f"{self.reader.metadata['general.architecture']}.block_count"]))
         metas = [self._layer_meta(i) for i in layers]
-        header = {"version": 1, "n_layers": len(metas), "layers": metas,
+        header = {"version": PACK_VERSION, "n_layers": len(metas), "layers": metas,
                   "layer_ids": list(layers), "src_key": src_key}
         # assign aligned offsets (slack for the "offset" fields added below)
         hdr0 = json.dumps(header).encode()
@@ -166,7 +171,7 @@ class PackWriter:
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(MAGIC)
-            f.write(np.uint32(1).tobytes())
+            f.write(np.uint32(PACK_VERSION).tobytes())
             f.write(np.uint64(len(hdr)).tobytes())
             f.write(hdr)
             f.write(b"\0" * (base - 16 - len(hdr)))
@@ -193,7 +198,7 @@ class PackReader:
             magic = f.read(4)
             if magic != MAGIC:
                 raise ValueError(f"{path}: not an NTP1 pack")
-            np.frombuffer(f.read(4), np.uint32)  # version
+            (self.version,) = np.frombuffer(f.read(4), np.uint32)
             (hlen,) = np.frombuffer(f.read(8), np.uint64)
             self.header = json.loads(f.read(int(hlen)))
         self.n_layers = self.header["n_layers"]
@@ -286,7 +291,12 @@ def ensure_pack(reader, gguf_path: str, requant: DType | None = None,
     if os.path.exists(path):
         try:
             pr = PackReader(path)
-            if pr.header.get("src_key") == key:
+            # a pre-v2 pack of a bias-carrying GGUF predates LAYER_BIASES:
+            # its blobs silently lack bq/bk/bv — rebuild even though the
+            # GGUF content key still matches
+            needs_biases = (pr.version < 2
+                            and "blk.0.attn_q.bias" in reader)
+            if pr.header.get("src_key") == key and not needs_biases:
                 return pr
         except Exception:
             pass  # unreadable/old-format pack: rebuild below

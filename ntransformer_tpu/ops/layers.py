@@ -38,8 +38,12 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
                interleaved: bool = False) -> jnp.ndarray:
     """Rotary embedding. x [T, H, D]; cos/sin [T, D/2].
 
-    Llama pairs (i, i+D/2) by default; interleaved (2i, 2i+1) GPT-NeoX
-    variant matches ref src/cuda/rotary.cu:65-107.
+    interleaved=False: HALF-SPLIT pairs (i, i+D/2) — HF rotate_half /
+    ggml ROPE_TYPE_NEOX (qwen2, gpt-neox, this repo's own unpermuted
+    writers). interleaved=True: ADJACENT pairs (2i, 2i+1) — ggml
+    ROPE_TYPE_NORM, the order llama.cpp's converter permutes llama q/k
+    rows into. The per-arch default lives in models/config.py
+    from_gguf_metadata; kernel shapes match ref src/cuda/rotary.cu.
     """
     d2 = x.shape[-1] // 2
     xf = x.astype(jnp.float32)

@@ -194,3 +194,17 @@ def test_stats_endpoint(frontend):
     assert after["requests"] >= 1
     assert after["tokens"] >= 4
     assert after["ttft_p50_ms"] is not None
+
+
+def test_snapshot_freezes_after_run(model):
+    """snapshot() reports running=False with frozen clocks once the
+    serving loop exits (review finding: /stats kept 'running' forever)."""
+    import time
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    srv.run([Request(prompt=PROMPTS[0], max_tokens=3)])
+    snap1 = srv.snapshot()
+    assert snap1["running"] is False
+    time.sleep(0.1)
+    assert srv.snapshot()["elapsed_s"] == snap1["elapsed_s"]
+    assert snap1["tokens"] >= 3

@@ -214,3 +214,28 @@ def test_qwen2_tp_matches_single(q2_q8_path):
                        tokens, 0)
     np.testing.assert_allclose(np.asarray(lt), np.asarray(ls),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_v1_pack_with_biases_rebuilds(q2_q8_path):
+    """A pre-v2 .ntp built from a bias-carrying GGUF lacks bq/bk/bv in its
+    blobs; ensure_pack must rebuild it even though the GGUF content key
+    still matches (pack format version check)."""
+    import numpy as np
+    from ntransformer_tpu.core.gguf import GGUFReader
+    from ntransformer_tpu.memory.pack import (PACK_VERSION, PackReader,
+                                              ensure_pack, pack_path_for)
+
+    r = GGUFReader(q2_q8_path)
+    pr = ensure_pack(r, q2_q8_path)
+    path = pr.path
+    assert pr.version == PACK_VERSION
+    assert "bq" in pr.layer_meta(0)["norms"]
+    # forge a v1 pack: binary-patch the version field (magic|u32 version)
+    with open(path, "r+b") as f:
+        f.seek(4)
+        f.write(np.uint32(1).tobytes())
+    assert PackReader(path).version == 1
+    pr2 = ensure_pack(r, q2_q8_path)
+    assert pr2.version == PACK_VERSION  # rebuilt, biases present again
+    assert "bq" in pr2.layer_meta(0)["norms"]
+    r.close()
