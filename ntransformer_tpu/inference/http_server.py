@@ -21,9 +21,12 @@ Endpoints:
        specials; message CONTENT never does (no control-id smuggling).
        stream=true emits `data: {"delta": {"content": piece}}` frames.
 
-Sampling (temperature/top-k/top-p/seed) is SERVER-level configuration —
-the batch shares one compiled sampler (SamplerConfig at startup), so
-per-request sampling fields in the body are ignored by design.
+Sampling: server SamplerConfig sets the defaults; request bodies may
+override temperature / top_k / top_p / repeat_penalty / seed per request
+(BatchedSampler holds per-slot params on device in ONE compiled program;
+top_k clamps to the server's compiled cap). A server started GREEDY
+(temperature 0) ignores overrides — that mode exists for
+bit-reproducible serving.
 """
 from __future__ import annotations
 
@@ -56,6 +59,19 @@ class HttpFrontend:
         # /v1/chat/completions is live iff the model's template is known
         self.chat_format = detect_format(server.model.config.metadata,
                                          server.tokenizer)
+
+    @staticmethod
+    def _sampling_overrides(body: dict) -> dict | None:
+        """Per-request sampling fields (applied at slot admission when the
+        server runs non-greedy; greedy servers are the bit-reproducible
+        mode and ignore them). Raises ValueError on non-numeric values."""
+        out = {}
+        for k, cast in (("temperature", float), ("top_p", float),
+                        ("repeat_penalty", float), ("top_k", int),
+                        ("seed", int)):
+            if k in body:
+                out[k] = cast(body[k])
+        return out or None
 
     def _encode_messages(self, messages) -> list:
         """Chat messages → templated token ids (scaffold parses specials,
@@ -107,6 +123,7 @@ class HttpFrontend:
                     body = json.loads(self.rfile.read(n) or b"{}")
                     # non-dict JSON (lists, strings) must 400, not crash
                     max_tokens = int(body.get("max_tokens", 128))
+                    sampling = frontend._sampling_overrides(body)
                     if chat:
                         prompt_ids = frontend._encode_messages(
                             body["messages"])
@@ -125,10 +142,12 @@ class HttpFrontend:
                     return
                 if body.get("stream", False):
                     frontend._stream(self, prompt, max_tokens,
-                                     prompt_ids=prompt_ids, chat=chat)
+                                     prompt_ids=prompt_ids, chat=chat,
+                                     sampling=sampling)
                 else:
                     frontend._complete(self, prompt, max_tokens,
-                                       prompt_ids=prompt_ids, chat=chat)
+                                       prompt_ids=prompt_ids, chat=chat,
+                                       sampling=sampling)
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self._httpd.daemon_threads = True
@@ -165,11 +184,11 @@ class HttpFrontend:
         handler.wfile.write(data)
 
     def _complete(self, handler, prompt: str, max_tokens: int,
-                  prompt_ids: list | None = None,
-                  chat: bool = False) -> None:
+                  prompt_ids: list | None = None, chat: bool = False,
+                  sampling: dict | None = None) -> None:
         done = threading.Event()
         r = Request(prompt=prompt, max_tokens=max_tokens,
-                    prompt_ids=list(prompt_ids or []),
+                    prompt_ids=list(prompt_ids or []), sampling=sampling,
                     on_done=lambda _r: done.set())
         self.inbox.put(r)
         if not done.wait(self.request_timeout_s):
@@ -192,12 +211,13 @@ class HttpFrontend:
         })
 
     def _stream(self, handler, prompt: str, max_tokens: int,
-                prompt_ids: list | None = None, chat: bool = False) -> None:
+                prompt_ids: list | None = None, chat: bool = False,
+                sampling: dict | None = None) -> None:
         pieces: queue.Queue = queue.Queue()
         # on_token/on_done run on the serving thread: enqueue only, never
         # block — the handler thread does all socket writes
         r = Request(prompt=prompt, max_tokens=max_tokens,
-                    prompt_ids=list(prompt_ids or []),
+                    prompt_ids=list(prompt_ids or []), sampling=sampling,
                     on_token=pieces.put,
                     on_done=lambda _r: pieces.put(_DONE))
         handler.send_response(200)

@@ -99,18 +99,50 @@ def sample_device(logits: jax.Array, key: jax.Array, recent: jax.Array,
     return idx[choice].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "vocab_size"))
-def _sample_batched(logits, keys, recent, n, cfg: SamplerConfig,
-                    vocab_size: int):
-    """Whole-batch sampling step: vmap of sample_device + on-device window
-    push. Returns (tokens [B], keys, recent, n)."""
+@functools.partial(jax.jit, static_argnames=("k_cap", "vocab_size"))
+def _sample_one(lg, key, rec, temp, top_p, penalty, k_limit,
+                k_cap: int, vocab_size: int):
+    """Single-row twin of _sample_batched (slot admission)."""
+    return _sample_row(lg, key, rec, jnp.float32(temp), jnp.float32(top_p),
+                       jnp.float32(penalty), jnp.int32(k_limit), k_cap,
+                       vocab_size)
+
+
+def _sample_row(lg, key, rec, temp, top_p, penalty, k_limit,
+                k_cap: int, vocab_size: int):
+    """One slot with DYNAMIC per-slot params (temperature/top-p/penalty/
+    top-k limit as traced scalars; only the top-k WIDTH k_cap is static).
+    temp <= 0 means greedy for that slot."""
+    lg = lg.astype(jnp.float32)
+    seen = jnp.zeros((vocab_size,), jnp.bool_).at[rec].set(True, mode="drop")
+    penalized = jnp.where(lg > 0, lg / penalty, lg * penalty)
+    lg = jnp.where(seen & (penalty != 1.0), penalized, lg)
+    x = lg / jnp.maximum(temp, 1e-6)
+    vals, idx = jax.lax.top_k(x, k_cap)
+    # per-slot top-k: mask ranks beyond the slot's own limit
+    keep_k = jnp.arange(k_cap) < k_limit
+    logp = jax.nn.log_softmax(jnp.where(keep_k, vals, -jnp.inf))
+    probs = jnp.exp(logp)
+    cum = jnp.cumsum(probs)
+    keep_p = (cum - probs) < top_p
+    logp = jnp.where(keep_p & keep_k, logp, -jnp.inf)
+    choice = jax.random.categorical(key, logp)
+    sampled = idx[choice].astype(jnp.int32)
+    return jnp.where(temp <= 0.0, jnp.argmax(lg).astype(jnp.int32), sampled)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap", "vocab_size"))
+def _sample_batched(logits, keys, recent, n, temps, top_ps, penalties,
+                    k_limits, k_cap: int, vocab_size: int):
+    """Whole-batch sampling step with PER-SLOT parameters + on-device
+    window push. Returns (tokens [B], keys, recent, n)."""
     B = logits.shape[0]
     splits = jax.vmap(jax.random.split)(keys)          # [B, 2, 2]
     keys_new, subs = splits[:, 0], splits[:, 1]
     toks = jax.vmap(
-        lambda lg, k, rec: sample_device.__wrapped__(lg, k, rec, cfg,
-                                                     vocab_size)
-    )(logits, subs, recent)
+        lambda lg, k, rec, t, p, pen, kl: _sample_row(
+            lg, k, rec, t, p, pen, kl, k_cap, vocab_size)
+    )(logits, subs, recent, temps, top_ps, penalties, k_limits)
     w = recent.shape[1]
     recent = recent.at[jnp.arange(B), n % w].set(toks)
     return toks, keys_new, recent, n + 1
@@ -121,38 +153,68 @@ class BatchedSampler:
     jit + one D2H per STEP instead of one D2H per active sequence plus a
     window re-upload per token (r2 weak #3 — B×2 host round-trips per
     step on a rig with a ~27 ms readback floor). Slot RNG streams are
-    request-deterministic: fold_in(seed, request_id)."""
+    request-deterministic: fold_in(seed, request_id).
+
+    PER-REQUEST sampling: admit() accepts per-slot overrides for
+    temperature / top_p / repeat_penalty / top_k / seed — all dynamic
+    values in ONE compiled program. Only the top-k WIDTH is static
+    (k_cap = the server config's top_k); per-request top_k can lower it
+    but requests asking for more clamp to the cap. temp <= 0 = greedy
+    for that slot."""
 
     def __init__(self, cfg: SamplerConfig, vocab_size: int, batch: int):
         self.cfg = cfg
         self.V = vocab_size
         self.B = batch
+        self.k_cap = min(cfg.top_k if cfg.top_k > 0 else vocab_size,
+                         vocab_size)
         base = jax.random.PRNGKey(cfg.seed)
         self.keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
             jnp.arange(batch))
         w = max(cfg.repeat_window, 1)
         self.recent = jnp.full((batch, w), vocab_size, jnp.int32)
         self.n = jnp.zeros((batch,), jnp.int32)
+        self.temps = jnp.full((batch,), cfg.temperature, jnp.float32)
+        self.top_ps = jnp.full((batch,), cfg.top_p, jnp.float32)
+        self.penalties = jnp.full((batch,), cfg.repeat_penalty, jnp.float32)
+        self.k_limits = jnp.full((batch,), self.k_cap, jnp.int32)
 
-    def admit(self, slot: int, request_id: int, first_logits) -> int:
-        """Initialize a slot for a newly admitted request and sample its
-        FIRST token (single-row; one 4-byte D2H — unavoidable, the host
-        must check stop conditions)."""
-        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed),
-                                 1 + request_id)
+    def _slot_params(self, overrides: dict | None):
+        o = overrides or {}
+        temp = float(o.get("temperature", self.cfg.temperature))
+        top_p = float(o.get("top_p", self.cfg.top_p))
+        pen = float(o.get("repeat_penalty", self.cfg.repeat_penalty))
+        k = o.get("top_k", self.cfg.top_k)
+        k = self.k_cap if not k or k <= 0 else min(int(k), self.k_cap)
+        seed = int(o.get("seed", self.cfg.seed))
+        return temp, top_p, pen, k, seed
+
+    def admit(self, slot: int, request_id: int, first_logits,
+              overrides: dict | None = None) -> int:
+        """Initialize a slot for a newly admitted request (applying its
+        sampling overrides) and sample its FIRST token (single-row; one
+        4-byte D2H — unavoidable, the host must check stop conditions)."""
+        temp, top_p, pen, k, seed = self._slot_params(overrides)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 1 + request_id)
         key, sub = jax.random.split(key)
         blank = jnp.full((self.recent.shape[1],), self.V, jnp.int32)
-        tok = sample_device(first_logits, sub, blank, self.cfg, self.V)
+        tok = _sample_one(first_logits, sub, blank, temp, top_p, pen, k,
+                          self.k_cap, self.V)
         t = int(tok)
         self.keys = self.keys.at[slot].set(key)
         self.recent = self.recent.at[slot].set(blank.at[0].set(t))
         self.n = self.n.at[slot].set(1)
+        self.temps = self.temps.at[slot].set(temp)
+        self.top_ps = self.top_ps.at[slot].set(top_p)
+        self.penalties = self.penalties.at[slot].set(pen)
+        self.k_limits = self.k_limits.at[slot].set(k)
         return t
 
     def sample(self, logits) -> np.ndarray:
         """Sample the whole batch; returns host int32 [B] (one D2H)."""
         toks, self.keys, self.recent, self.n = _sample_batched(
-            logits, self.keys, self.recent, self.n, self.cfg, self.V)
+            logits, self.keys, self.recent, self.n, self.temps,
+            self.top_ps, self.penalties, self.k_limits, self.k_cap, self.V)
         return np.asarray(toks)
 
 

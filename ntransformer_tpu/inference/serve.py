@@ -62,6 +62,12 @@ class Request:
     # step boundary instead of decoding to max_tokens — a disconnected
     # client stops consuming batch capacity. done() still fires.
     cancelled: bool = False
+    # PER-REQUEST sampling overrides (temperature / top_k / top_p /
+    # repeat_penalty / seed), applied at slot admission on a non-greedy
+    # server (BatchedSampler holds per-slot params on device; top_k clamps
+    # to the server's compiled cap). Ignored on a greedy server — that
+    # mode exists for bit-reproducible serving.
+    sampling: dict | None = None
     # filled by the server:
     prompt_ids: list = field(default_factory=list)
     output_ids: list = field(default_factory=list)
@@ -524,7 +530,8 @@ class BatchServer:
             if self.scfg.greedy:
                 first = int(jnp.argmax(adm.last_logits))
             else:
-                first = bsampler.admit(slot, r.request_id, adm.last_logits)
+                first = bsampler.admit(slot, r.request_id, adm.last_logits,
+                                       overrides=r.sampling)
             emit(r, first)
             if first in stop or r.max_tokens <= 1:
                 # finished at the first token — don't occupy a slot

@@ -208,3 +208,37 @@ def test_snapshot_freezes_after_run(model):
     time.sleep(0.1)
     assert srv.snapshot()["elapsed_s"] == snap1["elapsed_s"]
     assert snap1["tokens"] >= 3
+
+
+def test_per_request_sampling_over_http(model):
+    """A non-greedy server honors per-request sampling: a top_k=1 request
+    reproduces the greedy text while a hot-temperature request runs on the
+    same batch."""
+    from ntransformer_tpu.inference.http_server import HttpFrontend
+    greedy_srv = BatchServer(model, batch_size=2,
+                             sampler_cfg=SamplerConfig(temperature=0.0))
+    want = Request(prompt=PROMPTS[0], max_tokens=6)
+    greedy_srv.run([want])
+
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.9, top_k=40,
+                                                repeat_penalty=1.0))
+    fe = HttpFrontend(srv, port=0, request_timeout_s=120.0)
+    fe.start()
+    try:
+        results = {}
+
+        def client(name, body):
+            status, raw = _post(fe.port, body)
+            assert status == 200
+            results[name] = json.loads(raw)["choices"][0]["text"]
+
+        t1 = threading.Thread(target=client, args=("det", {
+            "prompt": PROMPTS[0], "max_tokens": 6, "top_k": 1}))
+        t2 = threading.Thread(target=client, args=("hot", {
+            "prompt": PROMPTS[1], "max_tokens": 6, "temperature": 4.0}))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert results["det"] == want.text  # top_k=1 ≡ greedy
+        assert "hot" in results
+    finally:
+        fe.stop()

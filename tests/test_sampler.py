@@ -125,3 +125,59 @@ def test_batch_server_nongreedy_deterministic(tmp_path):
         srv.run(reqs)
         outs.append([tuple(r.output_ids) for r in reqs])
     assert outs[0] == outs[1]
+
+
+def test_batched_per_slot_params():
+    """Per-slot overrides live in ONE compiled program: a temp<=0 slot is
+    greedy, a top_k=1 slot is argmax regardless of temperature, and
+    overrides only affect their own slot."""
+    import jax
+    import numpy as np
+    from ntransformer_tpu.inference.sampler import (BatchedSampler,
+                                                    SamplerConfig)
+    V, B = 64, 4
+    cfg = SamplerConfig(temperature=0.9, top_k=40, top_p=0.95,
+                        repeat_penalty=1.0, seed=7)
+    bs = BatchedSampler(cfg, V, B)
+    rng = np.random.default_rng(3)
+    first = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    # slot 0: server defaults; slot 1: greedy; slot 2: top_k=1; slot 3: hot
+    bs.admit(0, 10, first)
+    bs.admit(1, 11, first, overrides={"temperature": 0.0})
+    bs.admit(2, 12, first, overrides={"top_k": 1, "temperature": 2.0})
+    bs.admit(3, 13, first, overrides={"temperature": 5.0, "seed": 99})
+    argmax = int(jnp.argmax(first))
+    logits = jnp.tile(first[None, :], (B, 1))
+    greedy_hits = {b: 0 for b in range(B)}
+    for _ in range(12):
+        toks = bs.sample(logits)
+        for b in range(B):
+            greedy_hits[b] += int(toks[b]) == argmax
+    assert greedy_hits[1] == 12   # greedy slot always argmax
+    assert greedy_hits[2] == 12   # top_k=1 slot always argmax
+    assert greedy_hits[3] < 12    # hot slot varies
+
+    # top_k clamps to the server's compiled cap
+    bs.admit(0, 14, first, overrides={"top_k": 10_000})
+    assert int(bs.k_limits[0]) == bs.k_cap
+
+
+def test_batched_per_slot_determinism():
+    """Same request_id + seed ⇒ identical stream, independent of what the
+    other slots run."""
+    import numpy as np
+    from ntransformer_tpu.inference.sampler import (BatchedSampler,
+                                                    SamplerConfig)
+    V, B = 32, 2
+    cfg = SamplerConfig(temperature=1.0, top_k=20, seed=5)
+    rng = np.random.default_rng(4)
+    first = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    logits = jnp.tile(first[None, :], (B, 1))
+
+    def stream(other_temp):
+        bs = BatchedSampler(cfg, V, B)
+        t0 = bs.admit(0, 42, first, overrides={"seed": 123})
+        bs.admit(1, 43, first, overrides={"temperature": other_temp})
+        return [t0] + [int(bs.sample(logits)[0]) for _ in range(8)]
+
+    assert stream(0.5) == stream(3.0)
