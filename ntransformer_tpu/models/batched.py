@@ -109,9 +109,10 @@ def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
 
     def norm_w(w):
-        if layer is None:
-            return w
-        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        if layer is not None:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        # gemma scales by (1 + w); static branch, llama graphs unchanged
+        return w if arch.norm_bias == 0.0 else w + arch.norm_bias
 
     h = rms_norm(x, norm_w(lw.attn_norm), arch.norm_eps).astype(jnp.bfloat16)
     if lw.wqkv is not None:
@@ -131,11 +132,16 @@ def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
         q = qmatmul(h, lw.wq, layer=layer).reshape(B, 1, Hq, D)
         k = qmatmul(h, lw.wk, layer=layer).reshape(B, 1, Hkv, D)
         v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
+    def sel(w):  # layer-select WITHOUT the norm family offset
+        if layer is None:
+            return w
+        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+
     if lw.bq is not None:
         # qwen2-family QKV biases, pre-RoPE (HF Qwen2Attention order)
-        q = q + norm_w(lw.bq).reshape(Hq, D)
-        k = k + norm_w(lw.bk).reshape(Hkv, D)
-        v = v + norm_w(lw.bv).reshape(Hkv, D)
+        q = q + sel(lw.bq).reshape(Hq, D)
+        k = k + sel(lw.bk).reshape(Hkv, D)
+        v = v + sel(lw.bv).reshape(Hkv, D)
     q = jax.vmap(apply_rope, (0, 0, 0, None))(q, cos_t, sin_t,
                                               arch.rope_interleaved)
     k = jax.vmap(apply_rope, (0, 0, 0, None))(k, cos_t, sin_t,
@@ -152,9 +158,10 @@ def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
     Hq, D = arch.n_heads, arch.head_dim
 
     def norm_w(w):
-        if layer is None:
-            return w
-        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        if layer is not None:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        # gemma scales by (1 + w); static branch, llama graphs unchanged
+        return w if arch.norm_bias == 0.0 else w + arch.norm_bias
 
     o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo,
                 layer=layer)
@@ -169,7 +176,8 @@ def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
     else:
         g = qmatmul(hf, lw.w_gate, layer=layer)
         u = qmatmul(hf, lw.w_up, layer=layer)
-    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
+    dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
+                 layer=layer)
     if tp_axis is not None:
         dn = jax.lax.psum(dn, tp_axis)
     return x + dn
@@ -322,6 +330,8 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     B = tokens.shape[0]
     x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
                      tp_axis=tp_axis)              # [B, H]
+    if arch.embed_scale != 1.0:
+        x = x * arch.embed_scale  # gemma: sqrt(hidden)
     d2 = arch.head_dim // 2
 
     def rope_rows(p):
@@ -377,7 +387,9 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         else:
             new_bkv = BatchedKV(new_k, new_v)
 
-    x = rms_norm(x, weights.output_norm, arch.norm_eps)
+    x = rms_norm(x, weights.output_norm + arch.norm_bias
+                 if arch.norm_bias != 0.0 else weights.output_norm,
+                 arch.norm_eps)
     if tp_axis is not None:
         from ..ops.linear import plane_dims
         kloc, _ = plane_dims(weights.lm_head.planes, weights.lm_head.dtype)

@@ -35,6 +35,11 @@ class ModelConfig:
     max_seq_len: int = 4096
     bos_token_id: int = 1
     eos_token_id: int = 2
+    # family switches (see models/llama.py Arch): gemma gates with
+    # gelu-tanh, norms scale by (1 + w), embeddings scale by sqrt(hidden)
+    act: str = "silu"
+    norm_bias: float = 0.0
+    embed_scale: float = 1.0
     metadata: dict = field(default_factory=dict)
 
     @property
@@ -78,6 +83,20 @@ class ModelConfig:
         # the llama.cpp-ecosystem default per architecture: the llama
         # converter permutes q/k into ADJACENT-pair order (ggml NORM),
         # qwen2/neox-family files stay HALF-SPLIT (ggml NEOX).
+        if arch == "gemma":
+            # gemma-1 family deltas (llama.cpp build_gemma graph): gelu
+            # gating, RMSNorm weight offset +1, sqrt(hidden) embed scale,
+            # tied LM head (no output.weight in the file — the loader's
+            # tied fallback covers it)
+            cfg.act = "gelu_tanh"
+            cfg.norm_bias = 1.0
+            cfg.embed_scale = float(cfg.hidden_size) ** 0.5
+        elif arch == "gemma2":
+            raise NotImplementedError(
+                "gemma2 needs pre+post block norms, logit softcaps and "
+                "alternating sliding-window attention — load refused "
+                "rather than silently mis-evaluated (gemma-1 'gemma' "
+                "files are supported)")
         style = md.get("ntransformer.rope_style")
         if style is not None:
             style = str(style)

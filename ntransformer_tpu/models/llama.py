@@ -43,6 +43,12 @@ class Arch:
     rope_theta: float
     rope_interleaved: bool
     max_seq_len: int
+    # family switches (all STATIC — llama graphs are unchanged when they
+    # hold their defaults): gemma uses gelu-tanh gating, RMSNorm scales by
+    # (1 + w), and multiplies embeddings by sqrt(hidden)
+    act: str = "silu"          # "silu" | "gelu_tanh"
+    norm_bias: float = 0.0     # added to every norm weight (gemma: 1.0)
+    embed_scale: float = 1.0   # post-lookup multiplier (gemma: sqrt(H))
 
     @classmethod
     def from_config(cls, cfg) -> "Arch":
@@ -55,6 +61,8 @@ class Arch:
             rope_theta=cfg.rope_theta,
             rope_interleaved=cfg.rope_interleaved,
             max_seq_len=cfg.max_seq_len,
+            act=cfg.act, norm_bias=cfg.norm_bias,
+            embed_scale=cfg.embed_scale,
         )
 
 
@@ -244,9 +252,10 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
 
     def norm_w(w):
-        if layer is None:
-            return w
-        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        if layer is not None:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        # gemma scales by (1 + w); a static branch, llama graphs unchanged
+        return w if arch.norm_bias == 0.0 else w + arch.norm_bias
 
     h = rms_norm(x, norm_w(lw.attn_norm), arch.norm_eps).astype(jnp.bfloat16)
     if lw.wqkv is not None:
@@ -267,11 +276,16 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         q = qmatmul(h, lw.wq, layer=layer).reshape(T, Hq, D)
         k = qmatmul(h, lw.wk, layer=layer).reshape(T, Hkv, D)
         v = qmatmul(h, lw.wv, layer=layer).reshape(T, Hkv, D)
+    def sel(w):  # layer-select WITHOUT the norm family offset
+        if layer is None:
+            return w
+        return jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+
     if lw.bq is not None:
         # qwen2-family QKV biases, pre-RoPE (HF Qwen2Attention order)
-        q = q + norm_w(lw.bq).reshape(Hq, D)
-        k = k + norm_w(lw.bk).reshape(Hkv, D)
-        v = v + norm_w(lw.bv).reshape(Hkv, D)
+        q = q + sel(lw.bq).reshape(Hq, D)
+        k = k + sel(lw.bk).reshape(Hkv, D)
+        v = v + sel(lw.bv).reshape(Hkv, D)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
     k = jnp.swapaxes(k, 0, 1)  # [Hkv, T, D] f32
@@ -344,7 +358,8 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     else:
         g = qmatmul(hf, lw.w_gate, layer=layer)
         u = qmatmul(hf, lw.w_up, layer=layer)
-    dn = qmatmul(swiglu(g, u).astype(jnp.bfloat16), lw.w_down, layer=layer)
+    dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
+                 layer=layer)
     if tp_axis is not None:
         dn = jax.lax.psum(dn, tp_axis)
     x = x + dn
@@ -357,6 +372,8 @@ def embed_positions(arch: Arch, weights: ModelWeights, tokens: jnp.ndarray,
     T = tokens.shape[0]
     x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
                      tp_axis=tp_axis)
+    if arch.embed_scale != 1.0:
+        x = x * arch.embed_scale  # gemma: sqrt(hidden)
     d2 = arch.head_dim // 2
     cos_t = jax.lax.dynamic_slice(weights.rope_cos, (pos, 0), (T, d2))
     sin_t = jax.lax.dynamic_slice(weights.rope_sin, (pos, 0), (T, d2))
@@ -393,7 +410,9 @@ def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
 def head_logits(arch: Arch, weights: ModelWeights, x, n_valid=None,
                 all_logits: bool = False, tp_axis: str | None = None):
     """Final norm + LM-head projection of selected positions."""
-    x = rms_norm(x, weights.output_norm, arch.norm_eps)
+    x = rms_norm(x, weights.output_norm + arch.norm_bias
+                 if arch.norm_bias != 0.0 else weights.output_norm,
+                 arch.norm_eps)
     if all_logits:
         sel = x
     elif n_valid is not None:

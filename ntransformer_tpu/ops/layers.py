@@ -64,9 +64,13 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     return out.astype(x.dtype)
 
 
-def swiglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
-    """silu(gate) * up (ref: src/cuda/gemm.cu:699-725)."""
+def swiglu(gate: jnp.ndarray, up: jnp.ndarray,
+           act: str = "silu") -> jnp.ndarray:
+    """act(gate) * up. silu (llama/qwen2, ref src/cuda/gemm.cu:699-725)
+    or gelu_tanh (gemma — ggml's GELU is the tanh approximation)."""
     g = gate.astype(jnp.float32)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(g, approximate=True) * up.astype(jnp.float32)
     return (g * jax.nn.sigmoid(g) * up.astype(jnp.float32))
 
 

@@ -145,7 +145,10 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
         emit(pre + "ffn_up.weight", p["inter"], p["hidden"])
         emit(pre + "ffn_down.weight", p["hidden"], p["inter"])
     w.add_tensor("output_norm.weight", np.ones(p["hidden"], np.float32))
-    emit("output.weight", p["vocab"], p["hidden"])
+    if arch != "gemma":
+        emit("output.weight", p["vocab"], p["hidden"])
+    # gemma ties the LM head to the embedding (no output.weight in real
+    # gemma GGUFs — the loader's tied fallback covers it)
     w.write()
     return path
 
