@@ -14,7 +14,7 @@ __version__ = "0.1.0"
 def __getattr__(name):
     # lazy top-level conveniences (importing jax at package import time
     # would slow bare tooling like `python -m ntransformer_tpu --help`)
-    if name in ("Engine", "TieredEngine", "GenerateConfig"):
+    if name in ("Engine", "TieredEngine", "GenerateConfig", "ChatSession"):
         from .inference import engine as _e
         return getattr(_e, name)
     if name == "load_model":

@@ -87,6 +87,26 @@ class Stats:
         return "\n".join(lines)
 
 
+@dataclass
+class ChatSession:
+    """Multi-turn KV reuse: carries the cache (and the exact token ids
+    whose rows are live in it) across generate() calls. Chat templates
+    render history append-only, so turn N+1's prompt extends turn N's
+    ids — generate() prefills only the delta. The reference re-prefills
+    the full history every turn (engine.cpp:547-571 is stateless); on
+    this rig one avoided 2k-token re-prefill saves ~300 ms/turn.
+
+    The kv inside is DONATED to the forwards while a generate() using
+    this session runs; never share one session across threads."""
+
+    kv: object | None = None
+    ids_in_kv: list[int] = field(default_factory=list)
+
+    def reset(self) -> None:
+        self.kv = None
+        self.ids_in_kv = []
+
+
 def _bucket(n: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
     for b in buckets:
         if n <= b:
@@ -133,27 +153,34 @@ class Engine:
     PREFILL_CHUNK = 512
 
     def _prefill(self, kv: KVCache, tokens: list[int], model=None,
-                 with_cosine=False):
+                 with_cosine=False, start: int = 0):
         """Bucketed prefill; long prompts run as fixed-size chunks so the
         compiled program set stays bounded at any prompt length — ONE
         implementation shared by all engines (r1 verdict item 8: the
         tiered/TP overrides had silently lost the chunk loop); subclasses
         override only `_prefill_chunk`. Returns (last logits [1, V], kv,
-        cosines — from the final chunk)."""
+        cosines — from the final chunk).
+
+        start > 0: positions [0, start) are already live in kv (chat
+        session reuse) — only tokens[start:] run, at their true offsets.
+        The off argument is a dynamic scalar in the compiled programs, so
+        delta chunks share the off=0 bucket ladder."""
         arch = model.arch if model is not None else self.arch
         t = len(tokens)
         S = arch.max_seq_len
-        if t <= self.PREFILL_CHUNK:
+        if t - start <= self.PREFILL_CHUNK:
             # the padded write extent must stay inside the cache: a bucket
-            # larger than max_seq would make dynamic_update_slice CLAMP the
-            # start and silently overwrite earlier positions
-            p = min(_bucket(t), S)
+            # larger than the remaining room would make
+            # dynamic_update_slice CLAMP the start and silently overwrite
+            # earlier positions
+            p = min(_bucket(t - start), S - start)
             padded = np.zeros(p, dtype=np.int32)
-            padded[:t] = tokens
-            return self._prefill_chunk(kv, padded, 0, t, model, with_cosine)
+            padded[: t - start] = tokens[start:]
+            return self._prefill_chunk(kv, padded, start, t - start, model,
+                                       with_cosine)
         c = self.PREFILL_CHUNK
         logits = cos = None
-        for off in range(0, t, c):
+        for off in range(start, t, c):
             chunk = tokens[off: off + c]
             p = min(c, S - off)  # last chunk may not pad past the cache end
             padded = np.zeros(p, dtype=np.int32)
@@ -200,11 +227,18 @@ class Engine:
 
     # --- public API -----------------------------------------------------------
     def generate(self, prompt: str, cfg: GenerateConfig | None = None,
-                 callback=None, *, prompt_ids: list[int] | None = None
-                 ) -> tuple[str, Stats]:
+                 callback=None, *, prompt_ids: list[int] | None = None,
+                 session: "ChatSession | None" = None) -> tuple[str, Stats]:
         """prompt_ids: pre-encoded prompt (e.g. a chat-template rendering)
         used as-is instead of tokenizing `prompt`; the context-window
-        clamp still applies."""
+        clamp still applies.
+
+        session: multi-turn KV reuse — when the new prompt extends the
+        session's cached token prefix (chat history is append-only under
+        every template), only the DELTA prefills; re-encoded history that
+        diverges from the generated ids (tokenizer merges across the turn
+        boundary) safely overwrites from the first mismatch. The session
+        is updated in place with the post-generation cache."""
         cfg = cfg or GenerateConfig()
         stats = Stats()
         tok = self.tokenizer
@@ -212,16 +246,29 @@ class Engine:
         ids = (self._clamp_ids(prompt_ids) if prompt_ids is not None
                else self._encode(prompt))
         max_new = min(cfg.max_tokens, self.arch.max_seq_len - len(ids))
-        kv = self._make_kv()
+
+        start = 0
+        if session is not None and session.kv is not None:
+            cached = session.ids_in_kv
+            n = 0
+            while (n < len(cached) and n < len(ids) - 1
+                   and cached[n] == ids[n]):
+                n += 1
+            if n > 0:
+                kv, start = session.kv, n
+                session.kv = None  # donated to the forwards below
+        if start == 0:
+            kv = self._make_kv()
 
         t0 = time.perf_counter()
         calibrate = cfg.skip_threshold > 0 and self.layer_sel is None
         PROFILER.begin("engine/prefill")
-        logits, kv, cos = self._prefill(kv, ids, with_cosine=calibrate)
+        logits, kv, cos = self._prefill(kv, ids, with_cosine=calibrate,
+                                        start=start)
         PROFILER.end("engine/prefill")
         next_tok = sampler.sample(logits[0])
         jax.block_until_ready(next_tok)
-        stats.prefill_tokens = len(ids)
+        stats.prefill_tokens = len(ids) - start  # delta only under reuse
         stats.prefill_ms = (time.perf_counter() - t0) * 1e3
         if calibrate:
             stats.skipped_layers = self._calibrate(np.asarray(cos),
@@ -230,6 +277,7 @@ class Engine:
         out_ids: list[int] = []
         dec = tok.stream_decoder() if callback else None
         pos = len(ids)
+        fed = 0  # decoded tokens whose KV rows were actually written
         t0 = time.perf_counter()
         for _ in range(max_new):
             tid = int(next_tok)
@@ -248,11 +296,15 @@ class Engine:
             next_tok = sampler.sample(logits[0])
             PROFILER.end("engine/decode_step")
             pos += 1
+            fed += 1
         if callback:
             dec.flush_to(callback)
         jax.block_until_ready(logits)
         stats.decode_tokens = len(out_ids)
         stats.decode_ms = (time.perf_counter() - t0) * 1e3
+        if session is not None:
+            session.kv = kv
+            session.ids_in_kv = ids + out_ids[:fed]
         return tok.decode(out_ids), stats
 
     # --- speculative decoding -------------------------------------------------
@@ -416,8 +468,10 @@ class Engine:
              print_fn=print):
         """Chat REPL. With a recognized chat template (GGUF
         tokenizer.chat_template, inference/chat.py) each turn renders the
-        FULL message history through the model's own format; without one
-        it is the reference's raw stateless loop (engine.cpp:547-571)."""
+        FULL message history through the model's own format and a
+        ChatSession carries the KV across turns so only the new turn's
+        tokens prefill; without a template it is the reference's raw
+        stateless loop (engine.cpp:547-571)."""
         from .chat import detect_format, encode_chat
         mdl = self.model if self.model is not None else getattr(self, "tm",
                                                                 None)
@@ -426,6 +480,7 @@ class Engine:
         print_fn(f"Chat mode ({fmt.name + ' template' if fmt else 'raw'})."
                  f" Empty line or 'exit' to quit.")
         history: list[dict] = []
+        session = ChatSession()
         while True:
             try:
                 line = input_fn("> ")
@@ -438,7 +493,8 @@ class Engine:
             else:
                 history.append({"role": "user", "content": line})
                 ids = encode_chat(self.tokenizer, fmt, history)
-                text, stats = self.generate("", cfg, prompt_ids=ids)
+                text, stats = self.generate("", cfg, prompt_ids=ids,
+                                            session=session)
                 history.append({"role": "assistant", "content": text})
             print_fn(text)
             print_fn(f"[{stats.decode_tps:.2f} tok/s]")
@@ -807,13 +863,14 @@ class TieredEngine(Engine):
         self.skip = frozenset(skip)
         return skip
 
-    def generate(self, prompt, cfg=None, callback=None, *, prompt_ids=None):
+    def generate(self, prompt, cfg=None, callback=None, *, prompt_ids=None,
+                 session=None):
         if cfg is not None:
             # early exit only pays on the tiered path: breaking the streamed
             # loop skips the remaining layers' host→HBM I/O
             self.early_exit_threshold = cfg.early_exit_threshold
         return super().generate(prompt, cfg, callback,
-                                prompt_ids=prompt_ids)
+                                prompt_ids=prompt_ids, session=session)
 
     def generate_self_speculative(self, prompt, cfg=None, callback=None,
                                   draft_layers=None):

@@ -72,9 +72,11 @@ def test_engine_chat_uses_template(chat_model, capsys):
     seen_ids = []
     real_generate = eng.generate
 
-    def spy(prompt, cfg=None, callback=None, *, prompt_ids=None):
+    def spy(prompt, cfg=None, callback=None, *, prompt_ids=None,
+            session=None):
         seen_ids.append(list(prompt_ids or []))
-        return real_generate(prompt, cfg, callback, prompt_ids=prompt_ids)
+        return real_generate(prompt, cfg, callback, prompt_ids=prompt_ids,
+                             session=session)
     eng.generate = spy
 
     lines = iter(["hi there", ""])

@@ -149,3 +149,51 @@ def test_overlong_prompt_clamped(engine):
         max_tokens=2, temperature=0.0, repeat_penalty=1.0))
     assert stats.prefill_tokens <= engine.arch.max_seq_len - 2
     assert stats.decode_tokens >= 1
+
+
+def test_chat_session_delta_prefill(engine):
+    """Turn 2 with a ChatSession prefills only the new tokens and produces
+    the same text as a fresh full-history generate."""
+    from ntransformer_tpu.inference.engine import ChatSession
+    sess = ChatSession()
+    ids1 = engine.tokenizer.encode("one two three", add_bos=True)
+    out1, s1 = engine.generate("", GREEDY, prompt_ids=ids1, session=sess)
+    assert s1.prefill_tokens == len(ids1)
+    assert sess.kv is not None
+    assert sess.ids_in_kv[: len(ids1)] == ids1
+
+    # turn 2 extends the cached prefix (chat history is append-only)
+    extra = engine.tokenizer.encode("four five six seven", add_bos=False)
+    ids2 = list(sess.ids_in_kv) + extra
+    out2, s2 = engine.generate("", GREEDY, prompt_ids=ids2, session=sess)
+    # only the delta (extra minus nothing; last cached token still counts
+    # as cached) prefills
+    assert s2.prefill_tokens <= len(extra) + 1
+    # parity with a stateless full-history generate
+    ref, sref = engine.generate("", GREEDY, prompt_ids=ids2)
+    assert sref.prefill_tokens == len(ids2)
+    assert out2 == ref
+
+
+def test_chat_session_divergence_safe(engine):
+    """A session whose cached ids diverge from the new prompt re-prefills
+    from the first mismatch and still matches stateless output."""
+    from ntransformer_tpu.inference.engine import ChatSession
+    sess = ChatSession()
+    ids1 = engine.tokenizer.encode("alpha beta gamma delta", add_bos=True)
+    engine.generate("", GREEDY, prompt_ids=ids1, session=sess)
+    # new prompt shares only the first 2 tokens with the cache
+    ids2 = ids1[:2] + engine.tokenizer.encode("zebra yak xylophone",
+                                              add_bos=False)
+    out, s = engine.generate("", GREEDY, prompt_ids=ids2, session=sess)
+    ref, _ = engine.generate("", GREEDY, prompt_ids=ids2)
+    assert out == ref
+    assert s.prefill_tokens == len(ids2) - 2
+
+
+def test_chat_session_reset(engine):
+    from ntransformer_tpu.inference.engine import ChatSession
+    sess = ChatSession()
+    engine.generate("hello", GREEDY, session=sess)
+    sess.reset()
+    assert sess.kv is None and sess.ids_in_kv == []
