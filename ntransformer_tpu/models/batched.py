@@ -283,6 +283,18 @@ def _resolve_impl(impl: str | None, kv_append: str | None):
     return impl, kv_append
 
 
+def _check_batched_arch(arch: Arch) -> None:
+    """The batched step (and its Pallas decode kernel) implements the
+    llama/qwen/gemma-1 graph; gemma2's softcaps, post norms and
+    alternating sliding window are not mirrored here yet — refuse rather
+    than silently mis-evaluate."""
+    if arch.swa_pattern or arch.attn_softcap or arch.post_norms:
+        raise NotImplementedError(
+            "gemma2-family models (sliding window / softcap / post norms) "
+            "are not supported on the batched serving path yet — use "
+            "Engine.generate")
+
+
 def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
                         active: jnp.ndarray, tp_axis: str | None = None,
@@ -297,6 +309,7 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     "dus" | None (NT_KV_APPEND). Returns (logits [B, V] f32, BatchedKV).
     """
     impl, kv_append = _resolve_impl(impl, kv_append)
+    _check_batched_arch(arch)
     return _batched_decode_step(arch, weights, kv, tokens, pos, active,
                                 tp_axis, impl, kv_append)
 
@@ -309,6 +322,7 @@ def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     transform (shard_map in parallel/dp.py). Env switches resolve at the
     caller's trace time."""
     impl, kv_append = _resolve_impl(impl, kv_append)
+    _check_batched_arch(arch)
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
                       impl, kv_append)
 

@@ -40,6 +40,19 @@ class ModelConfig:
     act: str = "silu"
     norm_bias: float = 0.0
     embed_scale: float = 1.0
+    # gemma2-family switches. post_norms: every block additionally
+    # RMSNorms its attention and FFN outputs before the residual add.
+    # attn_softcap/final_softcap: cap*tanh(x/cap) on attention scores /
+    # final logits (0 = off). swa_pattern n: layers with l % n < n-1 use
+    # sliding-window attention of `sliding_window` keys (gemma2: n=2,
+    # even layers local / odd global). query_scale 0 = default
+    # 1/sqrt(head_dim) (gemma2-27b overrides to 1/sqrt(hidden/n_heads)).
+    post_norms: bool = False
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    sliding_window: int = 0
+    swa_pattern: int = 0
+    query_scale: float = 0.0
     metadata: dict = field(default_factory=dict)
 
     @property
@@ -92,11 +105,24 @@ class ModelConfig:
             cfg.norm_bias = 1.0
             cfg.embed_scale = float(cfg.hidden_size) ** 0.5
         elif arch == "gemma2":
-            raise NotImplementedError(
-                "gemma2 needs pre+post block norms, logit softcaps and "
-                "alternating sliding-window attention — load refused "
-                "rather than silently mis-evaluated (gemma-1 'gemma' "
-                "files are supported)")
+            # gemma-2 deltas on top of the gemma-1 set (llama.cpp
+            # build_gemma2 graph): post-attention/post-FFN block norms,
+            # attention-score and final-logit softcapping, and alternating
+            # sliding-window attention (even layers local, odd global —
+            # HF Gemma2 `not bool(layer_idx % 2)`)
+            cfg.act = "gelu_tanh"
+            cfg.norm_bias = 1.0
+            cfg.embed_scale = float(cfg.hidden_size) ** 0.5
+            cfg.post_norms = True
+            cfg.sliding_window = get(p + "attention.sliding_window", 4096)
+            cfg.swa_pattern = 2
+            cfg.attn_softcap = get(p + "attn_logit_softcapping", 50.0)
+            cfg.final_softcap = get(p + "final_logit_softcapping", 30.0)
+            if cfg.n_layers == 46:
+                # gemma-2-27b: query_pre_attn_scalar = hidden/n_heads
+                # (144), not head_dim (128) — llama.cpp keys the same
+                # override on the 27B layer count
+                cfg.query_scale = (cfg.hidden_size / cfg.n_heads) ** -0.5
         style = md.get("ntransformer.rope_style")
         if style is not None:
             style = str(style)

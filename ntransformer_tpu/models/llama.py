@@ -49,6 +49,13 @@ class Arch:
     act: str = "silu"          # "silu" | "gelu_tanh"
     norm_bias: float = 0.0     # added to every norm weight (gemma: 1.0)
     embed_scale: float = 1.0   # post-lookup multiplier (gemma: sqrt(H))
+    # gemma2-family switches (all STATIC; see models/config.py):
+    post_norms: bool = False   # RMSNorm attn/ffn outputs pre-residual
+    attn_softcap: float = 0.0  # cap*tanh(scores/cap), 0 = off
+    final_softcap: float = 0.0  # cap*tanh(logits/cap), 0 = off
+    sliding_window: int = 0    # local-attention window (keys), 0 = global
+    swa_pattern: int = 0       # layers with l % n < n-1 are local; 0 = none
+    query_scale: float = 0.0   # 0 = 1/sqrt(head_dim)
 
     @classmethod
     def from_config(cls, cfg) -> "Arch":
@@ -63,6 +70,10 @@ class Arch:
             max_seq_len=cfg.max_seq_len,
             act=cfg.act, norm_bias=cfg.norm_bias,
             embed_scale=cfg.embed_scale,
+            post_norms=cfg.post_norms, attn_softcap=cfg.attn_softcap,
+            final_softcap=cfg.final_softcap,
+            sliding_window=cfg.sliding_window, swa_pattern=cfg.swa_pattern,
+            query_scale=cfg.query_scale,
         )
 
 
@@ -119,6 +130,11 @@ class LayerWeights:
     bq: jnp.ndarray | None = None
     bk: jnp.ndarray | None = None
     bv: jnp.ndarray | None = None
+    # gemma2-family post norms ([H] f32, stacked [L, H]): RMSNorm applied
+    # to the attention / FFN OUTPUT before its residual add (llama.cpp
+    # blk.N.post_attention_norm / post_ffw_norm). None for other archs.
+    attn_post_norm: jnp.ndarray | None = None
+    ffn_post_norm: jnp.ndarray | None = None
 
 
 @_register
@@ -250,6 +266,18 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     """
     T = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
+    q_scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
+    window = None
+    if arch.swa_pattern:
+        # alternating sliding-window attention (gemma2: even layers local,
+        # odd global). `layer` is the TRACED absolute layer index in the
+        # stacked scan, so one compiled body serves both parities; a
+        # global layer's "window" of max_seq_len masks nothing.
+        assert layer is not None, \
+            "swa_pattern needs the stacked-scan path (absolute layer index)"
+        local = (layer % arch.swa_pattern) < (arch.swa_pattern - 1)
+        window = jnp.where(local, jnp.int32(arch.sliding_window),
+                           jnp.int32(arch.max_seq_len))
 
     def norm_w(w):
         if layer is not None:
@@ -317,13 +345,17 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         vsc = jax.lax.dynamic_update_slice(vsc, vs_new, (0, pos, 0))
         kf = kc.astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
         vf = vc.astype(jnp.bfloat16) * vsc.astype(jnp.bfloat16)
-        att = attention(q, kf, vf, pos, T, 1.0 / math.sqrt(D))
+        att = attention(q, kf, vf, pos, T, q_scale, window=window,
+                        softcap=arch.attn_softcap)
         kv_k, kv_v = (kc, ksc), (vc, vsc)
     elif cp_axis is not None:
         # sequence-sharded cache: each shard owns positions
         # [shard*s_local, (shard+1)*s_local); non-owned (and padding)
         # positions scatter to an OOB sentinel and are dropped
         from ..ops.layers import attention_cp_dispatch
+        assert window is None and arch.attn_softcap == 0.0, \
+            "sliding-window/softcap attention (gemma2) not supported " \
+            "under context parallelism"
         s_local = kv_k.shape[1]
         shard = jax.lax.axis_index(cp_axis)
         lpos = pos + jnp.arange(T) - shard * s_local        # [T]
@@ -344,11 +376,16 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
             v = jnp.where(keep, v, jax.lax.dynamic_slice(kv_v, (0, pos, 0), (Hkv, T, D)))
         kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, pos, 0))
         kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, pos, 0))
-        att = attention(q, kv_k, kv_v, pos, T, 1.0 / math.sqrt(D))
+        att = attention(q, kv_k, kv_v, pos, T, q_scale, window=window,
+                        softcap=arch.attn_softcap)
     o = qmatmul(att.reshape(T, Hq * D).astype(jnp.bfloat16), lw.wo,
                 layer=layer)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
+    if arch.post_norms:
+        # gemma2: normalize the block OUTPUT before its residual add
+        # (after the psum under TP — the norm must see the full sum)
+        o = rms_norm(o, norm_w(lw.attn_post_norm), arch.norm_eps)
     x = x + o
     hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
     if lw.w_gate_up is not None:
@@ -362,6 +399,8 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
                  layer=layer)
     if tp_axis is not None:
         dn = jax.lax.psum(dn, tp_axis)
+    if arch.post_norms:
+        dn = rms_norm(dn, norm_w(lw.ffn_post_norm), arch.norm_eps)
     x = x + dn
     return x, kv_k, kv_v
 
@@ -433,6 +472,8 @@ def head_logits(arch: Arch, weights: ModelWeights, x, n_valid=None,
     if logits.shape[-1] > arch.vocab_size:
         # lane-padded LM head (pad_qlinear_lanes): drop the zero columns
         logits = logits[:, : arch.vocab_size]
+    if arch.final_softcap:
+        logits = arch.final_softcap * jnp.tanh(logits / arch.final_softcap)
     return logits
 
 

@@ -76,7 +76,8 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
     pre = f"blk.{i}."
 
     def bias(name):
-        # qwen2-family QKV biases; absent in llama/mistral files
+        # optional vectors: qwen2-family QKV biases, gemma2-family post
+        # norms; absent in llama/mistral files
         full = pre + name
         return load_norm(reader, full) if full in reader else None
 
@@ -92,6 +93,8 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
         w_down=load_qlinear_host(reader, pre + "ffn_down.weight", compute),
         bq=bias("attn_q.bias"), bk=bias("attn_k.bias"),
         bv=bias("attn_v.bias"),
+        attn_post_norm=bias("post_attention_norm.weight"),
+        ffn_post_norm=bias("post_ffw_norm.weight"),
     )
 
 

@@ -482,6 +482,14 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
     arch = Arch.from_config(cfg)
+    if arch.swa_pattern:
+        # the streamed per-layer step is compiled once with the layer's
+        # KV-stack SLOT as its only index — SWA needs the absolute layer
+        # parity. gemma2 tops out at 27B (fits resident on one v5e pod
+        # slice); tiered streaming is the 70B feature.
+        raise NotImplementedError(
+            "sliding-window models (gemma2) are not supported on the "
+            "tiered/streamed path — load resident (Engine.load)")
 
     pack = ensure_pack(reader, path, requant)
 

@@ -75,11 +75,17 @@ def swiglu(gate: jnp.ndarray, up: jnp.ndarray,
 
 
 def attention_jnp(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-                  pos_start, q_len: int, scale: float) -> jnp.ndarray:
+                  pos_start, q_len: int, scale: float,
+                  window=None, softcap: float = 0.0) -> jnp.ndarray:
     """Masked GQA attention over the full KV cache buffer.
 
     q [T, Hq, D]; k_cache/v_cache [Hkv, S, D] (padded to max_seq).
     Causal: query t attends keys [0, pos_start + t]. Returns [T, Hq, D] f32.
+
+    window (traced int scalar or None): sliding-window attention — query t
+    additionally attends only keys > q_pos - window (gemma2 local layers).
+    softcap (static float): scores become softcap*tanh(scores/softcap)
+    BEFORE masking (gemma2 attn_logit_softcapping).
     """
     T, Hq, D = q.shape
     Hkv, S, _ = k_cache.shape
@@ -88,9 +94,13 @@ def attention_jnp(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
     scores = jnp.einsum("thgd,hsd->hgts", qf, kf) * scale  # [Hkv, g, T, S]
+    if softcap:
+        scores = softcap * jnp.tanh(scores / softcap)
     key_pos = jnp.arange(S)[None, :]
     q_pos = pos_start + jnp.arange(T)[:, None]
     mask = key_pos <= q_pos  # [T, S]
+    if window is not None:
+        mask = mask & (key_pos > q_pos - window)
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hgts,hsd->thgd", probs, vf)
@@ -166,15 +176,20 @@ def attention_cp_dispatch(q, k_local, v_local, pos_start, q_len: int,
 
 def attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
               pos_start, q_len: int, scale: float,
-              use_flash: bool | None = None) -> jnp.ndarray:
+              use_flash: bool | None = None,
+              window=None, softcap: float = 0.0) -> jnp.ndarray:
     """Attention dispatch: Pallas flash kernel on TPU for prefill-sized q
     (blocked q×kv, causal block skipping); jnp for decode-sized q, where the
     [T, S] score tile is small and XLA's fused path measured faster, and as
-    the CPU reference."""
+    the CPU reference. window/softcap (gemma2) route through the flash
+    kernel's masked path too — window rides the scalar-prefetch operand, so
+    one compiled kernel serves both SWA parities of the layer scan."""
     if use_flash is None:
         from .linear import use_pallas_default
         use_flash = use_pallas_default() and q_len >= 64
     if use_flash:
         from .pallas.attention import flash_attention
-        return flash_attention(q, k_cache, v_cache, pos_start, q_len, scale)
-    return attention_jnp(q, k_cache, v_cache, pos_start, q_len, scale)
+        return flash_attention(q, k_cache, v_cache, pos_start, q_len, scale,
+                               window=window, softcap=softcap)
+    return attention_jnp(q, k_cache, v_cache, pos_start, q_len, scale,
+                         window=window, softcap=softcap)

@@ -35,7 +35,7 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _attn_kernel(pos_ref, *refs, scale, block_t, block_s, n_kv_blocks, group,
-                 partials):
+                 partials, softcap):
     if partials:
         q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = refs
     else:
@@ -54,10 +54,17 @@ def _attn_kernel(pos_ref, *refs, scale, block_t, block_s, n_kv_blocks, group,
     # keys in this cache are GLOBAL positions offset + local index (offset
     # is nonzero under context parallelism: sequence-sharded cache)
     offset = pos_ref[1]
+    # sliding window (dynamic: gemma2 alternates local/global per layer
+    # inside one scan body — a "global" layer passes a huge window).
+    # Query t sees keys in (qpos - window, qpos].
+    window = pos_ref[2]
     # last valid key for this q block: pos + i*block_t + block_t - 1
     max_kpos = pos + (i + 1) * block_t - 1
+    # first key any query in this block can see: lowest qpos - window + 1
+    min_kpos = pos + i * block_t - window + 1
 
-    @pl.when(offset + j * block_s <= max_kpos)
+    @pl.when((offset + j * block_s <= max_kpos)
+             & (offset + (j + 1) * block_s - 1 >= min_kpos))
     def _block():
         q = q_ref[0].reshape(gt, q_ref.shape[-1])   # [g*BT, D]
         k = k_ref[0]                                # [BS, D]
@@ -65,12 +72,14 @@ def _attn_kernel(pos_ref, *refs, scale, block_t, block_s, n_kv_blocks, group,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=F32) * scale     # [g*BT, BS]
+        if softcap:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         kpos = (offset + j * block_s
                 + jax.lax.broadcasted_iota(jnp.int32, (gt, block_s), 1))
         # row r = g*BT + t ; query position = pos + i*block_t + (r % BT)
         qpos = (pos + i * block_t
                 + jax.lax.broadcasted_iota(jnp.int32, (gt, block_s), 0) % block_t)
-        s = jnp.where(kpos <= qpos, s, NEG_INF)
+        s = jnp.where((kpos <= qpos) & (kpos > qpos - window), s, NEG_INF)
 
         m_prev = m_ref[:][:, :1]                          # [gT, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -106,9 +115,10 @@ def _pick_block(s: int, candidates) -> int:
     raise ValueError(f"dim {s} not tileable by {candidates}")
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "partials"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "partials",
+                                             "softcap"))
 def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret,
-                kpos_offset=0, partials=False):
+                kpos_offset=0, partials=False, window=None, softcap=0.0):
     hkv, group, t, d = q.shape
     _, s, _ = k_cache.shape
     block_s = _pick_block(s, (512, 256, 128, 64, 32, 16, 8))
@@ -126,7 +136,8 @@ def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret,
 
     kernel = functools.partial(_attn_kernel, scale=scale, block_t=block_t,
                                block_s=block_s, n_kv_blocks=n_kv_blocks,
-                               group=group, partials=partials)
+                               group=group, partials=partials,
+                               softcap=softcap)
     o_spec = pl.BlockSpec((1, group, block_t, d),
                           lambda h, i, j: (h, 0, i, 0),
                           memory_space=pltpu.VMEM)
@@ -140,8 +151,10 @@ def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret,
         out_specs = (o_spec, ml_spec, ml_spec)
     else:
         out_specs = o_spec
+    # no window = a window larger than any context (masks nothing)
+    w = jnp.int32(2**30) if window is None else jnp.asarray(window, jnp.int32)
     pos_arr = jnp.stack([jnp.asarray(pos, jnp.int32),
-                         jnp.asarray(kpos_offset, jnp.int32)])
+                         jnp.asarray(kpos_offset, jnp.int32), w])
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -168,11 +181,18 @@ def _flash_impl(q, k_cache, v_cache, pos, *, scale, interpret,
 
 def flash_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                     pos, q_len: int, scale: float, *,
-                    interpret: bool | None = None) -> jnp.ndarray:
+                    interpret: bool | None = None,
+                    window=None, softcap: float = 0.0) -> jnp.ndarray:
     """Causal GQA flash attention over the full cache buffer.
 
     q [T, Hq, D] (any float dtype); k_cache/v_cache [Hkv, S, D];
     pos = write offset of q[0] in the cache. Returns [T, Hq, D] f32.
+
+    window (traced int scalar or None): sliding-window attention — query t
+    sees keys in (qpos - window, qpos]. Dynamic (SMEM operand) so gemma2's
+    per-layer local/global alternation shares one compiled kernel; KV
+    blocks fully outside [qpos-window+1, qpos] are skipped either way.
+    softcap (static float): softcap*tanh(scores/softcap) pre-masking.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -182,7 +202,7 @@ def flash_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     # [T, Hq, D] -> [Hkv, group, T, D]
     qr = jnp.swapaxes(q, 0, 1).reshape(hkv, group, t, d).astype(k_cache.dtype)
     out = _flash_impl(qr, k_cache, v_cache, pos, scale=scale,
-                      interpret=interpret)
+                      interpret=interpret, window=window, softcap=softcap)
     # [Hkv, group, T, D] -> [T, Hq, D]
     return jnp.swapaxes(out.reshape(hq, t, d), 0, 1)
 

@@ -82,6 +82,12 @@ def weight_specs(weights: ModelWeights) -> ModelWeights:
         bq=P(None, TP_AXIS) if lw.bq is not None else None,
         bk=P(None, TP_AXIS) if lw.bk is not None else None,
         bv=P(None, TP_AXIS) if lw.bv is not None else None,
+        # gemma2 post norms [L, H] normalize the FULL (post-psum) block
+        # output — replicated like the pre-norms
+        attn_post_norm=(P(None, None) if lw.attn_post_norm is not None
+                        else None),
+        ffn_post_norm=(P(None, None) if lw.ffn_post_norm is not None
+                       else None),
     )
     return ModelWeights(
         embed=_qlinear_spec(weights.embed, row, False),

@@ -4,8 +4,8 @@ Gemma deltas vs llama, all STATIC Arch switches (llama graphs unchanged
 at their defaults): gelu-tanh gating instead of silu, RMSNorm scaling by
 (1 + w), embeddings multiplied by sqrt(hidden), tied LM head (no
 output.weight in the file), NEOX half-split rope (the non-llama arch
-default). gemma2 (softcaps, alternating SWA, post-norms) is refused at
-load rather than silently mis-evaluated.
+default). gemma2 (softcaps, alternating SWA, post-norms) is covered in
+tests/test_gemma2.py.
 """
 import numpy as np
 import pytest
@@ -39,9 +39,13 @@ def test_gemma_config_switches(g_model):
     assert g_model.weights.lm_head is g_model.weights.embed  # tied
 
 
-def test_gemma2_refused():
-    with pytest.raises(NotImplementedError, match="gemma2"):
-        ModelConfig.from_gguf_metadata({"general.architecture": "gemma2"})
+def test_gemma2_config_parses():
+    """gemma2 is supported (tests/test_gemma2.py); the config layer fills
+    the family defaults even from bare metadata."""
+    cfg = ModelConfig.from_gguf_metadata({"general.architecture": "gemma2"})
+    assert cfg.post_norms and cfg.swa_pattern == 2
+    assert cfg.sliding_window == 4096
+    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
 
 
 def _numpy_reference(path: str, tokens: np.ndarray) -> np.ndarray:

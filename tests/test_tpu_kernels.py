@@ -136,6 +136,41 @@ def test_compiled_flash_attention_parity():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_compiled_flash_window_softcap_parity():
+    """Mosaic-compiled sliding-window + softcapped flash attention
+    (gemma2 local layers) == jnp reference. Window is a dynamic SMEM
+    operand — run local and global through the SAME jitted call."""
+    from ntransformer_tpu.ops.layers import attention_jnp
+    from ntransformer_tpu.ops.pallas.attention import flash_attention
+
+    Hq, Hkv, D, S, T, W = 8, 2, 64, 256, 128, 32
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((T, Hq, D)).astype(np.float32) * 0.8
+    kc = np.zeros((Hkv, S, D), np.float32)
+    vc = np.zeros((Hkv, S, D), np.float32)
+    kc[:, :T] = rng.standard_normal((Hkv, T, D)) * 0.8
+    vc[:, :T] = rng.standard_normal((Hkv, T, D)) * 0.8
+
+    dev = TPU[0]
+    qd = jax.device_put(jnp.asarray(q), dev)
+    kd = jax.device_put(jnp.asarray(kc, dtype=jnp.bfloat16), dev)
+    vd = jax.device_put(jnp.asarray(vc, dtype=jnp.bfloat16), dev)
+    scale = 1.0 / np.sqrt(D)
+
+    @jax.jit
+    def f(window):
+        return flash_attention(qd, kd, vd, 0, T, scale, window=window,
+                               softcap=50.0)
+
+    for w in (W, 2**30):
+        got = np.asarray(f(jnp.int32(w)))
+        want = np.asarray(attention_jnp(
+            jnp.asarray(q), jnp.asarray(kc, dtype=jnp.bfloat16),
+            jnp.asarray(vc, dtype=jnp.bfloat16), 0, T, scale,
+            window=jnp.int32(w), softcap=50.0))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.parametrize("quant", [False, True])
 def test_compiled_batched_flash_decode_parity(quant):
     """Mosaic-compiled batched flash-decode (the serving kernel) == jnp

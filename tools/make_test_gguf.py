@@ -94,6 +94,12 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
     w.add_meta(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_meta(f"{arch}.rope.freq_base", float(p["rope_theta"]))
     w.add_meta(f"{arch}.context_length", p["ctx"])
+    if arch == "gemma2":
+        # small window so tiny-model tests actually exercise the local
+        # layers' masking (real gemma2 files carry 4096)
+        w.add_meta("gemma2.attention.sliding_window", p.get("window", 16))
+        w.add_meta("gemma2.attn_logit_softcapping", 50.0)
+        w.add_meta("gemma2.final_logit_softcapping", 30.0)
     tokens, scores, types = make_vocab(min(p["vocab"], 4096),
                                        gpt2=gpt2_vocab, chat=chat)
     if chat is not None:
@@ -140,15 +146,22 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
                 w.add_tensor(pre + nm, (rng.standard_normal(n)
                                         * scale).astype(np.float32))
         emit(pre + "attn_output.weight", p["hidden"], p["hidden"])
+        if arch == "gemma2":
+            # post norms get RANDOM weights so parity tests catch a
+            # missing/misplaced (1+w) application, not just presence
+            for nm in ("post_attention_norm", "post_ffw_norm"):
+                w.add_tensor(pre + nm + ".weight",
+                             (rng.standard_normal(p["hidden"])
+                              * 0.1).astype(np.float32))
         w.add_tensor(pre + "ffn_norm.weight", np.ones(p["hidden"], np.float32))
         emit(pre + "ffn_gate.weight", p["inter"], p["hidden"])
         emit(pre + "ffn_up.weight", p["inter"], p["hidden"])
         emit(pre + "ffn_down.weight", p["hidden"], p["inter"])
     w.add_tensor("output_norm.weight", np.ones(p["hidden"], np.float32))
-    if arch != "gemma":
+    if arch not in ("gemma", "gemma2"):
         emit("output.weight", p["vocab"], p["hidden"])
-    # gemma ties the LM head to the embedding (no output.weight in real
-    # gemma GGUFs — the loader's tied fallback covers it)
+    # gemma/gemma2 tie the LM head to the embedding (no output.weight in
+    # real gemma GGUFs — the loader's tied fallback covers it)
     w.write()
     return path
 
