@@ -33,11 +33,12 @@ from ..models.llama import LayerWeights
 from ..ops.linear import QLinear
 
 MAGIC = b"NTP1"
-# format version: 2 = layer blobs may carry qwen2 QKV bias vectors
-# (LAYER_BIASES). Readers check this against the source GGUF: a v1
-# pack of a bias-carrying GGUF must rebuild or tiered decode would
-# silently drop the biases.
-PACK_VERSION = 2
+# format version: 2 = layer blobs may carry qwen2 QKV bias vectors;
+# 3 = they may also carry qwen3/gemma3 per-head q/k norms
+# (both in LAYER_BIASES). Readers check this against the source GGUF: an
+# old pack of a vector-carrying GGUF must rebuild or tiered decode would
+# silently drop them.
+PACK_VERSION = 3
 ALIGN = 4096
 
 # pack tensor key -> (GGUF suffix, LayerWeights field)
@@ -47,10 +48,13 @@ LAYER_TENSORS = {
     "w_up": "ffn_up.weight", "w_down": "ffn_down.weight",
 }
 LAYER_NORMS = {"attn_norm": "attn_norm.weight", "ffn_norm": "ffn_norm.weight"}
-# qwen2-family QKV biases: small f32 vectors that ride the same plain-array
-# mechanism as the norms, included per layer only when the GGUF has them
+# optional small f32 vectors that ride the same plain-array mechanism as
+# the norms, included per layer only when the GGUF has them: qwen2-family
+# QKV biases (v2) and qwen3/gemma3 per-head q/k norms (v3)
 LAYER_BIASES = {"bq": "attn_q.bias", "bk": "attn_k.bias",
-                "bv": "attn_v.bias"}
+                "bv": "attn_v.bias",
+                "q_norm": "attn_q_norm.weight",
+                "k_norm": "attn_k_norm.weight"}
 
 
 def _align(n: int, a: int = ALIGN) -> int:
@@ -291,11 +295,13 @@ def ensure_pack(reader, gguf_path: str, requant: DType | None = None,
     if os.path.exists(path):
         try:
             pr = PackReader(path)
-            # a pre-v2 pack of a bias-carrying GGUF predates LAYER_BIASES:
-            # its blobs silently lack bq/bk/bv — rebuild even though the
-            # GGUF content key still matches
-            needs_biases = (pr.version < 2
-                            and "blk.0.attn_q.bias" in reader)
+            # an old pack of a vector-carrying GGUF predates LAYER_BIASES
+            # entries: its blobs silently lack them — rebuild even though
+            # the GGUF content key still matches
+            needs_biases = ((pr.version < 2
+                             and "blk.0.attn_q.bias" in reader)
+                            or (pr.version < 3
+                                and "blk.0.attn_q_norm.weight" in reader))
             if pr.header.get("src_key") == key and not needs_biases:
                 return pr
         except Exception:

@@ -142,6 +142,11 @@ def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
         q = q + sel(lw.bq).reshape(Hq, D)
         k = k + sel(lw.bk).reshape(Hkv, D)
         v = v + sel(lw.bv).reshape(Hkv, D)
+    if arch.qk_norm:
+        # qwen3: per-head RMSNorm over head_dim, pre-RoPE (gemma3 is
+        # refused upstream by _check_batched_arch's swa/post_norms gate)
+        q = rms_norm(q, norm_w(lw.q_norm), arch.norm_eps)
+        k = rms_norm(k, norm_w(lw.k_norm), arch.norm_eps)
     q = jax.vmap(apply_rope, (0, 0, 0, None))(q, cos_t, sin_t,
                                               arch.rope_interleaved)
     k = jax.vmap(apply_rope, (0, 0, 0, None))(k, cos_t, sin_t,

@@ -53,6 +53,10 @@ class ModelConfig:
     sliding_window: int = 0
     swa_pattern: int = 0
     query_scale: float = 0.0
+    # qwen3/gemma3: per-head RMSNorm on q/k before RoPE; gemma3's SWA
+    # layers additionally rotate with their own rope base (local theta)
+    qk_norm: bool = False
+    rope_local_theta: float = 0.0
     metadata: dict = field(default_factory=dict)
 
     @property
@@ -123,6 +127,24 @@ class ModelConfig:
                 # (144), not head_dim (128) — llama.cpp keys the same
                 # override on the 27B layer count
                 cfg.query_scale = (cfg.hidden_size / cfg.n_heads) ** -0.5
+        elif arch == "qwen3":
+            # qwen3 = qwen2 graph minus QKV biases plus per-head q/k
+            # RMSNorms before RoPE (llama.cpp build_qwen3)
+            cfg.qk_norm = True
+        elif arch == "gemma3":
+            # gemma-3 (llama.cpp build_gemma3): gemma-2's post norms and
+            # embed scaling, q/k norms instead of softcaps, 5-local:1-global
+            # SWA, and a separate rope base for the local layers
+            cfg.act = "gelu_tanh"
+            cfg.norm_bias = 1.0
+            cfg.embed_scale = float(cfg.hidden_size) ** 0.5
+            cfg.post_norms = True
+            cfg.qk_norm = True
+            cfg.sliding_window = get(p + "attention.sliding_window", 1024)
+            cfg.swa_pattern = 6
+            # global layers read rope.freq_base (1M); local layers are
+            # fixed at 10k unless the file overrides
+            cfg.rope_local_theta = get(p + "rope.local_freq_base", 10000.0)
         style = md.get("ntransformer.rope_style")
         if style is not None:
             style = str(style)

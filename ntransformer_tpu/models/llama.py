@@ -56,6 +56,10 @@ class Arch:
     sliding_window: int = 0    # local-attention window (keys), 0 = global
     swa_pattern: int = 0       # layers with l % n < n-1 are local; 0 = none
     query_scale: float = 0.0   # 0 = 1/sqrt(head_dim)
+    # qwen3/gemma3-family switches:
+    qk_norm: bool = False      # per-head RMSNorm on q/k before RoPE
+    rope_local_theta: float = 0.0  # gemma3: SWA layers use their own
+    # rope base (10k local vs 1M global); 0 = one table for all layers
 
     @classmethod
     def from_config(cls, cfg) -> "Arch":
@@ -74,6 +78,7 @@ class Arch:
             final_softcap=cfg.final_softcap,
             sliding_window=cfg.sliding_window, swa_pattern=cfg.swa_pattern,
             query_scale=cfg.query_scale,
+            qk_norm=cfg.qk_norm, rope_local_theta=cfg.rope_local_theta,
         )
 
 
@@ -135,6 +140,11 @@ class LayerWeights:
     # blk.N.post_attention_norm / post_ffw_norm). None for other archs.
     attn_post_norm: jnp.ndarray | None = None
     ffn_post_norm: jnp.ndarray | None = None
+    # qwen3/gemma3-family q/k norms ([D] f32, stacked [L, D]): per-head
+    # RMSNorm over head_dim applied to q/k before RoPE (llama.cpp
+    # blk.N.attn_q_norm / attn_k_norm). None for other archs.
+    q_norm: jnp.ndarray | None = None
+    k_norm: jnp.ndarray | None = None
 
 
 @_register
@@ -314,6 +324,18 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         q = q + sel(lw.bq).reshape(Hq, D)
         k = k + sel(lw.bk).reshape(Hkv, D)
         v = v + sel(lw.bv).reshape(Hkv, D)
+    if arch.qk_norm:
+        # qwen3/gemma3: per-head RMSNorm over head_dim, before RoPE
+        # (norm_w folds the gemma (1+w) offset; qwen3 uses plain w)
+        q = rms_norm(q, norm_w(lw.q_norm), arch.norm_eps)
+        k = rms_norm(k, norm_w(lw.k_norm), arch.norm_eps)
+    if cos_t.ndim == 3:
+        # dual rope tables [2, T, d2]: row 0 global, row 1 local —
+        # gemma3's SWA layers rotate with their own base frequency
+        assert window is not None, "dual rope requires swa_pattern"
+        r = jnp.where(local, 1, 0)
+        cos_t = jax.lax.dynamic_index_in_dim(cos_t, r, 0, keepdims=False)
+        sin_t = jax.lax.dynamic_index_in_dim(sin_t, r, 0, keepdims=False)
     q = apply_rope(q, cos_t, sin_t, arch.rope_interleaved)
     k = apply_rope(k, cos_t, sin_t, arch.rope_interleaved)
     k = jnp.swapaxes(k, 0, 1)  # [Hkv, T, D] f32
@@ -414,8 +436,16 @@ def embed_positions(arch: Arch, weights: ModelWeights, tokens: jnp.ndarray,
     if arch.embed_scale != 1.0:
         x = x * arch.embed_scale  # gemma: sqrt(hidden)
     d2 = arch.head_dim // 2
-    cos_t = jax.lax.dynamic_slice(weights.rope_cos, (pos, 0), (T, d2))
-    sin_t = jax.lax.dynamic_slice(weights.rope_sin, (pos, 0), (T, d2))
+    if weights.rope_cos.ndim == 3:
+        # dual tables [2, S, d2] (gemma3: global/local bases) — the layer
+        # step selects its row by SWA parity
+        cos_t = jax.lax.dynamic_slice(weights.rope_cos, (0, pos, 0),
+                                      (2, T, d2))
+        sin_t = jax.lax.dynamic_slice(weights.rope_sin, (0, pos, 0),
+                                      (2, T, d2))
+    else:
+        cos_t = jax.lax.dynamic_slice(weights.rope_cos, (pos, 0), (T, d2))
+        sin_t = jax.lax.dynamic_slice(weights.rope_sin, (pos, 0), (T, d2))
     return x, cos_t, sin_t
 
 

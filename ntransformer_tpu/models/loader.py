@@ -95,6 +95,8 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
         bv=bias("attn_v.bias"),
         attn_post_norm=bias("post_attention_norm.weight"),
         ffn_post_norm=bias("post_ffw_norm.weight"),
+        q_norm=bias("attn_q_norm.weight"),
+        k_norm=bias("attn_k_norm.weight"),
     )
 
 
@@ -170,6 +172,13 @@ def load_model(path: str, *, max_seq_len: int | None = None,
             lm_head = pad_qlinear_lanes(lm_head, pad)
     cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta,
                           rope_freq_factors(reader))
+    if cfg.rope_local_theta:
+        # gemma3: SWA layers rotate with their own base — stack
+        # [global, local] tables; layer_step selects by SWA parity
+        lcos, lsin = rope_table(cfg.max_seq_len, cfg.head_dim,
+                                cfg.rope_local_theta)
+        cos = jnp.stack([cos, lcos])
+        sin = jnp.stack([sin, lsin])
 
     weights = ModelWeights(embed=embed, layers=stacked,
                            output_norm=output_norm, lm_head=lm_head,

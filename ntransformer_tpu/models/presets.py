@@ -11,6 +11,10 @@ PRESETS = {
                  kv_heads=2, ctx=512, rope_theta=10000.0),
     "micro": dict(vocab=256, hidden=128, inter=256, layers=2, heads=2,
                   kv_heads=1, ctx=256, rope_theta=10000.0),
+    # 7 layers so a 5:1 SWA pattern (gemma3) includes one GLOBAL layer
+    # (il % 6 == 5) — a 4-layer model would test only the local path
+    "deep": dict(vocab=512, hidden=128, inter=256, layers=7, heads=4,
+                 kv_heads=2, ctx=512, rope_theta=10000.0),
     "1b": dict(vocab=128256, hidden=2048, inter=8192, layers=16, heads=32,
                kv_heads=8, ctx=4096, rope_theta=500000.0),
     "3b": dict(vocab=128256, hidden=3072, inter=8192, layers=28, heads=24,

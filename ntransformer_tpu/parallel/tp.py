@@ -88,6 +88,10 @@ def weight_specs(weights: ModelWeights) -> ModelWeights:
                         else None),
         ffn_post_norm=(P(None, None) if lw.ffn_post_norm is not None
                        else None),
+        # qwen3/gemma3 q/k norms [L, D]: per-HEAD-DIM weights shared by
+        # every head, so they replicate across the head-sharded mesh
+        q_norm=P(None, None) if lw.q_norm is not None else None,
+        k_norm=P(None, None) if lw.k_norm is not None else None,
     )
     return ModelWeights(
         embed=_qlinear_spec(weights.embed, row, False),

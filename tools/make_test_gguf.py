@@ -100,6 +100,11 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
         w.add_meta("gemma2.attention.sliding_window", p.get("window", 16))
         w.add_meta("gemma2.attn_logit_softcapping", 50.0)
         w.add_meta("gemma2.final_logit_softcapping", 30.0)
+    if arch == "gemma3":
+        w.add_meta("gemma3.attention.sliding_window", p.get("window", 16))
+        # a local base that DIFFERS from the preset's global one, so a
+        # model that ignores the dual rope tables fails parity
+        w.add_meta("gemma3.rope.local_freq_base", 1000.0)
     tokens, scores, types = make_vocab(min(p["vocab"], 4096),
                                        gpt2=gpt2_vocab, chat=chat)
     if chat is not None:
@@ -145,8 +150,14 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
                           ("attn_k.bias", kv_dim), ("attn_v.bias", kv_dim)):
                 w.add_tensor(pre + nm, (rng.standard_normal(n)
                                         * scale).astype(np.float32))
+        if arch in ("qwen3", "gemma3"):
+            # per-head q/k norms, random so a missing application fails
+            for nm in ("attn_q_norm", "attn_k_norm"):
+                w.add_tensor(pre + nm + ".weight",
+                             (rng.standard_normal(head_dim)
+                              * 0.1).astype(np.float32))
         emit(pre + "attn_output.weight", p["hidden"], p["hidden"])
-        if arch == "gemma2":
+        if arch in ("gemma2", "gemma3"):
             # post norms get RANDOM weights so parity tests catch a
             # missing/misplaced (1+w) application, not just presence
             for nm in ("post_attention_norm", "post_ffw_norm"):
@@ -158,10 +169,10 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
         emit(pre + "ffn_up.weight", p["inter"], p["hidden"])
         emit(pre + "ffn_down.weight", p["hidden"], p["inter"])
     w.add_tensor("output_norm.weight", np.ones(p["hidden"], np.float32))
-    if arch not in ("gemma", "gemma2"):
+    if arch not in ("gemma", "gemma2", "gemma3"):
         emit("output.weight", p["vocab"], p["hidden"])
-    # gemma/gemma2 tie the LM head to the embedding (no output.weight in
-    # real gemma GGUFs — the loader's tied fallback covers it)
+    # the gemma family ties the LM head to the embedding (no output.weight
+    # in real gemma GGUFs — the loader's tied fallback covers it)
     w.write()
     return path
 
