@@ -108,7 +108,43 @@ LLAMA2 = _Llama2Format(
     msg_prefix="", msg_suffix="", generation_prompt="",  # unused: render()
 )
 
-_FORMATS = {f.name: f for f in (LLAMA3, CHATML, LLAMA2)}
+
+@dataclass(frozen=True)
+class _GemmaFormat(ChatFormat):
+    """gemma family: '<start_of_turn>user\\n...<end_of_turn>\\n' per turn
+    with the assistant role spelled 'model'. Gemma has NO system role —
+    a system message folds into the next user turn (llama.cpp's handling;
+    the upstream Jinja template rejects system outright). Stop token is
+    <end_of_turn> (tokenizer stop set)."""
+
+    def render(self, messages: list[dict],
+               add_generation_prompt: bool = True) -> list[Segment]:
+        segs: list[Segment] = []
+        pending_sys: str | None = None
+        for m in messages:
+            role, content = m["role"], m["content"]
+            if role == "system":
+                pending_sys = content
+                continue
+            grole = "model" if role == "assistant" else "user"
+            segs.append(Segment(f"<start_of_turn>{grole}\n", True))
+            if pending_sys is not None and grole == "user":
+                segs.append(Segment(pending_sys, False))
+                segs.append(Segment("\n\n", True))
+                pending_sys = None
+            segs.append(Segment(content, False))
+            segs.append(Segment("<end_of_turn>\n", True))
+        if add_generation_prompt:
+            segs.append(Segment("<start_of_turn>model\n", True))
+        return segs
+
+
+GEMMA = _GemmaFormat(
+    name="gemma",
+    msg_prefix="", msg_suffix="", generation_prompt="",  # unused: render()
+)
+
+_FORMATS = {f.name: f for f in (LLAMA3, CHATML, LLAMA2, GEMMA)}
 
 
 def detect_format(metadata: dict, tokenizer=None) -> ChatFormat | None:
@@ -121,6 +157,8 @@ def detect_format(metadata: dict, tokenizer=None) -> ChatFormat | None:
             return LLAMA3
         if "im_start" in tpl:
             return CHATML
+        if "start_of_turn" in tpl:
+            return GEMMA
         if "[INST]" in tpl:
             return LLAMA2
     if tokenizer is not None:
@@ -129,6 +167,8 @@ def detect_format(metadata: dict, tokenizer=None) -> ChatFormat | None:
             return LLAMA3
         if "<|im_start|>" in vocab:
             return CHATML
+        if "<start_of_turn>" in vocab:
+            return GEMMA
     return None
 
 

@@ -110,7 +110,8 @@ class Tokenizer:
         # (Llama-3 chat emits <|eot_id|>, never <|end_of_text|>)
         self.stop_ids: set[int] = {self.eos_id}
         for name in ("<|eot_id|>", "<|end_of_text|>", "<|eom_id|>",
-                     "<|im_end|>", "<|endoftext|>", "</s>"):
+                     "<|im_end|>", "<|endoftext|>", "</s>",
+                     "<end_of_turn>"):  # gemma chat end-of-turn
             tid = self.token_to_id.get(name)
             if tid is not None:
                 self.stop_ids.add(tid)

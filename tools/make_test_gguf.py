@@ -28,6 +28,8 @@ _CHAT_SPECIALS = {
                "{{ '<|start_header_id|>' + message['role'] }}"),
     "chatml": (["<|im_start|>", "<|im_end|>"],
                "{{ '<|im_start|>' + message['role'] }}"),
+    "gemma": (["<start_of_turn>", "<end_of_turn>"],
+              "{{ '<start_of_turn>' + role }}"),
 }
 
 
