@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..ops.layers import apply_rope, attention_jnp, rms_norm, swiglu
 from ..ops.linear import embed_lookup, qmatmul, use_pallas_default
-from .llama import Arch, KVCache, LayerWeights, ModelWeights, _register
+from .llama import (Arch, KVCache, LayerWeights, ModelWeights, _register,
+                    layer_window)
 
 
 def _batched_kernels_on() -> bool:
@@ -45,11 +46,14 @@ def _batched_kernels_on() -> bool:
     return use_pallas_default() if mode == "auto" else mode == "on"
 
 
-def batched_attention(q, kv_k, kv_v, pos, scale):
+def batched_attention(q, kv_k, kv_v, pos, scale, window=None,
+                      softcap: float = 0.0):
     """jnp reference attention for a decode batch: q [B, Hq, D]; kv either
     [B, Hkv, S, D] arrays or (codes, scales) tuples for the int8 cache
     (dequantized through bf16 — the kernel path never materializes this);
     pos [B] (the current row is already written: keys [0, pos] live).
+    window (traced scalar, shared by the batch — it's a LAYER property) /
+    softcap: gemma2/3 sliding-window and score capping.
     Returns [B, Hq, D] f32."""
     B, Hq, D = q.shape
     if isinstance(kv_k, tuple):
@@ -59,8 +63,9 @@ def batched_attention(q, kv_k, kv_v, pos, scale):
         vf = vc.astype(jnp.bfloat16) * vsc.astype(jnp.bfloat16)
     else:
         kf, vf = kv_k, kv_v
-    att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None))(
-        q.reshape(B, 1, Hq, D), kf, vf, pos, 1, scale)     # [B, 1, Hq, D]
+    att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None, None, None))(
+        q.reshape(B, 1, Hq, D), kf, vf, pos, 1, scale, window,
+        softcap)                                           # [B, 1, Hq, D]
     return att.reshape(B, Hq, D)
 
 
@@ -143,10 +148,15 @@ def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
         k = k + sel(lw.bk).reshape(Hkv, D)
         v = v + sel(lw.bv).reshape(Hkv, D)
     if arch.qk_norm:
-        # qwen3: per-head RMSNorm over head_dim, pre-RoPE (gemma3 is
-        # refused upstream by _check_batched_arch's swa/post_norms gate)
+        # qwen3/gemma3: per-head RMSNorm over head_dim, pre-RoPE
         q = rms_norm(q, norm_w(lw.q_norm), arch.norm_eps)
         k = rms_norm(k, norm_w(lw.k_norm), arch.norm_eps)
+    if cos_t.ndim == 4:
+        # dual rope tables [B, 2, 1, d2] (gemma3): select the layer's row
+        _, local = layer_window(arch, layer)
+        r = jnp.where(local, 1, 0)
+        cos_t = jax.lax.dynamic_index_in_dim(cos_t, r, 1, keepdims=False)
+        sin_t = jax.lax.dynamic_index_in_dim(sin_t, r, 1, keepdims=False)
     q = jax.vmap(apply_rope, (0, 0, 0, None))(q, cos_t, sin_t,
                                               arch.rope_interleaved)
     k = jax.vmap(apply_rope, (0, 0, 0, None))(k, cos_t, sin_t,
@@ -172,6 +182,9 @@ def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
                 layer=layer)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
+    if arch.post_norms:
+        # gemma2/3: normalize the block output before its residual add
+        o = rms_norm(o, norm_w(lw.attn_post_norm), arch.norm_eps)
     x = x + o
     hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
     if lw.w_gate_up is not None:
@@ -185,6 +198,8 @@ def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
                  layer=layer)
     if tp_axis is not None:
         dn = jax.lax.psum(dn, tp_axis)
+    if arch.post_norms:
+        dn = rms_norm(dn, norm_w(lw.ffn_post_norm), arch.norm_eps)
     return x + dn
 
 
@@ -228,8 +243,11 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
         kv_v = jax.vmap(write)(kv_v, v_t, pos, active)
 
     Hq = arch.n_heads
+    window, _ = layer_window(arch, layer)
+    q_scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
     att = batched_attention(q.reshape(B, Hq, D), kv_k, kv_v, pos,
-                            1.0 / math.sqrt(D))          # [B, Hq, D]
+                            q_scale, window=window,
+                            softcap=arch.attn_softcap)   # [B, Hq, D]
     x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
     return x, kv_k, kv_v
 
@@ -245,18 +263,20 @@ def _batched_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
     B = x.shape[0]
     Hq, D = arch.n_heads, arch.head_dim
     q, k_t, v_t = _qkv_rows(arch, x, lw, cos_t, sin_t, layer)
-    scale = 1.0 / math.sqrt(D)
+    scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
+    window, _ = layer_window(arch, layer)
     if bkv.quantized:
         kq, ks_new, vq, vs_new = _quantize_rows(k_t, v_t)
         att = flash_decode_batched(
             q.reshape(B, Hq, D), (bkv.k, bkv.ks), (bkv.v, bkv.vs),
             (kq, ks_new), (vq, vs_new), pos, scale, layer=layer,
-            active=active)
+            active=active, window=window, softcap=arch.attn_softcap)
         rows = (kq, ks_new, vq, vs_new)
     else:
         att = flash_decode_batched(
             q.reshape(B, Hq, D), bkv.k, bkv.v, k_t, v_t, pos, scale,
-            layer=layer, active=active)
+            layer=layer, active=active, window=window,
+            softcap=arch.attn_softcap)
         rows = (k_t, v_t)
     x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
     return x, rows
@@ -288,18 +308,6 @@ def _resolve_impl(impl: str | None, kv_append: str | None):
     return impl, kv_append
 
 
-def _check_batched_arch(arch: Arch) -> None:
-    """The batched step (and its Pallas decode kernel) implements the
-    llama/qwen/gemma-1 graph; gemma2's softcaps, post norms and
-    alternating sliding window are not mirrored here yet — refuse rather
-    than silently mis-evaluate."""
-    if arch.swa_pattern or arch.attn_softcap or arch.post_norms:
-        raise NotImplementedError(
-            "gemma2-family models (sliding window / softcap / post norms) "
-            "are not supported on the batched serving path yet — use "
-            "Engine.generate")
-
-
 def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
                         active: jnp.ndarray, tp_axis: str | None = None,
@@ -314,7 +322,6 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     "dus" | None (NT_KV_APPEND). Returns (logits [B, V] f32, BatchedKV).
     """
     impl, kv_append = _resolve_impl(impl, kv_append)
-    _check_batched_arch(arch)
     return _batched_decode_step(arch, weights, kv, tokens, pos, active,
                                 tp_axis, impl, kv_append)
 
@@ -327,7 +334,6 @@ def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     transform (shard_map in parallel/dp.py). Env switches resolve at the
     caller's trace time."""
     impl, kv_append = _resolve_impl(impl, kv_append)
-    _check_batched_arch(arch)
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
                       impl, kv_append)
 
@@ -353,11 +359,22 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         x = x * arch.embed_scale  # gemma: sqrt(hidden)
     d2 = arch.head_dim // 2
 
-    def rope_rows(p):
-        c = jax.lax.dynamic_slice(weights.rope_cos, (p, 0), (1, d2))
-        s = jax.lax.dynamic_slice(weights.rope_sin, (p, 0), (1, d2))
-        return c, s
-    cos_t, sin_t = jax.vmap(rope_rows)(pos)      # [B, 1, d2]
+    if weights.rope_cos.ndim == 3:
+        # dual tables [2, S, d2] (gemma3): per-seq rows of BOTH, the
+        # layer step selects by SWA parity
+        def rope_rows(p):
+            c = jax.lax.dynamic_slice(weights.rope_cos, (0, p, 0),
+                                      (2, 1, d2))
+            s = jax.lax.dynamic_slice(weights.rope_sin, (0, p, 0),
+                                      (2, 1, d2))
+            return c, s
+        cos_t, sin_t = jax.vmap(rope_rows)(pos)  # [B, 2, 1, d2]
+    else:
+        def rope_rows(p):
+            c = jax.lax.dynamic_slice(weights.rope_cos, (p, 0), (1, d2))
+            s = jax.lax.dynamic_slice(weights.rope_sin, (p, 0), (1, d2))
+            return c, s
+        cos_t, sin_t = jax.vmap(rope_rows)(pos)  # [B, 1, d2]
 
     indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
     deferred = impl == "kernel"
@@ -420,4 +437,6 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         logits = qmatmul(x.astype(jnp.bfloat16), weights.lm_head)
     if logits.shape[-1] > arch.vocab_size:
         logits = logits[:, : arch.vocab_size]  # lane-padded LM head
+    if arch.final_softcap:
+        logits = arch.final_softcap * jnp.tanh(logits / arch.final_softcap)
     return logits, new_bkv

@@ -255,6 +255,23 @@ def fuse_layer_weights(lw: LayerWeights, tp: int = 1) -> LayerWeights:
     return out
 
 
+def layer_window(arch: Arch, layer):
+    """(window, local) for one layer of an SWA model, or (None, None).
+
+    Alternating sliding-window attention (gemma2: even layers local, odd
+    global; gemma3: 5 local : 1 global). `layer` is the TRACED absolute
+    layer index in the stacked scan, so one compiled body serves every
+    parity; a global layer's "window" of max_seq_len masks nothing."""
+    if not arch.swa_pattern:
+        return None, None
+    assert layer is not None, \
+        "swa_pattern needs the stacked-scan path (absolute layer index)"
+    local = (layer % arch.swa_pattern) < (arch.swa_pattern - 1)
+    window = jnp.where(local, jnp.int32(arch.sliding_window),
+                       jnp.int32(arch.max_seq_len))
+    return window, local
+
+
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
                n_valid=None, tp_axis: str | None = None, layer=None,
                cp_axis: str | None = None):
@@ -277,17 +294,7 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     T = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
     q_scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
-    window = None
-    if arch.swa_pattern:
-        # alternating sliding-window attention (gemma2: even layers local,
-        # odd global). `layer` is the TRACED absolute layer index in the
-        # stacked scan, so one compiled body serves both parities; a
-        # global layer's "window" of max_seq_len masks nothing.
-        assert layer is not None, \
-            "swa_pattern needs the stacked-scan path (absolute layer index)"
-        local = (layer % arch.swa_pattern) < (arch.swa_pattern - 1)
-        window = jnp.where(local, jnp.int32(arch.sliding_window),
-                           jnp.int32(arch.max_seq_len))
+    window, local = layer_window(arch, layer)
 
     def norm_w(w):
         if layer is not None:

@@ -63,7 +63,8 @@ def _pick_block_s(s: int, per_pos_bytes: int, target_bytes: int = 1 << 21) -> in
     return best
 
 
-def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
+def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
+            softcap):
     if quant:
         (q_ref, k_ref, v_ref, ks_ref, vs_ref, kn_ref, vn_ref, kns_ref,
          vns_ref, o_ref, m_ref, l_ref, acc_ref) = refs
@@ -89,12 +90,17 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
     # row is masked out — bit-matching the jnp path's masked-write-then-
     # attend semantics (the write kernel also freezes inactive rows).
     act = scal_ref[2, b]
+    # sliding window (dynamic — gemma2/3 alternate local/global per layer
+    # inside one scan body): the query at `pos` sees keys in
+    # (pos - win, pos]. Global layers pass a huge window.
+    win = scal_ref[3, b]
 
-    @pl.when(j * block_s <= pos - act)
+    @pl.when((j * block_s <= pos - act)
+             & ((j + 1) * block_s - 1 >= pos - win + 1))
     def _block():
         kpos = j * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (group, block_s), 1)
-        live = kpos <= pos - act
+        live = (kpos <= pos - act) & (kpos > pos - win)
         for h in range(hkv):
             q = q_ref[0, h].astype(F32)          # [group, D]
             k = at(k_ref, h).astype(F32)         # [block_s, D]
@@ -104,6 +110,9 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
                 preferred_element_type=F32) * scale      # [group, block_s]
             if quant:
                 s = s * at(ks_ref, h).astype(F32)        # [1, block_s] bcast
+            if softcap:
+                # after the int8 scale fold — tanh needs TRUE score values
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
             s = jnp.where(live, s, NEG_INF)
             m_prev = m_ref[h][:, :1]                     # [group, 1]
             m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -132,6 +141,8 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
                 preferred_element_type=F32) * scale  # [group, 1]
             if quant:
                 s = s * kns_ref[0, h].astype(F32)    # [1, 1]
+            if softcap:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
             s = jnp.where(act == 1, s, NEG_INF)      # no virtual row when
             #                                          the slot is inactive
             m_prev = m_ref[h][:, :1]
@@ -147,9 +158,10 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "quant", "stacked", "interpret"))
+                   static_argnames=("scale", "quant", "stacked", "interpret",
+                                    "softcap"))
 def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
-          interpret):
+          interpret, softcap=0.0):
     b, hkv, group, d = q.shape
     s = k.shape[-2]
     itemsize = 1 if quant else k.dtype.itemsize
@@ -158,18 +170,23 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
     grid = (b, n_blocks)
 
     # index maps: scal[0,0] = layer (stacked caches), scal[1,:] = pos,
-    # scal[2,:] = active. Blocks past a sequence's last live key clamp to
-    # the previous index (active: pos-1 — the new token's row is NOT in
-    # the cache, it arrives as the virtual block; inactive: pos — the
-    # frozen row at pos IS attended). max(.., 0) keeps pos=0 in range.
-    def kv_map(bi, j, sref):
+    # scal[2,:] = active, scal[3,:] = window. Blocks past a sequence's
+    # last live key — or entirely below its window — clamp to a
+    # neighboring index so Mosaic ELIDES their DMA (active: pos-1 is the
+    # last cache key — the new token's row arrives as the virtual block;
+    # inactive: the frozen row at pos IS attended). max(.., 0)/clip keep
+    # pos=0 and huge windows in range.
+    def _clamp(j, sref, bi):
         last = jnp.maximum(sref[1, bi] - sref[2, bi], 0)
-        jl = jnp.minimum(j, last // block_s)
+        first = jnp.clip(sref[1, bi] - sref[3, bi] + 1, 0, last)
+        return jnp.clip(j, first // block_s, last // block_s)
+
+    def kv_map(bi, j, sref):
+        jl = _clamp(j, sref, bi)
         return ((sref[0, 0], bi, 0, jl, 0) if stacked else (bi, 0, jl, 0))
 
     def sc_map(bi, j, sref):
-        last = jnp.maximum(sref[1, bi] - sref[2, bi], 0)
-        jl = jnp.minimum(j, last // block_s)
+        jl = _clamp(j, sref, bi)
         return ((sref[0, 0], bi, 0, 0, jl) if stacked else (bi, 0, 0, jl))
 
     def b_map(bi, j, sref):
@@ -186,7 +203,7 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
 
     kernel = functools.partial(_kernel, scale=scale, block_s=block_s,
                                n_blocks=n_blocks, hkv=hkv, group=group,
-                               quant=quant)
+                               quant=quant, softcap=softcap)
     if quant:
         in_specs = [q_sp, kv_sp, kv_sp, sc_sp, sc_sp, row_sp, row_sp,
                     rsc_sp, rsc_sp]
@@ -215,6 +232,7 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
 def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
                          pos: jnp.ndarray, scale: float, *,
                          layer=None, active=None,
+                         window=None, softcap: float = 0.0,
                          interpret: bool | None = None) -> jnp.ndarray:
     """Batched decode attention over per-sequence caches plus the CURRENT
     token's (not-yet-written) k/v row.
@@ -229,6 +247,12 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
     active [B] bool (default all-active): INACTIVE slots attend the
     frozen cache rows [0, pos] and the virtual row is masked out, exactly
     matching the jnp path's masked-write-then-attend semantics.
+    window (traced int scalar or None): sliding-window attention — the
+    query sees keys in (pos - window, pos]. Dynamic (scalar prefetch) so
+    gemma2/3's per-layer local/global alternation shares one compiled
+    kernel; cache blocks fully below a sequence's window skip their DMA
+    via the index-map clamp. softcap (static float): gemma2's
+    softcap*tanh(s/softcap) on scores, applied after the int8 scale fold.
     Returns [B, Hq, D] f32.
     """
     if interpret is None:
@@ -262,7 +286,9 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
     li = jnp.full((b,), 0 if layer is None else layer, jnp.int32)
     act = (jnp.ones((b,), jnp.int32) if active is None
            else jnp.asarray(active, jnp.int32))
-    scal = jnp.stack([li, jnp.asarray(pos, jnp.int32), act])
+    win = jnp.full((b,), 2**30 if window is None else window, jnp.int32)
+    scal = jnp.stack([li, jnp.asarray(pos, jnp.int32), act, win])
     out = _impl(qr, k, v, ks, vs, kn, vn, kns, vns, scal, scale=scale,
-                quant=quant, stacked=stacked, interpret=interpret)
+                quant=quant, stacked=stacked, interpret=interpret,
+                softcap=softcap)
     return out.reshape(b, hq, d)

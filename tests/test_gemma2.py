@@ -197,15 +197,66 @@ def test_gemma2_tiered_refused(tmp_path_factory):
                           hbm_bytes=8 << 30, ram_bytes=16 << 30)
 
 
-def test_gemma2_batched_refused(g2_model):
+def test_gemma2_batched_server_matches_engine(tmp_path_factory):
+    """The batched serving path carries softcaps, post norms and the
+    sliding window: server greedy output == Engine greedy output on a
+    prompt longer than the window (decode positions cross it too)."""
+    from ntransformer_tpu.inference.engine import Engine, GenerateConfig
+    from ntransformer_tpu.inference.sampler import SamplerConfig
+    from ntransformer_tpu.inference.serve import BatchServer, Request
+    path = str(tmp_path_factory.mktemp("models") / "gemma2_q8s.gguf")
+    write_model(path, "tiny", "q8_0", seed=74, arch="gemma2")
+    m = load_model(path)
+    prompt_ids = list(range(5, 29))  # 24 tokens > the 16-key window
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    want, _ = Engine(m).generate("", cfg, prompt_ids=prompt_ids)
+    srv = BatchServer(m, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    r = Request(prompt="", max_tokens=6, prompt_ids=list(prompt_ids))
+    srv.run([r])
+    assert r.text == want
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_gemma2_batched_kernel_matches_jnp(g2_model, quant):
+    """The batched flash-decode KERNEL path (interpret mode) reproduces
+    the jnp path under softcap + alternating window — the window rides
+    the scalar-prefetch row and the int8 scale fold precedes the tanh."""
     import jax.numpy as jnp
-    from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
+    from ntransformer_tpu.models.batched import (BatchedKV,
+                                                 batched_decode_step)
     arch = g2_model.arch
-    bkv = BatchedKV.create(arch, 2)
-    with pytest.raises(NotImplementedError, match="batched"):
-        batched_decode_step(arch, g2_model.weights, bkv,
-                            jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
-                            jnp.ones(2, bool))
+    B = 2
+    rng = np.random.default_rng(17)
+    # pre-populate caches by running some steps first (positions > window)
+    pos = jnp.asarray([20, 9], jnp.int32)
+    toks = jnp.asarray(rng.integers(3, 200, size=B), jnp.int32)
+    active = jnp.ones(B, bool)
+    shape = (arch.n_layers, B, arch.n_kv_heads, arch.max_seq_len,
+             arch.head_dim)
+
+    def mk_bkv():
+        ks = jnp.asarray(rng.standard_normal(shape) * 0.3)
+        vs = jnp.asarray(rng.standard_normal(shape) * 0.3)
+        if quant:
+            def qz(x):
+                s = jnp.abs(x).max(-1, keepdims=True) / 127.0 + 1e-9
+                return jnp.round(x / s).astype(jnp.int8), s
+            kq, ksc = qz(ks)
+            vq, vsc = qz(vs)
+            return BatchedKV(kq, vq, ksc, vsc)
+        return BatchedKV(ks.astype(jnp.bfloat16), vs.astype(jnp.bfloat16))
+
+    rng = np.random.default_rng(17)
+    bkv_a = mk_bkv()
+    rng = np.random.default_rng(17)  # identical contents, fresh buffers
+    bkv_b = mk_bkv()
+    la, _ = batched_decode_step(arch, g2_model.weights, bkv_a, toks, pos,
+                                active, impl="kernel", kv_append="dus")
+    lb, _ = batched_decode_step(arch, g2_model.weights, bkv_b, toks, pos,
+                                active, impl="jnp")
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_gemma2_tp_matches_single_device(g2_path):

@@ -205,3 +205,53 @@ def test_gemma3_tp_matches_single_device(g3_path):
     lt, _, _ = fwd(w_sh, kv_sh, tokens, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(lt), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_gemma3_batched_server_matches_engine(tmp_path_factory):
+    """The batched serving path carries gemma3's q/k norms, dual rope
+    bases, post norms and the 5:1 window: server greedy == Engine greedy
+    on a prompt longer than the window."""
+    from ntransformer_tpu.inference.engine import Engine, GenerateConfig
+    from ntransformer_tpu.inference.sampler import SamplerConfig
+    from ntransformer_tpu.inference.serve import BatchServer, Request
+    path = str(tmp_path_factory.mktemp("models") / "gemma3_q8s.gguf")
+    write_model(path, "deep", "q8_0", seed=93, arch="gemma3")
+    m = load_model(path)
+    prompt_ids = list(range(5, 29))  # 24 tokens > the 16-key window
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    want, _ = Engine(m).generate("", cfg, prompt_ids=prompt_ids)
+    srv = BatchServer(m, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    r = Request(prompt="", max_tokens=6, prompt_ids=list(prompt_ids))
+    srv.run([r])
+    assert r.text == want
+
+
+def test_gemma3_batched_kernel_matches_jnp(g3_model):
+    """Kernel-path (interpret) vs jnp-path parity for the gemma3 batched
+    step: dual rope select + window + qk/post norms in the scan body."""
+    import jax.numpy as jnp
+    from ntransformer_tpu.models.batched import (BatchedKV,
+                                                 batched_decode_step)
+    arch = g3_model.arch
+    B = 2
+    rng = np.random.default_rng(19)
+    pos = jnp.asarray([22, 7], jnp.int32)
+    toks = jnp.asarray(rng.integers(3, 200, size=B), jnp.int32)
+    active = jnp.ones(B, bool)
+    shape = (arch.n_layers, B, arch.n_kv_heads, arch.max_seq_len,
+             arch.head_dim)
+
+    def mk_bkv(seed):
+        r = np.random.default_rng(seed)
+        return BatchedKV(
+            jnp.asarray(r.standard_normal(shape) * 0.3, jnp.bfloat16),
+            jnp.asarray(r.standard_normal(shape) * 0.3, jnp.bfloat16))
+
+    la, _ = batched_decode_step(arch, g3_model.weights, mk_bkv(23), toks,
+                                pos, active, impl="kernel",
+                                kv_append="dus")
+    lb, _ = batched_decode_step(arch, g3_model.weights, mk_bkv(23), toks,
+                                pos, active, impl="jnp")
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-2, atol=2e-2)
