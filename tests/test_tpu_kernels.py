@@ -216,6 +216,38 @@ def test_compiled_batched_flash_decode_parity(quant):
     _assert_rel_rms(got, want)
 
 
+def test_compiled_batched_decode_window_softcap():
+    """Mosaic-compiled batched flash-decode with a sliding window (4th
+    scalar-prefetch row + lower index-map clamp) and score softcap ==
+    jnp batched attention (gemma2/3 serving)."""
+    from ntransformer_tpu.models.batched import batched_attention
+    from ntransformer_tpu.ops.pallas.batched_attention import (
+        flash_decode_batched)
+
+    B, Hq, Hkv, D, S, W = 4, 8, 2, 128, 256, 32
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32) * 0.8
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.8
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.8
+    pos = np.array([0, 17, 63, 255], np.int32)
+    scale = 1.0 / np.sqrt(D)
+    bidx = np.arange(B)
+    dev = TPU[0]
+    put = lambda a, dt=None: jax.device_put(
+        jnp.asarray(a, dt) if dt else jnp.asarray(a), dev)
+    kv_k, kv_v = put(k, jnp.bfloat16), put(v, jnp.bfloat16)
+    k_new = put(k[bidx, :, pos], jnp.bfloat16)
+    v_new = put(v[bidx, :, pos], jnp.bfloat16)
+    for w, cap in ((W, 50.0), (2**30, 50.0), (W, 0.0)):
+        got = np.asarray(flash_decode_batched(
+            put(q), kv_k, kv_v, k_new, v_new, put(pos), scale,
+            window=jnp.int32(w), softcap=cap, interpret=False))
+        want = np.asarray(batched_attention(
+            jnp.asarray(q), kv_k, kv_v, jnp.asarray(pos), scale,
+            window=jnp.int32(w), softcap=cap))
+        _assert_rel_rms(got, want)
+
+
 def test_compiled_bulk_kv_append():
     """Mosaic-compiled whole-L in-place append: rows land at per-sequence
     positions, inactive slots frozen, all other tiles untouched."""
