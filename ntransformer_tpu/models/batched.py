@@ -308,6 +308,14 @@ def _resolve_impl(impl: str | None, kv_append: str | None):
     return impl, kv_append
 
 
+def _check_batched_arch(arch: Arch) -> None:
+    if arch.n_experts:
+        raise NotImplementedError(
+            "mixture-of-experts models are not supported on the batched "
+            "serving path yet — use Engine.generate (optionally under "
+            "parallel/ep.py)")
+
+
 def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
                         active: jnp.ndarray, tp_axis: str | None = None,
@@ -322,6 +330,7 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     "dus" | None (NT_KV_APPEND). Returns (logits [B, V] f32, BatchedKV).
     """
     impl, kv_append = _resolve_impl(impl, kv_append)
+    _check_batched_arch(arch)
     return _batched_decode_step(arch, weights, kv, tokens, pos, active,
                                 tp_axis, impl, kv_append)
 
@@ -334,6 +343,7 @@ def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     transform (shard_map in parallel/dp.py). Env switches resolve at the
     caller's trace time."""
     impl, kv_append = _resolve_impl(impl, kv_append)
+    _check_batched_arch(arch)
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
                       impl, kv_append)
 

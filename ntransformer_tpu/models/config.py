@@ -57,6 +57,13 @@ class ModelConfig:
     # layers additionally rotate with their own rope base (local theta)
     qk_norm: bool = False
     rope_local_theta: float = 0.0
+    # mixture-of-experts (mixtral: llama arch + expert_count; qwen3moe):
+    # n_experts total, n_experts_used routed per token (softmax over all
+    # router logits, top-k, renormalize — mixtral's softmax-after-top-k
+    # is mathematically identical), per-expert FFN width moe_inter
+    n_experts: int = 0
+    n_experts_used: int = 0
+    moe_inter: int = 0
     metadata: dict = field(default_factory=dict)
 
     @property
@@ -127,9 +134,10 @@ class ModelConfig:
                 # (144), not head_dim (128) — llama.cpp keys the same
                 # override on the 27B layer count
                 cfg.query_scale = (cfg.hidden_size / cfg.n_heads) ** -0.5
-        elif arch == "qwen3":
+        elif arch in ("qwen3", "qwen3moe"):
             # qwen3 = qwen2 graph minus QKV biases plus per-head q/k
-            # RMSNorms before RoPE (llama.cpp build_qwen3)
+            # RMSNorms before RoPE (llama.cpp build_qwen3); qwen3moe
+            # additionally routes the FFN (expert keys parsed below)
             cfg.qk_norm = True
         elif arch == "gemma3":
             # gemma-3 (llama.cpp build_gemma3): gemma-2's post norms and
@@ -145,6 +153,13 @@ class ModelConfig:
             # global layers read rope.freq_base (1M); local layers are
             # fixed at 10k unless the file overrides
             cfg.rope_local_theta = get(p + "rope.local_freq_base", 10000.0)
+        # mixture-of-experts keys (any arch — mixtral is plain 'llama'
+        # with expert_count > 0; qwen3moe uses its own prefix)
+        cfg.n_experts = get(p + "expert_count", 0)
+        if cfg.n_experts:
+            cfg.n_experts_used = get(p + "expert_used_count", 2)
+            cfg.moe_inter = get(p + "expert_feed_forward_length",
+                                cfg.intermediate_size)
         style = md.get("ntransformer.rope_style")
         if style is not None:
             style = str(style)

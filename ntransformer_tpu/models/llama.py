@@ -60,6 +60,10 @@ class Arch:
     qk_norm: bool = False      # per-head RMSNorm on q/k before RoPE
     rope_local_theta: float = 0.0  # gemma3: SWA layers use their own
     # rope base (10k local vs 1M global); 0 = one table for all layers
+    # mixture-of-experts (mixtral / qwen3moe; see moe_ffn):
+    n_experts: int = 0
+    n_experts_used: int = 0
+    moe_inter: int = 0
 
     @classmethod
     def from_config(cls, cfg) -> "Arch":
@@ -79,6 +83,8 @@ class Arch:
             sliding_window=cfg.sliding_window, swa_pattern=cfg.swa_pattern,
             query_scale=cfg.query_scale,
             qk_norm=cfg.qk_norm, rope_local_theta=cfg.rope_local_theta,
+            n_experts=cfg.n_experts, n_experts_used=cfg.n_experts_used,
+            moe_inter=cfg.moe_inter,
         )
 
 
@@ -123,7 +129,7 @@ class LayerWeights:
     ffn_norm: jnp.ndarray
     w_gate: QLinear | None
     w_up: QLinear | None
-    w_down: QLinear
+    w_down: QLinear | None  # None for pure-MoE layers (mixtral)
     wqkv: QLinear | None = None
     w_gate_up: QLinear | None = None
     wqk: QLinear | None = None
@@ -145,6 +151,15 @@ class LayerWeights:
     # blk.N.attn_q_norm / attn_k_norm). None for other archs.
     q_norm: jnp.ndarray | None = None
     k_norm: jnp.ndarray | None = None
+    # mixture-of-experts FFN (mixtral / qwen3moe): router [H→E] plus the
+    # per-expert gate/up/down matrices whose planes carry a leading expert
+    # axis ([E, rows, N]; [L, E, rows, N] stacked) — the SAME
+    # scalar-prefetch select machinery as the layer stack reads them with
+    # a flattened layer*E + expert index (see moe_ffn). None when dense.
+    ffn_gate_inp: QLinear | None = None
+    w_gate_exps: QLinear | None = None
+    w_up_exps: QLinear | None = None
+    w_down_exps: QLinear | None = None
 
 
 @_register
@@ -255,6 +270,83 @@ def fuse_layer_weights(lw: LayerWeights, tp: int = 1) -> LayerWeights:
     return out
 
 
+def _flatten_experts(ql: QLinear) -> QLinear:
+    """[..., E, rows, N] planes → [(...·E), rows, N] (a FREE reshape) so
+    the stacked-select machinery — Pallas scalar prefetch on TPU, a
+    dynamic_index_in_dim fallback on CPU — reads expert e of layer l with
+    the flattened index l*E + e. No expert weights are ever copied."""
+    planes = {nm: a.reshape((-1,) + a.shape[-2:])
+              for nm, a in ql.planes.items()}
+    return QLinear(ql.dtype, ql.k, ql.n, planes)
+
+
+def moe_ffn(arch: Arch, hf, lw: LayerWeights, layer=None,
+            ep_axis: str | None = None):
+    """Mixture-of-experts FFN (mixtral: llama arch + expert tensors;
+    qwen3moe). hf [T, H] bf16 (post ffn_norm); returns [T, H] f32.
+
+    Routing: softmax over ALL router logits → top-k → renormalize (equal
+    to mixtral's softmax-after-top-k and qwen3moe's norm_topk_prob).
+
+    Two compute strategies keyed on the STATIC T:
+      * decode (T == 1): only the k selected experts run, each through the
+        flattened stacked-plane select — exactly k experts' bytes stream
+        from HBM, which is the whole point of MoE at decode.
+      * prefill (T > 1): a static dense loop over all E experts with
+        per-token routing weights (tokens not routed to e get weight 0).
+        Static shapes, MXU-dense matmuls; costs E/k× the minimal FLOPs —
+        the TPU trade that avoids ragged per-expert token gathers.
+
+    ep_axis: expert parallelism inside shard_map — the expert planes are
+    sharded on their E axis (each shard holds E/ep experts; E_local is
+    read off the actual plane shapes), the router is replicated, and the
+    weighted expert outputs psum across the axis. Decode masks out
+    non-local selections; attention stays replicated on an EP-only mesh.
+    """
+    E, K = arch.n_experts, arch.n_experts_used
+    T = hf.shape[0]
+    router = qmatmul(hf, lw.ffn_gate_inp, layer=layer)          # [T, E]
+    probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    topv, tope = jax.lax.top_k(probs, K)                        # [T, K]
+    topv = topv / jnp.sum(topv, -1, keepdims=True)
+
+    gql = _flatten_experts(lw.w_gate_exps)
+    uql = _flatten_experts(lw.w_up_exps)
+    dql = _flatten_experts(lw.w_down_exps)
+    # local expert count off the REAL plane shapes (≠ E under EP sharding)
+    first = next(iter(lw.w_gate_exps.planes.values()))
+    e_local = first.shape[-3]
+    base = (layer * e_local) if layer is not None else 0
+    shard = jax.lax.axis_index(ep_axis) if ep_axis is not None else 0
+
+    def expert(eidx):
+        g = qmatmul(hf, gql, layer=base + eidx)
+        u = qmatmul(hf, uql, layer=base + eidx)
+        return qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), dql,
+                       layer=base + eidx)
+
+    hidden = hf.shape[-1]
+    out = jnp.zeros((T, hidden), jnp.float32)
+    if T == 1:
+        for j in range(K):
+            e_loc = tope[0, j] - shard * e_local
+            ok = (e_loc >= 0) & (e_loc < e_local)
+            w = jnp.where(ok, topv[0, j], 0.0)
+            out = out + w * expert(jnp.clip(e_loc, 0, e_local - 1))
+    else:
+        # routing weights scattered back to [T, E]; each shard reads its
+        # own E_local columns
+        sel = jnp.zeros((T, E), jnp.float32)
+        sel = sel.at[jnp.arange(T)[:, None], tope].set(topv)
+        for e in range(e_local):
+            col = jax.lax.dynamic_slice(sel, (0, shard * e_local + e),
+                                        (T, 1))
+            out = out + col * expert(e)
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
+    return out
+
+
 def layer_window(arch: Arch, layer):
     """(window, local) for one layer of an SWA model, or (None, None).
 
@@ -274,7 +366,7 @@ def layer_window(arch: Arch, layer):
 
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
                n_valid=None, tp_axis: str | None = None, layer=None,
-               cp_axis: str | None = None):
+               cp_axis: str | None = None, ep_axis: str | None = None):
     """One transformer block. x [T, H] f32; kv [Hkv, S, D]; pos scalar.
 
     n_valid (traced scalar or None): with bucketed prefill, only the first
@@ -417,17 +509,22 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         o = rms_norm(o, norm_w(lw.attn_post_norm), arch.norm_eps)
     x = x + o
     hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
-    if lw.w_gate_up is not None:
-        gu = qmatmul(hf, lw.w_gate_up, layer=layer)
-        it = gu.shape[-1] // 2
-        g, u = gu[:, :it], gu[:, it:]
+    if arch.n_experts:
+        assert tp_axis is None, \
+            "MoE × tensor parallelism not supported — shard experts (EP)"
+        dn = moe_ffn(arch, hf, lw, layer, ep_axis=ep_axis)
     else:
-        g = qmatmul(hf, lw.w_gate, layer=layer)
-        u = qmatmul(hf, lw.w_up, layer=layer)
-    dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
-                 layer=layer)
-    if tp_axis is not None:
-        dn = jax.lax.psum(dn, tp_axis)
+        if lw.w_gate_up is not None:
+            gu = qmatmul(hf, lw.w_gate_up, layer=layer)
+            it = gu.shape[-1] // 2
+            g, u = gu[:, :it], gu[:, it:]
+        else:
+            g = qmatmul(hf, lw.w_gate, layer=layer)
+            u = qmatmul(hf, lw.w_up, layer=layer)
+        dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
+                     layer=layer)
+        if tp_axis is not None:
+            dn = jax.lax.psum(dn, tp_axis)
     if arch.post_norms:
         dn = rms_norm(dn, norm_w(lw.ffn_post_norm), arch.norm_eps)
     x = x + dn
@@ -459,7 +556,7 @@ def embed_positions(arch: Arch, weights: ModelWeights, tokens: jnp.ndarray,
 def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
                 cos_t, sin_t, n_valid=None, with_cosine: bool = False,
                 tp_axis: str | None = None, indices: jnp.ndarray | None = None,
-                cp_axis: str | None = None):
+                cp_axis: str | None = None, ep_axis: str | None = None):
     """Run a stacked layer set ([L, ...] leaves) with lax.scan.
 
     The scan iterates over LAYER INDICES (plus the per-layer KV slices);
@@ -475,7 +572,8 @@ def scan_layers(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
         x = carry
         li, kk, vv = inp
         x2, kk, vv = layer_step(arch, x, layers, kk, vv, pos, cos_t, sin_t,
-                                n_valid, tp_axis, layer=li, cp_axis=cp_axis)
+                                n_valid, tp_axis, layer=li, cp_axis=cp_axis,
+                                ep_axis=ep_axis)
         cos = _cosine(x, x2) if with_cosine else jnp.float32(0)
         return x2, (kk, vv, cos)
 
@@ -515,12 +613,13 @@ def head_logits(arch: Arch, weights: ModelWeights, x, n_valid=None,
 
 
 @partial(jax.jit, static_argnames=("arch", "all_logits", "with_cosine",
-                                   "tp_axis", "cp_axis"),
+                                   "tp_axis", "cp_axis", "ep_axis"),
          donate_argnames=("kv",))
 def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
             tokens: jnp.ndarray, pos, layer_sel: jnp.ndarray | None = None,
             n_valid=None, all_logits: bool = False, with_cosine: bool = False,
-            tp_axis: str | None = None, cp_axis: str | None = None):
+            tp_axis: str | None = None, cp_axis: str | None = None,
+            ep_axis: str | None = None):
     """Forward pass over a (subset of) the layer stack.
 
     tokens [T] int32; pos scalar int32 (write offset into the KV cache).
@@ -551,7 +650,7 @@ def forward(arch: Arch, weights: ModelWeights, kv: KVCache,
     x, new_k, new_v, cosines = scan_layers(arch, weights.layers, x, kv_k,
                                            kv_v, pos, cos_t, sin_t, n_valid,
                                            with_cosine, tp_axis, indices,
-                                           cp_axis)
+                                           cp_axis, ep_axis)
 
     if layer_sel is not None:
         new_k = jax.tree.map(lambda c, n: c.at[layer_sel].set(n),

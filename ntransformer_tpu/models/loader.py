@@ -70,6 +70,28 @@ def rope_freq_factors(reader: GGUFReader) -> np.ndarray | None:
                       info.dtype, 1, n).reshape(-1)
 
 
+def load_qlinear_experts(reader: GGUFReader, name: str,
+                         compute: str = "quant") -> QLinear:
+    """A stacked expert matrix ([E, N, K] in the file — llama.cpp's
+    ffn_*_exps layout) as planes with a LEADING EXPERT AXIS [E, rows, N]:
+    each expert relayouts exactly like a 2-D matrix, and the stacked-
+    select kernels index the flattened axis (models/llama.py moe_ffn)."""
+    info = reader.info(name)
+    e, n, k = info.shape
+    raw = np.frombuffer(bytes(reader.raw_bytes(name)), np.uint8)
+    per = raw.size // e
+    if compute == "bf16" or info.dtype not in LAYOUTS:
+        ws = [dequantize(raw[i * per:(i + 1) * per], info.dtype, n, k).T
+              for i in range(e)]
+        w = np.stack([np.ascontiguousarray(x) for x in ws]).astype(
+            jnp.bfloat16)
+        return QLinear(DType.BF16, k, n, {"w": w})
+    parts = [relayout(raw[i * per:(i + 1) * per], info.dtype, n, k)
+             for i in range(e)]
+    planes = {nm: np.stack([p[nm] for p in parts]) for nm in parts[0]}
+    return QLinear(info.dtype, k, n, planes)
+
+
 def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> LayerWeights:
     """One layer's weights on host (used by both resident load and the
     tier-B/C staging path)."""
@@ -81,6 +103,14 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
         full = pre + name
         return load_norm(reader, full) if full in reader else None
 
+    moe = pre + "ffn_gate_inp.weight" in reader
+
+    def dense(name):
+        # pure-MoE layers (mixtral) carry no dense FFN matrices
+        full = pre + name
+        return (load_qlinear_host(reader, full, compute)
+                if full in reader else None)
+
     return LayerWeights(
         attn_norm=load_norm(reader, pre + "attn_norm.weight"),
         wq=load_qlinear_host(reader, pre + "attn_q.weight", compute),
@@ -88,15 +118,23 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
         wv=load_qlinear_host(reader, pre + "attn_v.weight", compute),
         wo=load_qlinear_host(reader, pre + "attn_output.weight", compute),
         ffn_norm=load_norm(reader, pre + "ffn_norm.weight"),
-        w_gate=load_qlinear_host(reader, pre + "ffn_gate.weight", compute),
-        w_up=load_qlinear_host(reader, pre + "ffn_up.weight", compute),
-        w_down=load_qlinear_host(reader, pre + "ffn_down.weight", compute),
+        w_gate=dense("ffn_gate.weight"),
+        w_up=dense("ffn_up.weight"),
+        w_down=dense("ffn_down.weight"),
         bq=bias("attn_q.bias"), bk=bias("attn_k.bias"),
         bv=bias("attn_v.bias"),
         attn_post_norm=bias("post_attention_norm.weight"),
         ffn_post_norm=bias("post_ffw_norm.weight"),
         q_norm=bias("attn_q_norm.weight"),
         k_norm=bias("attn_k_norm.weight"),
+        ffn_gate_inp=(load_qlinear_host(reader, pre + "ffn_gate_inp.weight",
+                                        compute) if moe else None),
+        w_gate_exps=(load_qlinear_experts(reader, pre + "ffn_gate_exps.weight",
+                                          compute) if moe else None),
+        w_up_exps=(load_qlinear_experts(reader, pre + "ffn_up_exps.weight",
+                                        compute) if moe else None),
+        w_down_exps=(load_qlinear_experts(reader, pre + "ffn_down_exps.weight",
+                                          compute) if moe else None),
     )
 
 

@@ -15,6 +15,11 @@ PRESETS = {
     # (il % 6 == 5) — a 4-layer model would test only the local path
     "deep": dict(vocab=512, hidden=128, inter=256, layers=7, heads=4,
                  kv_heads=2, ctx=512, rope_theta=10000.0),
+    # mixture-of-experts (mixtral-shaped: llama arch + expert tensors);
+    # inter is the PER-EXPERT FFN width
+    "moe": dict(vocab=512, hidden=128, inter=192, layers=3, heads=4,
+                kv_heads=2, ctx=512, rope_theta=10000.0,
+                experts=4, experts_used=2),
     "1b": dict(vocab=128256, hidden=2048, inter=8192, layers=16, heads=32,
                kv_heads=8, ctx=4096, rope_theta=500000.0),
     "3b": dict(vocab=128256, hidden=3072, inter=8192, layers=28, heads=24,

@@ -490,6 +490,11 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
         raise NotImplementedError(
             "sliding-window models (gemma2) are not supported on the "
             "tiered/streamed path — load resident (Engine.load)")
+    if arch.n_experts:
+        raise NotImplementedError(
+            "mixture-of-experts models are not supported on the tiered/"
+            "streamed path yet — load resident (Engine.load), optionally "
+            "sharded over experts (parallel/ep.py)")
 
     pack = ensure_pack(reader, path, requant)
 

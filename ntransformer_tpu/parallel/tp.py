@@ -145,6 +145,10 @@ def shard_weights(weights: ModelWeights, mesh: Mesh, arch: Arch) -> ModelWeights
     weights go straight to their shards — no unsharded device copy ever
     exists (load_model(device=False) → here is the TPEngine load path)."""
     tp = mesh.shape[TP_AXIS]
+    if weights.layers.ffn_gate_inp is not None:
+        raise NotImplementedError(
+            "MoE × tensor parallelism not supported — shard the experts "
+            "instead (parallel/ep.py)")
     kernel_alignment = None
     if mesh.devices.flat[0].platform != "tpu":
         kernel_alignment = False  # CPU-mesh tests/dry runs use jnp fallback

@@ -107,6 +107,12 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
         # a local base that DIFFERS from the preset's global one, so a
         # model that ignores the dual rope tables fails parity
         w.add_meta("gemma3.rope.local_freq_base", 1000.0)
+    moe = p.get("experts", 0)
+    if moe:
+        # mixture-of-experts keys (mixtral: plain llama arch + these)
+        w.add_meta(f"{arch}.expert_count", moe)
+        w.add_meta(f"{arch}.expert_used_count", p.get("experts_used", 2))
+        w.add_meta(f"{arch}.expert_feed_forward_length", p["inter"])
     tokens, scores, types = make_vocab(min(p["vocab"], 4096),
                                        gpt2=gpt2_vocab, chat=chat)
     if chat is not None:
@@ -139,6 +145,17 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
         else:
             w.add_tensor(name, raw=quantize(x, dt), shape=(rows, cols), dtype=dt)
 
+    def emit_experts(name: str, e: int, rows: int, cols: int):
+        """Stacked expert matrix [E, rows, cols] (llama.cpp ffn_*_exps
+        layout: E contiguous 2-D payloads)."""
+        dt = policy(name)
+        x = (rng.standard_normal((e, rows, cols)) * scale).astype(np.float32)
+        if dt in (DType.F32,):
+            w.add_tensor(name, x)
+        else:
+            raw = b"".join(bytes(quantize(x[i], dt)) for i in range(e))
+            w.add_tensor(name, raw=raw, shape=(e, rows, cols), dtype=dt)
+
     emit("token_embd.weight", p["vocab"], p["hidden"])
     for i in range(p["layers"]):
         pre = f"blk.{i}."
@@ -167,9 +184,21 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
                              (rng.standard_normal(p["hidden"])
                               * 0.1).astype(np.float32))
         w.add_tensor(pre + "ffn_norm.weight", np.ones(p["hidden"], np.float32))
-        emit(pre + "ffn_gate.weight", p["inter"], p["hidden"])
-        emit(pre + "ffn_up.weight", p["inter"], p["hidden"])
-        emit(pre + "ffn_down.weight", p["hidden"], p["inter"])
+        if moe:
+            # router stays f32 (tiny; llama.cpp keeps ffn_gate_inp f32)
+            w.add_tensor(pre + "ffn_gate_inp.weight",
+                         (rng.standard_normal((moe, p["hidden"]))
+                          * scale).astype(np.float32))
+            emit_experts(pre + "ffn_gate_exps.weight", moe, p["inter"],
+                         p["hidden"])
+            emit_experts(pre + "ffn_up_exps.weight", moe, p["inter"],
+                         p["hidden"])
+            emit_experts(pre + "ffn_down_exps.weight", moe, p["hidden"],
+                         p["inter"])
+        else:
+            emit(pre + "ffn_gate.weight", p["inter"], p["hidden"])
+            emit(pre + "ffn_up.weight", p["inter"], p["hidden"])
+            emit(pre + "ffn_down.weight", p["hidden"], p["inter"])
     w.add_tensor("output_norm.weight", np.ones(p["hidden"], np.float32))
     if arch not in ("gemma", "gemma2", "gemma3"):
         emit("output.weight", p["vocab"], p["hidden"])
