@@ -253,3 +253,19 @@ def test_moe_refused_on_unsupported_paths(moe_q8_path):
     mesh = Mesh(np.array(jax.devices("cpu")[:2]), (TP_AXIS,))
     with pytest.raises(NotImplementedError, match="ep"):
         shard_model(m.weights, KVCache.create(m.arch), mesh, m.arch)
+
+
+def test_qwen3moe_end_to_end(tmp_path_factory):
+    """qwen3moe = qwen3's q/k norms + the routed FFN, through
+    Engine.generate (q8_0 expert planes)."""
+    from ntransformer_tpu.inference.engine import Engine, GenerateConfig
+    path = str(tmp_path_factory.mktemp("models") / "q3moe_q8.gguf")
+    write_model(path, "moe", "q8_0", seed=123, arch="qwen3moe")
+    m = load_model(path)
+    assert m.config.qk_norm and m.config.n_experts == 4
+    assert m.weights.layers.q_norm is not None
+    eng = Engine(m)
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    t1, s1 = eng.generate("hello world", cfg)
+    t2, _ = eng.generate("hello world", cfg)
+    assert t1 == t2 and s1.decode_tokens > 0

@@ -169,7 +169,7 @@ def write_model(path: str, preset: str, dtype: str, seed: int = 0,
                           ("attn_k.bias", kv_dim), ("attn_v.bias", kv_dim)):
                 w.add_tensor(pre + nm, (rng.standard_normal(n)
                                         * scale).astype(np.float32))
-        if arch in ("qwen3", "gemma3"):
+        if arch in ("qwen3", "qwen3moe", "gemma3"):
             # per-head q/k norms, random so a missing application fails
             for nm in ("attn_q_norm", "attn_k_norm"):
                 w.add_tensor(pre + nm + ".weight",
