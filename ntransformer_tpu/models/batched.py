@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..ops.layers import apply_rope, attention_jnp, rms_norm, swiglu
 from ..ops.linear import embed_lookup, qmatmul, use_pallas_default
 from .llama import (Arch, KVCache, LayerWeights, ModelWeights, _register,
-                    layer_window)
+                    layer_window, moe_ffn)
 
 
 def _batched_kernels_on() -> bool:
@@ -187,17 +187,26 @@ def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
         o = rms_norm(o, norm_w(lw.attn_post_norm), arch.norm_eps)
     x = x + o
     hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
-    if lw.w_gate_up is not None:
-        gu = qmatmul(hf, lw.w_gate_up, layer=layer)
-        it = gu.shape[-1] // 2
-        g, u = gu[:, :it], gu[:, it:]
+    if arch.n_experts:
+        # routed FFN: [B, H] plays [T, H]'s role — moe_ffn's dense
+        # expert loop weights each sequence's row by its own routing
+        # (B decode tokens spread over experts, so the dense loop's
+        # weight reads amortize like the batched matmuls themselves)
+        assert tp_axis is None, \
+            "MoE × TP serving not supported — DP replicates and works"
+        dn = moe_ffn(arch, hf, lw, layer)
     else:
-        g = qmatmul(hf, lw.w_gate, layer=layer)
-        u = qmatmul(hf, lw.w_up, layer=layer)
-    dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
-                 layer=layer)
-    if tp_axis is not None:
-        dn = jax.lax.psum(dn, tp_axis)
+        if lw.w_gate_up is not None:
+            gu = qmatmul(hf, lw.w_gate_up, layer=layer)
+            it = gu.shape[-1] // 2
+            g, u = gu[:, :it], gu[:, it:]
+        else:
+            g = qmatmul(hf, lw.w_gate, layer=layer)
+            u = qmatmul(hf, lw.w_up, layer=layer)
+        dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
+                     layer=layer)
+        if tp_axis is not None:
+            dn = jax.lax.psum(dn, tp_axis)
     if arch.post_norms:
         dn = rms_norm(dn, norm_w(lw.ffn_post_norm), arch.norm_eps)
     return x + dn
@@ -308,14 +317,6 @@ def _resolve_impl(impl: str | None, kv_append: str | None):
     return impl, kv_append
 
 
-def _check_batched_arch(arch: Arch) -> None:
-    if arch.n_experts:
-        raise NotImplementedError(
-            "mixture-of-experts models are not supported on the batched "
-            "serving path yet — use Engine.generate (optionally under "
-            "parallel/ep.py)")
-
-
 def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
                         active: jnp.ndarray, tp_axis: str | None = None,
@@ -330,7 +331,6 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     "dus" | None (NT_KV_APPEND). Returns (logits [B, V] f32, BatchedKV).
     """
     impl, kv_append = _resolve_impl(impl, kv_append)
-    _check_batched_arch(arch)
     return _batched_decode_step(arch, weights, kv, tokens, pos, active,
                                 tp_axis, impl, kv_append)
 
@@ -343,7 +343,6 @@ def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     transform (shard_map in parallel/dp.py). Env switches resolve at the
     caller's trace time."""
     impl, kv_append = _resolve_impl(impl, kv_append)
-    _check_batched_arch(arch)
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
                       impl, kv_append)
 

@@ -58,6 +58,11 @@ def weight_specs(weights: ModelWeights) -> ModelWeights:
     row = P(TP_AXIS, None)   # shard K (sublanes / plane rows)
     rep = P(None)
     lw = weights.layers
+    if lw.ffn_gate_inp is not None:
+        raise NotImplementedError(
+            "MoE × tensor parallelism not supported — shard the experts "
+            "instead (parallel/ep.py); DP-only serving replicates and "
+            "works")
 
     def opt(ql, spec):
         """Fused templates carry None for the folded-away matrices; specs

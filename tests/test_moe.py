@@ -241,18 +241,52 @@ def test_moe_refused_on_unsupported_paths(moe_q8_path):
         load_model_tiered(moe_q8_path, max_hbm_layers=1, max_ram_layers=1,
                           hbm_bytes=8 << 30, ram_bytes=16 << 30)
 
-    from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
-    m = load_model(moe_q8_path)
-    with pytest.raises(NotImplementedError, match="batched"):
-        batched_decode_step(m.arch, m.weights, BatchedKV.create(m.arch, 2),
-                            jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
-                            jnp.ones(2, bool))
-
     from jax.sharding import Mesh
     from ntransformer_tpu.parallel.tp import TP_AXIS, shard_model
+    m = load_model(moe_q8_path)
     mesh = Mesh(np.array(jax.devices("cpu")[:2]), (TP_AXIS,))
     with pytest.raises(NotImplementedError, match="ep"):
         shard_model(m.weights, KVCache.create(m.arch), mesh, m.arch)
+
+
+def test_moe_batched_server_matches_engine(moe_q8_path):
+    """The continuous-batching server serves MoE: two concurrent routed
+    requests, greedy outputs equal to Engine.generate."""
+    from ntransformer_tpu.inference.engine import Engine, GenerateConfig
+    from ntransformer_tpu.inference.sampler import SamplerConfig
+    from ntransformer_tpu.inference.serve import BatchServer, Request
+    m = load_model(moe_q8_path)
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    eng = Engine(m)
+    want1, _ = eng.generate("hello world", cfg)
+    want2, _ = eng.generate("the capital of france", cfg)
+    srv = BatchServer(m, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    r1 = Request(prompt="hello world", max_tokens=6)
+    r2 = Request(prompt="the capital of france", max_tokens=6)
+    srv.run([r1, r2])
+    assert r1.text == want1 and r2.text == want2
+
+
+def test_moe_batched_kernel_matches_jnp(moe_model):
+    """Kernel-path (interpret) vs jnp-path parity for the MoE batched
+    step: the routed dense expert loop sits in the shared FFN tail."""
+    from ntransformer_tpu.models.batched import (BatchedKV,
+                                                 batched_decode_step)
+    arch = moe_model.arch
+    B = 3
+    rng = np.random.default_rng(41)
+    pos = jnp.asarray([4, 0, 11], jnp.int32)
+    toks = jnp.asarray(rng.integers(3, 200, size=B), jnp.int32)
+    active = jnp.asarray([True, True, False])
+    la, _ = batched_decode_step(arch, moe_model.weights,
+                                BatchedKV.create(arch, B), toks, pos,
+                                active, impl="kernel", kv_append="dus")
+    lb, _ = batched_decode_step(arch, moe_model.weights,
+                                BatchedKV.create(arch, B), toks, pos,
+                                active, impl="jnp")
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_qwen3moe_end_to_end(tmp_path_factory):
