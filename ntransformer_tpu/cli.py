@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="context-parallel ways: KV cache shards along the "
                         "sequence axis, context bounded by the mesh's "
                         "aggregate HBM instead of one chip's")
+    p.add_argument("--ep", type=int, default=None,
+                   help="expert-parallel ways (MoE models only): expert "
+                        "planes shard on their E axis across the mesh; "
+                        "router/attention/KV replicate")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves KV "
                         "memory; resident, tiered and serve paths)")
@@ -187,10 +191,18 @@ def main(argv=None) -> int:
         return 2
 
     stream = should_stream(args.model, args.ctx_size, args)
-    if args.draft_model and (args.cp or args.tp):
+    if args.draft_model and (args.cp or args.tp or args.ep):
         log.error("--draft-model pairs with the single-chip resident or "
                   "tiered engine (reference main.cpp:121-132); it is not "
-                  "supported under --tp/--cp")
+                  "supported under --tp/--cp/--ep")
+        return 2
+    if args.ep and (args.cp or args.tp):
+        log.error("--ep is its own mesh (expert axis); it does not "
+                  "compose with --tp/--cp yet")
+        return 2
+    if args.ep and stream:
+        log.error("--ep is a resident mode; it does not compose with "
+                  "tiered streaming")
         return 2
     if stream and args.cp:
         log.error("--cp is a resident long-context mode; it does not "
@@ -234,6 +246,13 @@ def main(argv=None) -> int:
             kv_quant=args.kv_int8,
             draft_path=args.draft_model,
             mesh=mesh)
+    elif args.ep:
+        from .inference.engine import EPEngine
+        log.info(f"loading {args.model} (resident, {args.ep}-way "
+                 "expert parallel)")
+        engine = EPEngine.load(args.model, ep=args.ep,
+                               max_seq_len=args.ctx_size,
+                               kv_quant=args.kv_int8)
     elif args.cp:
         from .inference.engine import CPEngine
         ways = (f"{args.cp}x{args.tp} context x tensor parallel"

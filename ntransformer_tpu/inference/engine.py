@@ -784,6 +784,96 @@ class CPEngine(Engine):
                                               draft_layers)
 
 
+class EPEngine(Engine):
+    """Resident engine with EXPERT parallelism: MoE expert planes shard on
+    their E axis over the mesh (parallel/ep.py), so the dominant MoE bytes
+    (~85 % of mixtral-8x7B is expert weights) split across HBMs — a model
+    class and scaling axis the single-GPU reference has neither of.
+    Router/attention/KV replicate; one psum per routed layer."""
+
+    def __init__(self, model: LoadedModel, mesh):
+        super().__init__(model, None)
+        from ..parallel.ep import shard_weights_ep
+        assert model.arch.n_experts, \
+            "--ep needs a mixture-of-experts model (expert_count metadata)"
+        self.mesh = mesh
+        self._weights = shard_weights_ep(model.weights, mesh, model.arch)
+        # drop the full host copy once device shards exist; the forward
+        # builders only need shapes/dtypes
+        self._w_template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            model.weights)
+        import dataclasses
+        self.model = dataclasses.replace(model, weights=None)
+        self._fwd_cache: dict = {}
+
+    @classmethod
+    def load(cls, path: str, ep: int | None = None, mesh=None,
+             kv_quant: bool = False, **kw):
+        from ..parallel.ep import make_ep_mesh
+        if mesh is None:
+            mesh = make_ep_mesh(ep)
+        eng = cls(load_model(path, device=False, **kw), mesh)
+        eng.kv_quant = kv_quant  # int8 KV replicates like bf16 KV
+        return eng
+
+    def _make_kv(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # pinned REPLICATED so every step doesn't re-broadcast from one
+        # device
+        sh = NamedSharding(self.mesh, P())
+        if self.kv_quant:
+            return jax.jit(lambda: KVCache.create(self.arch, quant=True),
+                           out_shardings=KVCache(sh, sh, sh, sh))()
+        return jax.jit(lambda: KVCache.create(self.arch),
+                       out_shardings=KVCache(sh, sh))()
+
+    def _fwd(self, *, all_logits=False, has_nv=False):
+        key = (all_logits, has_nv)
+        if key not in self._fwd_cache:
+            from ..parallel.ep import make_ep_forward
+            self._fwd_cache[key] = make_ep_forward(
+                self.mesh, self.arch, all_logits=all_logits,
+                weights_template=self._w_template, has_n_valid=has_nv)
+        return self._fwd_cache[key]
+
+    def _prefill_chunk(self, kv, padded, off, n_valid, model=None,
+                       with_cosine=False):
+        assert model is None and not with_cosine, \
+            "EPEngine: no draft model / cosine calibration under EP"
+        fwd = self._fwd(has_nv=True)
+        logits, kv, _ = fwd(self._weights, kv, jnp.asarray(padded),
+                            jnp.int32(off), jnp.int32(n_valid))
+        return logits, kv, None
+
+    def _decode_step(self, kv, token, pos, model=None, with_cosine=False,
+                     layer_sel=None):
+        assert model is None and layer_sel is None and not with_cosine
+        tok = jnp.reshape(jnp.asarray(token, dtype=jnp.int32), (1,))
+        fwd = self._fwd()
+        logits, kv, _ = fwd(self._weights, kv, tok,
+                            jnp.asarray(pos, jnp.int32))
+        return logits, kv, None
+
+    def _verify(self, kv, tokens_arr, pos):
+        fwd = self._fwd(all_logits=True)
+        logits, kv, _ = fwd(self._weights, kv, tokens_arr,
+                            jnp.asarray(pos, jnp.int32))
+        return logits, kv
+
+    def benchmark(self, prompt: str = "The capital of France is",
+                  n_tokens: int = 64, on_device_loop: bool = False) -> Stats:
+        # the fused unsharded loop doesn't know the ep axis — host-driven
+        return super().benchmark(prompt, n_tokens, on_device_loop=False)
+
+    def generate_self_speculative_fused(self, prompt, cfg=None, callback=None,
+                                        draft_layers=None):
+        """The fused on-device iteration assumes unsharded weights; under
+        EP delegate to the host-driven protocol over the sharded forward."""
+        return self.generate_self_speculative(prompt, cfg, callback,
+                                              draft_layers)
+
+
 class TieredEngine(Engine):
     """Engine over a TieredModel: per-token SLEP streaming, layer-skip that
     drops streamed I/O, and self-speculation drafting on the resident prefix

@@ -60,9 +60,9 @@ def weight_specs_ep(weights: ModelWeights) -> ModelWeights:
     return dataclasses.replace(rep, layers=layers)
 
 
-def shard_model_ep(weights: ModelWeights, kv: KVCache, mesh: Mesh,
-                   arch: Arch) -> tuple[ModelWeights, KVCache]:
-    """Place weights/KV on the mesh with the EP plan (host weights go
+def shard_weights_ep(weights: ModelWeights, mesh: Mesh,
+                     arch: Arch) -> ModelWeights:
+    """Place weights on the mesh with the EP plan (host weights go
     straight to their shards, like the TP load path)."""
     ep = mesh.shape[EP_AXIS]
     assert arch.n_experts % ep == 0, \
@@ -75,7 +75,23 @@ def shard_model_ep(weights: ModelWeights, kv: KVCache, mesh: Mesh,
     new_w = jax.tree.map(put, weights, wspecs)
     if tied:
         new_w = dataclasses.replace(new_w, lm_head=new_w.embed)
-    new_kv = jax.tree.map(lambda w: put(w, P()), kv)
+    return new_w
+
+
+def make_ep_mesh(n: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n if n is not None else len(devs)
+    assert len(devs) >= n, f"ep={n} but only {len(devs)} devices"
+    import numpy as np
+    return Mesh(np.array(devs[:n]), (EP_AXIS,))
+
+
+def shard_model_ep(weights: ModelWeights, kv: KVCache, mesh: Mesh,
+                   arch: Arch) -> tuple[ModelWeights, KVCache]:
+    """Place weights/KV on the mesh with the EP plan (KV replicates)."""
+    new_w = shard_weights_ep(weights, mesh, arch)
+    new_kv = jax.tree.map(
+        lambda w: jax.device_put(w, NamedSharding(mesh, P())), kv)
     return new_w, new_kv
 
 

@@ -303,3 +303,37 @@ def test_qwen3moe_end_to_end(tmp_path_factory):
     t1, s1 = eng.generate("hello world", cfg)
     t2, _ = eng.generate("hello world", cfg)
     assert t1 == t2 and s1.decode_tokens > 0
+
+
+def test_ep_engine_generate_matches_resident(moe_q8_path):
+    """EPEngine (2-way expert parallelism on the CPU mesh) reproduces the
+    single-chip Engine's greedy output through the full generate path
+    (chunked prefill + decode), and the CLI reaches it via --ep."""
+    from ntransformer_tpu.inference.engine import (Engine, EPEngine,
+                                                   GenerateConfig)
+    cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
+    want, _ = Engine(load_model(moe_q8_path)).generate("hello world", cfg)
+    eng = EPEngine.load(moe_q8_path, ep=2)
+    got, stats = eng.generate("hello world", cfg)
+    assert got == want and stats.decode_tokens > 0
+
+
+def test_ep_cli_flag_combinations(moe_q8_path, tmp_path):
+    """--ep: dead-flag refusals (×tp/×cp/×draft) and a live generate."""
+    from ntransformer_tpu.cli import main
+    assert main(["-m", moe_q8_path, "--ep", "2", "--tp", "2",
+                 "-p", "x"]) == 2
+    assert main(["-m", moe_q8_path, "--ep", "2", "--cp", "2",
+                 "-p", "x"]) == 2
+    assert main(["-m", moe_q8_path, "--ep", "2", "--draft-model",
+                 moe_q8_path, "-p", "x"]) == 2
+    assert main(["-m", moe_q8_path, "--ep", "2", "-p", "hello", "-n", "3",
+                 "-t", "0"]) == 0
+
+
+def test_ep_engine_refuses_dense_model(tmp_path):
+    from ntransformer_tpu.inference.engine import EPEngine
+    path = str(tmp_path / "dense.gguf")
+    write_model(path, "tiny", "q8_0", seed=1)
+    with pytest.raises(AssertionError, match="mixture-of-experts"):
+        EPEngine.load(path, ep=2)
