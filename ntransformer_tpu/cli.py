@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel ways for --serve (batch slots shard "
                         "across dp groups; with --tp builds a dp x tp mesh)")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--prefix-cache", type=int, default=0,
+                   help="keep the last N admitted prompts' prefill KV for "
+                        "prefix reuse (shared system prompts prefill once; "
+                        "costs one sequence cache of HBM per entry)")
     p.add_argument("--no-fuse", action="store_true",
                    help="disable fused wqkv / gate|up weights (fusion is "
                         "default-on for resident single-chip paths)")
@@ -160,6 +164,7 @@ def main(argv=None) -> int:
                            fuse=mesh is None and not args.no_fuse)
         srv = BatchServer(model, batch_size=args.batch_size,
                           fuse=not args.no_fuse,
+                          prefix_cache=args.prefix_cache,
                           kv_quant=args.kv_int8, mesh=mesh,
                           sampler_cfg=SamplerConfig(
                               temperature=args.temperature,

@@ -97,6 +97,7 @@ class ServeStats:
     wall_s: float = 0.0
     steps: int = 0
     prefill_chunks: int = 0
+    prefix_hits: int = 0  # admissions that reused a cached prompt prefix
     ttft_s: list = field(default_factory=list)  # per-request time-to-first-token
 
     @property
@@ -106,20 +107,24 @@ class ServeStats:
     def report(self) -> str:
         ttft = (f", ttft p50 {np.median(self.ttft_s)*1e3:.0f} ms"
                 if self.ttft_s else "")
+        hits = f", {self.prefix_hits} prefix hits" if self.prefix_hits else ""
         return (f"served {self.requests} requests, {self.tokens} tokens in "
                 f"{self.wall_s:.2f}s ({self.tokens_per_s:.2f} tok/s, "
                 f"{self.steps} batched steps, {self.prefill_chunks} prefill "
-                f"chunks{ttft})")
+                f"chunks{hits}{ttft})")
 
 
 class _Admission:
     """A request mid-prefill: its private KV fills one chunk per server
     loop iteration, so in-flight decode never waits on a whole prompt."""
 
-    def __init__(self, r: Request, arch, chunk: int, make_kv, prefill_fn):
+    def __init__(self, r: Request, arch, chunk: int, make_kv, prefill_fn,
+                 kv=None, start: int = 0):
         self.r = r
-        self.kv = make_kv()
-        self.off = 0
+        # kv/start: prefix-cache reuse — positions [0, start) are already
+        # live in the provided cache, so only the delta prefills
+        self.kv = kv if kv is not None else make_kv()
+        self.off = self.start = start
         self.chunk = chunk
         self.arch = arch
         self.last_logits = None
@@ -135,8 +140,8 @@ class _Admission:
         chunk = ids[self.off: self.off + self.chunk]
         t = len(chunk)
         S = self.arch.max_seq_len
-        p = min(_bucket(t) if self.off == 0 and t <= self.chunk else self.chunk,
-                S - self.off)
+        p = min(_bucket(t) if self.off == self.start and t <= self.chunk
+                else self.chunk, S - self.off)
         padded = np.zeros(p, np.int32)
         padded[:t] = chunk
         logits, self.kv = self._prefill(weights, self.kv, padded, self.off, t)
@@ -157,8 +162,14 @@ class BatchServer:
     def __init__(self, model: LoadedModel, batch_size: int = 8,
                  sampler_cfg: SamplerConfig | None = None,
                  kv_quant: bool = False, admit_chunk: int | None = None,
-                 mesh=None, fuse: bool = False):
+                 mesh=None, fuse: bool = False, prefix_cache: int = 0):
         self._fuse = fuse  # sharded path: interleaved fused QKV/gate-up
+        # prefix_cache > 0: keep the last N admitted prompts' prefill KV
+        # alive; a new request whose prompt shares a prefix with one
+        # prefills only the DELTA (shared system prompts prefill once).
+        # COSTS one full single-sequence cache of HBM per entry — opt-in.
+        self.prefix_cache = prefix_cache
+        self._pcache: list[tuple[list[int], object]] = []  # LRU, newest last
         self.model = model
         self.arch = model.arch
         self.B = batch_size
@@ -197,6 +208,40 @@ class BatchServer:
                                         n_valid=n_valid)
                 return logits, kv
             self._prefill = _prefill
+
+    def _prefix_lookup(self, ids: list[int]):
+        """(kv_copy, start) for the cached entry sharing the longest
+        prefix with `ids` (LRU-refreshed), or (None, 0). The copy keeps
+        the cached entry intact while the admission's prefill donates its
+        way through the delta chunks; at least one token always prefills
+        (the sampler needs the last position's logits)."""
+        best_n, best_i = 0, -1
+        for i, (cached, _) in enumerate(self._pcache):
+            n = 0
+            lim = min(len(cached), len(ids) - 1)
+            while n < lim and cached[n] == ids[n]:
+                n += 1
+            if n > best_n:
+                best_n, best_i = n, i
+        if best_i < 0 or best_n < 8:  # a tiny shared prefix isn't worth
+            return None, 0            # the cache-copy bandwidth
+        self._pcache.append(self._pcache.pop(best_i))  # LRU refresh
+        kv = self._pcache[-1][1]
+        return jax.tree.map(lambda a: a.copy(), kv), best_n
+
+    def _prefix_store(self, ids: list[int], kv) -> None:
+        """Keep a finished admission's prompt KV for future prefix reuse
+        (the batch insert COPIES into the batched cache, so the
+        single-sequence cache stays valid and unreferenced)."""
+        if not self.prefix_cache:
+            return
+        for i, (cached, _) in enumerate(self._pcache):
+            if cached == ids:       # replace an identical-prompt entry
+                self._pcache.pop(i)
+                break
+        self._pcache.append((list(ids), kv))
+        if len(self._pcache) > self.prefix_cache:
+            self._pcache.pop(0)     # evict least-recently-used
 
     def _init_sharded(self, mesh):
         """Build the DP(×TP) serving path: sharded weights/caches and the
@@ -538,6 +583,7 @@ class BatchServer:
                 r.done(self.tokenizer.decode(r.output_ids))
                 return
             bkv = self._insert(bkv, adm.kv, slot)
+            self._prefix_store(r.prompt_ids, adm.kv)
             slot_req[slot] = r
             tokens[slot] = first
             pos[slot] = len(r.prompt_ids)
@@ -582,8 +628,13 @@ class BatchServer:
             if pending is None and free_slot() >= 0:
                 r = pull(time.perf_counter() - t0)
                 if r is not None:
+                    kv0, start = ((None, 0) if not self.prefix_cache
+                                  else self._prefix_lookup(r.prompt_ids))
+                    if start:
+                        stats.prefix_hits += 1
                     pending = _Admission(r, self.arch, self.admit_chunk,
-                                         self._make_kv, self._prefill)
+                                         self._make_kv, self._prefill,
+                                         kv=kv0, start=start)
             if pending is not None and pending.r.cancelled:
                 # cancelled mid-prefill: drop the admission, skip the
                 # remaining chunks entirely

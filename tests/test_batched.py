@@ -263,3 +263,49 @@ def test_multiprocess_guards(model, monkeypatch):
         srv.run([Request(prompt="a", max_tokens=1, arrival_s=0.5)])
     with pytest.raises(NotImplementedError, match="single-process"):
         srv.serve_forever(queue.Queue(), threading.Event())
+
+
+def test_prefix_cache_reuse_matches_uncached(model):
+    """--prefix-cache: a request sharing a long prompt prefix with an
+    earlier one prefills only the delta — outputs bit-match an uncached
+    server, prefix_hits counts, and fewer prefill chunks run."""
+    shared = list(range(5, 45))                    # 40-token system prompt
+    p1 = shared + [60, 61, 62]
+    p2 = shared + [70, 71]
+    p3 = shared[:10] + [90, 91]                    # diverges early (<8 after
+    #                                                min-prefix rule: 10 ≥ 8)
+    reqs = lambda: [Request(prompt="", max_tokens=5, prompt_ids=list(p))
+                    for p in (p1, p2, p3)]
+
+    # small admit chunk so the delta saving shows up in the CHUNK count
+    # (40-token prefixes are one 512-chunk either way)
+    plain = BatchServer(model, batch_size=2, admit_chunk=16,
+                        sampler_cfg=SamplerConfig(temperature=0.0))
+    r_plain = reqs()
+    s_plain = plain.run(r_plain)
+    assert s_plain.prefix_hits == 0
+
+    cached = BatchServer(model, batch_size=2, prefix_cache=2,
+                         admit_chunk=16,
+                         sampler_cfg=SamplerConfig(temperature=0.0))
+    r_cached = reqs()
+    s_cached = cached.run(r_cached)
+    for a, b in zip(r_plain, r_cached):
+        assert a.text == b.text
+    assert s_cached.prefix_hits >= 2          # p2 (40 shared) + p3 (10)
+    assert s_cached.prefill_chunks < s_plain.prefill_chunks
+
+
+def test_prefix_cache_lru_eviction(model):
+    """Capacity 1: distinct prompts displace each other; an identical
+    prompt replaces its own entry instead of duplicating."""
+    srv = BatchServer(model, batch_size=2, prefix_cache=1,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    mk = lambda ids: Request(prompt="", max_tokens=3, prompt_ids=list(ids))
+    srv.run([mk(range(5, 30))])
+    assert len(srv._pcache) == 1
+    srv.run([mk(range(100, 130))])
+    assert len(srv._pcache) == 1
+    assert list(srv._pcache[0][0]) == list(range(100, 130))
+    srv.run([mk(range(100, 130))])             # identical: replace, not grow
+    assert len(srv._pcache) == 1
