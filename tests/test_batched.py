@@ -168,9 +168,15 @@ def test_server_first_token_eos_frees_slot(model, monkeypatch):
 
 def test_server_chunked_admission_matches_and_streams(model):
     """Chunked admission (admit_chunk smaller than the prompt) produces the
-    same greedy text, and per-token streaming callbacks fire for every
-    output token (r1 verdict item 4)."""
+    same greedy text as a single-stream engine using the SAME chunk width,
+    and per-token streaming callbacks fire for every output token (r1
+    verdict item 4). Prefill numerics are chunk-width-dependent (the
+    attention reduction order over already-written keys differs between a
+    32-wide one-shot and 2-wide chunks — ±1 bf16 ulp in the KV rows), so
+    cross-width greedy equality is not a stable property; same-width
+    equality is the meaningful admission-correctness claim."""
     eng = Engine(model)
+    eng.PREFILL_CHUNK = 2  # match the server's admit_chunk below
     cfg = GenerateConfig(max_tokens=6, temperature=0.0, repeat_penalty=1.0)
     prompts = ["alpha beta gamma delta", "epsilon zeta"]
     expected = [eng.generate(p, cfg)[0] for p in prompts]
