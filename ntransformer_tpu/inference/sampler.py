@@ -162,22 +162,36 @@ class BatchedSampler:
     but requests asking for more clamp to the cap. temp <= 0 = greedy
     for that slot."""
 
-    def __init__(self, cfg: SamplerConfig, vocab_size: int, batch: int):
+    def __init__(self, cfg: SamplerConfig, vocab_size: int, batch: int,
+                 shard=None, lift=None, fetch=None):
         self.cfg = cfg
         self.V = vocab_size
         self.B = batch
+        # Sharded serving (incl. multi-PROCESS SPMD meshes): `shard` places
+        # [B, ...] state arrays on the serving mesh (dp on axis 0, matching
+        # the step's logits), `lift` replicates small per-admission host
+        # values onto the mesh, `fetch` replicates-then-reads device
+        # results. Defaults keep the single-chip local behavior. Every
+        # process computes identical host-side values (deterministic PRNG
+        # from cfg.seed / request_id), so the SPMD programs stay lock-step.
+        self._shard = shard if shard is not None else jnp.asarray
+        self._lift = lift if lift is not None else jnp.asarray
+        self._fetch = fetch if fetch is not None else np.asarray
         self.k_cap = min(cfg.top_k if cfg.top_k > 0 else vocab_size,
                          vocab_size)
         base = jax.random.PRNGKey(cfg.seed)
-        self.keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
             jnp.arange(batch))
+        self.keys = self._shard(np.asarray(keys))
         w = max(cfg.repeat_window, 1)
-        self.recent = jnp.full((batch, w), vocab_size, jnp.int32)
-        self.n = jnp.zeros((batch,), jnp.int32)
-        self.temps = jnp.full((batch,), cfg.temperature, jnp.float32)
-        self.top_ps = jnp.full((batch,), cfg.top_p, jnp.float32)
-        self.penalties = jnp.full((batch,), cfg.repeat_penalty, jnp.float32)
-        self.k_limits = jnp.full((batch,), self.k_cap, jnp.int32)
+        self.recent = self._shard(np.full((batch, w), vocab_size, np.int32))
+        self.n = self._shard(np.zeros((batch,), np.int32))
+        self.temps = self._shard(np.full((batch,), cfg.temperature,
+                                         np.float32))
+        self.top_ps = self._shard(np.full((batch,), cfg.top_p, np.float32))
+        self.penalties = self._shard(np.full((batch,), cfg.repeat_penalty,
+                                             np.float32))
+        self.k_limits = self._shard(np.full((batch,), self.k_cap, np.int32))
 
     def _slot_params(self, overrides: dict | None):
         o = overrides or {}
@@ -197,12 +211,15 @@ class BatchedSampler:
         temp, top_p, pen, k, seed = self._slot_params(overrides)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 1 + request_id)
         key, sub = jax.random.split(key)
-        blank = jnp.full((self.recent.shape[1],), self.V, jnp.int32)
-        tok = _sample_one(first_logits, sub, blank, temp, top_p, pen, k,
+        blank = np.full((self.recent.shape[1],), self.V, np.int32)
+        tok = _sample_one(first_logits, self._lift(np.asarray(sub)),
+                          self._lift(blank), temp, top_p, pen, k,
                           self.k_cap, self.V)
-        t = int(tok)
-        self.keys = self.keys.at[slot].set(key)
-        self.recent = self.recent.at[slot].set(blank.at[0].set(t))
+        t = int(self._fetch(tok))
+        row = blank.copy()
+        row[0] = t
+        self.keys = self.keys.at[slot].set(self._lift(np.asarray(key)))
+        self.recent = self.recent.at[slot].set(self._lift(row))
         self.n = self.n.at[slot].set(1)
         self.temps = self.temps.at[slot].set(temp)
         self.top_ps = self.top_ps.at[slot].set(top_p)
@@ -215,7 +232,7 @@ class BatchedSampler:
         toks, self.keys, self.recent, self.n = _sample_batched(
             logits, self.keys, self.recent, self.n, self.temps,
             self.top_ps, self.penalties, self.k_limits, self.k_cap, self.V)
-        return np.asarray(toks)
+        return self._fetch(toks)
 
 
 class Sampler:

@@ -197,6 +197,7 @@ class BatchServer:
             self._insert = lambda bkv, kv, slot: bkv.insert(slot, kv)
             self._vec = jnp.asarray
             self._fetch = np.asarray
+            self._sampler_kw = {}
             self._make_bkv = lambda: BatchedKV.create(self.arch, self.B,
                                                       quant=self.kv_quant)
             self._make_kv = lambda: KVCache.create(self.arch,
@@ -265,11 +266,6 @@ class BatchServer:
         from ..parallel.tp import TP_AXIS, kv_spec, make_tp_forward
 
         arch = self.arch
-        if jax.process_count() > 1 and not self.scfg.greedy:
-            raise NotImplementedError(
-                "cross-process serving is greedy-only for now: the "
-                "BatchedSampler keeps process-local state that would "
-                "need global placement")
         template = self.model.weights
         if self._fuse and TP_AXIS in mesh.axis_names:
             # fuse with the per-shard interleaved lane order so column
@@ -301,6 +297,14 @@ class BatchServer:
         self._fetch_rep = jax.jit(lambda x: x, out_shardings=rep)
         self._fetch = lambda x: np.asarray(jax.device_get(
             self._fetch_rep(x)))
+        # non-greedy sampler state rides the same mesh: [B, ...] state
+        # shards on dp next to the step's logits, per-admission values
+        # replicate — this is what makes cross-PROCESS non-greedy serving
+        # SPMD-safe (every process runs the same sampling program on the
+        # same global arrays)
+        self._sampler_kw = dict(shard=lambda x: _global(x, vec_sh),
+                                lift=lambda x: _global(x, rep),
+                                fetch=self._fetch)
         bkv_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), bkv_spec,
                               is_leaf=lambda x: isinstance(x, P))
         self._make_bkv = jax.jit(
@@ -387,7 +391,8 @@ class BatchServer:
             # compiled programs key on the same shardings run() will feed
             # (host zeros compile a different program on a sharded mesh —
             # the cold in-clock compile warmup exists to prevent)
-            bs = BatchedSampler(self.scfg, arch.vocab_size, self.B)
+            bs = BatchedSampler(self.scfg, arch.vocab_size, self.B,
+                                **self._sampler_kw)
             bs.admit(0, 0, lg[0])
             bs.sample(logits)
         self._warm = True
@@ -534,7 +539,8 @@ class BatchServer:
         # one D2H per step for the whole batch (advisor r2: the old
         # per-slot loop paid B×2 host round-trips per step)
         bsampler = (None if self.scfg.greedy
-                    else BatchedSampler(self.scfg, self.arch.vocab_size, B))
+                    else BatchedSampler(self.scfg, self.arch.vocab_size, B,
+                                        **self._sampler_kw))
         stop = self.tokenizer.stop_ids
         pending: _Admission | None = None
         t0 = time.perf_counter()

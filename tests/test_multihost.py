@@ -79,6 +79,7 @@ SERVE_WORKER = textwrap.dedent("""
     import os, sys
     sys.path.insert(0, {repo!r})
     pid = int(sys.argv[1]); port = sys.argv[2]; gguf = sys.argv[3]
+    temp = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
@@ -94,7 +95,7 @@ SERVE_WORKER = textwrap.dedent("""
     model = load_model(gguf, device=False)
     mesh = make_mesh(tp=2, dp=4)   # dp crosses the two processes
     srv = BatchServer(model, batch_size=4, mesh=mesh,
-                      sampler_cfg=SamplerConfig(temperature=0.0))
+                      sampler_cfg=SamplerConfig(temperature=temp))
     reqs = [Request(prompt=p, max_tokens=5)
             for p in ["alpha beta", "gamma", "delta epsilon", "zeta"]]
     stats = srv.run(reqs)
@@ -105,14 +106,9 @@ SERVE_WORKER = textwrap.dedent("""
 """).format(repo=REPO)
 
 
-@pytest.mark.timeout(300)
-def test_two_process_batch_server():
-    """Continuous batching across two OS PROCESSES (the north star
-    phrase, literally): the same BatchServer loop runs SPMD in both
-    processes over a dp=4 x tp=2 mesh whose dp axis crosses the process
-    boundary — host values enter as global arrays, sampled tokens come
-    back through a replicate-then-fetch, and both processes must emit
-    identical completions that match the single-process sharded server."""
+def _run_two_process_server(temperature: float):
+    """Shared harness: single-process sharded reference vs two workers
+    over a dp=4 x tp=2 mesh whose dp axis crosses the process boundary."""
     from ntransformer_tpu.inference.sampler import SamplerConfig
     from ntransformer_tpu.inference.serve import BatchServer, Request
     from ntransformer_tpu.models.loader import load_model
@@ -125,7 +121,7 @@ def test_two_process_batch_server():
     # single-process sharded reference on the same prompts
     ref_model = load_model(gguf, device=False)
     srv = BatchServer(ref_model, batch_size=4, mesh=make_mesh(tp=2, dp=4),
-                      sampler_cfg=SamplerConfig(temperature=0.0))
+                      sampler_cfg=SamplerConfig(temperature=temperature))
     ref_reqs = [Request(prompt=p, max_tokens=5)
                 for p in ["alpha beta", "gamma", "delta epsilon", "zeta"]]
     srv.run(ref_reqs)
@@ -135,7 +131,8 @@ def test_two_process_batch_server():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
-        [sys.executable, "-c", SERVE_WORKER, str(i), port, gguf],
+        [sys.executable, "-c", SERVE_WORKER, str(i), port, gguf,
+         str(temperature)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
         for i in range(2)]
     outs = []
@@ -148,6 +145,26 @@ def test_two_process_batch_server():
         for rid, text in want.items():
             assert f"SRV-TEXT {i} {rid} {text!r}" in out, \
                 f"proc {i} text mismatch for request {rid}:\n{out[-2000:]}"
+
+
+@pytest.mark.timeout(300)
+def test_two_process_batch_server():
+    """Continuous batching across two OS PROCESSES (the north star
+    phrase, literally): the same BatchServer loop runs SPMD in both
+    processes — host values enter as global arrays, sampled tokens come
+    back through a replicate-then-fetch, and both processes must emit
+    identical completions that match the single-process sharded server."""
+    _run_two_process_server(0.0)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_batch_server_sampled():
+    """NON-greedy cross-process serving: the BatchedSampler's per-slot
+    RNG/window state lives as dp-sharded GLOBAL arrays on the mesh, so
+    the sampling program itself is SPMD — both processes draw identical
+    tokens (deterministic request-id-keyed streams), matching the
+    single-process sharded server bit for bit."""
+    _run_two_process_server(0.7)
 
 
 def test_make_mesh_subset_refused_multiprocess(monkeypatch):
