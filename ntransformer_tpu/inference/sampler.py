@@ -176,6 +176,11 @@ class BatchedSampler:
         # from cfg.seed / request_id), so the SPMD programs stay lock-step.
         self._shard = shard if shard is not None else jnp.asarray
         self._lift = lift if lift is not None else jnp.asarray
+        # device arrays only need lifting when a custom mesh hook is
+        # supplied; the default single-chip path passes them through
+        # without a device->host->device round trip
+        self._lift_dev = ((lambda x: self._lift(np.asarray(x)))
+                          if lift is not None else (lambda x: x))
         self._fetch = fetch if fetch is not None else np.asarray
         self.k_cap = min(cfg.top_k if cfg.top_k > 0 else vocab_size,
                          vocab_size)
@@ -212,13 +217,13 @@ class BatchedSampler:
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 1 + request_id)
         key, sub = jax.random.split(key)
         blank = np.full((self.recent.shape[1],), self.V, np.int32)
-        tok = _sample_one(first_logits, self._lift(np.asarray(sub)),
+        tok = _sample_one(first_logits, self._lift_dev(sub),
                           self._lift(blank), temp, top_p, pen, k,
                           self.k_cap, self.V)
         t = int(self._fetch(tok))
         row = blank.copy()
         row[0] = t
-        self.keys = self.keys.at[slot].set(self._lift(np.asarray(key)))
+        self.keys = self.keys.at[slot].set(self._lift_dev(key))
         self.recent = self.recent.at[slot].set(self._lift(row))
         self.n = self.n.at[slot].set(1)
         self.temps = self.temps.at[slot].set(temp)
