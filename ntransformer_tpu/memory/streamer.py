@@ -44,8 +44,16 @@ import numpy as np
 from ..models.llama import LayerWeights
 from ..utils.timing import PROFILER
 from .native import StagePool, aligned_empty
-from .pack import PackReader
+from .pack import PackReader, make_device_unpacker, unpacker_signature
 from .tiers import TierConfig
+
+
+def coalesced_h2d_default() -> bool:
+    """One device_put of the raw layer blob + on-device plane unpack
+    (default) vs one device_put per plane (NT_H2D=planes). The coalesced
+    path is the reference's single-DMA layer image (streamer.cu:253-298);
+    per-plane puts pay a fixed per-transfer cost ~14x per layer."""
+    return os.environ.get("NT_H2D", "blob") != "planes"
 
 
 @jax.jit
@@ -102,6 +110,10 @@ class LayerStreamer:
         # optional per-leaf shardings (LayerWeights-shaped pytree): under
         # tensor parallelism each shard receives its slice of the layer
         self.shardings = None
+        # single-transfer layer H2D + on-device unpack (disabled under TP
+        # shardings — each shard takes per-plane slices of the host blob)
+        self.coalesce = coalesced_h2d_default()
+        self._unpackers: dict[str, object] = {}
         # True = fence every stage (kills overlap; for measuring the SLEP
         # pipeline's benefit, like the reference's mmap-vs-tiered A/B)
         self.synchronous = False
@@ -174,12 +186,28 @@ class LayerStreamer:
                 slot.stage_job = None
             blob = slot.staging
         with PROFILER.phase("stream/begin_h2d"):
-            host_lw = self.pack.layer_weights(layer, blob)
-            if self.shardings is not None:
-                slot.device = jax.tree.map(jax.device_put, host_lw,
-                                           self.shardings)
+            if self.shardings is None and self.coalesce:
+                # ONE H2D DMA for the whole layer; planes reconstructed on
+                # device by slice+bitcast (exact). The blob device array is
+                # dropped right after dispatch — the runtime keeps it alive
+                # until the unpack program retires, so peak HBM is
+                # 2x layer_bytes per in-flight slot (accounted in the
+                # tiered loader's reserve).
+                meta = self.pack.layer_meta(layer)
+                sig = unpacker_signature(meta)
+                fn = self._unpackers.get(sig)
+                if fn is None:
+                    fn = self._unpackers[sig] = make_device_unpacker(meta)
+                blob_dev = jax.device_put(blob[: meta["size"]])
+                slot.device = fn(blob_dev)
+                del blob_dev
             else:
-                slot.device = jax.tree.map(jax.device_put, host_lw)
+                host_lw = self.pack.layer_weights(layer, blob)
+                if self.shardings is not None:
+                    slot.device = jax.tree.map(jax.device_put, host_lw,
+                                               self.shardings)
+                else:
+                    slot.device = jax.tree.map(jax.device_put, host_lw)
         slot.layer = layer
         if blob is slot.staging:
             slot.staging_consumer = slot.device

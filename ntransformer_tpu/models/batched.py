@@ -59,6 +59,8 @@ def batched_attention(q, kv_k, kv_v, pos, scale, window=None,
     if isinstance(kv_k, tuple):
         kc, ksc = kv_k
         vc, vsc = kv_v
+        if ksc.ndim == kc.ndim - 1:   # S-minor scales [.., Hkv, S]
+            ksc, vsc = ksc[..., None], vsc[..., None]
         kf = kc.astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
         vf = vc.astype(jnp.bfloat16) * vsc.astype(jnp.bfloat16)
     else:
@@ -75,8 +77,12 @@ class BatchedKV:
     k: jnp.ndarray  # [L, B, Hkv, S, D]
     v: jnp.ndarray
     # int8-quantized cache (quant=True): codes int8 + per-(seq, head,
-    # position) absmax scales [L, B, Hkv, S, 1] f32 — halves the dominant
-    # HBM cost of large-B serving (r1 verdict item 7)
+    # position) absmax scales [L, B, Hkv, S] f32 — halves the dominant
+    # HBM cost of large-B serving (r1 verdict item 7). S is the MINOR
+    # axis on purpose: a trailing size-1 axis ([.., S, 1]) forces the TPU
+    # T(8,128) tiled layout to lane-pad it 128x — a 32 MB scale buffer
+    # ballooning to a 4 GB layout copy (measured: it alone OOM'd the
+    # B=32 step's compile).
     ks: jnp.ndarray | None = None
     vs: jnp.ndarray | None = None
 
@@ -86,7 +92,7 @@ class BatchedKV:
         shape = (arch.n_layers, batch, arch.n_kv_heads, arch.max_seq_len,
                  arch.head_dim)
         if quant:
-            sshape = shape[:-1] + (1,)
+            sshape = shape[:-1]
             return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
                        jnp.zeros(sshape, jnp.float32),
                        jnp.zeros(sshape, jnp.float32))
@@ -239,13 +245,20 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
             cache, jnp.where(act, new.astype(cache.dtype), cur), (0, p, 0))
 
     if isinstance(kv_k, tuple):
-        kc, ksc = kv_k
+        kc, ksc = kv_k                      # ksc [B, Hkv, S] (S minor)
         vc, vsc = kv_v
         kq, ks_new, vq, vs_new = _quantize_rows(k_t, v_t)
+
+        def write_sc(cache, new, p, act):
+            # cache [Hkv, S]; new [Hkv, 1]; frozen when inactive
+            cur = jax.lax.dynamic_slice(cache, (0, p), (Hkv, 1))
+            return jax.lax.dynamic_update_slice(
+                cache, jnp.where(act, new, cur), (0, p))
+
         kc = jax.vmap(write)(kc, kq, pos, active)
-        ksc = jax.vmap(write)(ksc, ks_new, pos, active)
+        ksc = jax.vmap(write_sc)(ksc, ks_new.reshape(B, Hkv, 1), pos, active)
         vc = jax.vmap(write)(vc, vq, pos, active)
-        vsc = jax.vmap(write)(vsc, vs_new, pos, active)
+        vsc = jax.vmap(write_sc)(vsc, vs_new.reshape(B, Hkv, 1), pos, active)
         kv_k, kv_v = (kc, ksc), (vc, vsc)
     else:
         kv_k = jax.vmap(write)(kv_k, k_t, pos, active)
@@ -294,10 +307,13 @@ def _batched_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
 @partial(jax.jit, donate_argnames=("bkv",))
 def _insert(bkv: "BatchedKV", kv: KVCache, slot):
     if bkv.ks is not None:
+        # single-seq scales are [L, Hkv, S, 1]; the batched buffer keeps S
+        # minor ([L, B, Hkv, S]) — dropping the trailing size-1 axis is
+        # order-preserving
         return BatchedKV(bkv.k.at[:, slot].set(kv.k),
                          bkv.v.at[:, slot].set(kv.v),
-                         bkv.ks.at[:, slot].set(kv.ks),
-                         bkv.vs.at[:, slot].set(kv.vs))
+                         bkv.ks.at[:, slot].set(kv.ks.reshape(kv.ks.shape[:-1])),
+                         bkv.vs.at[:, slot].set(kv.vs.reshape(kv.vs.shape[:-1])))
     return BatchedKV(bkv.k.at[:, slot].set(kv.k),
                      bkv.v.at[:, slot].set(kv.v))
 

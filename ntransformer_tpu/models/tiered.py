@@ -511,8 +511,13 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
         tp_ways = mesh.shape[TP_AXIS]
     # per-shard byte accounting when TP-sharded
     layer_bytes = pack.max_layer_nbytes // tp_ways
+    # two streaming slots live in HBM; the coalesced-H2D path (one DMA per
+    # layer + on-device unpack) transiently holds blob + unpacked planes,
+    # doubling each in-flight slot's footprint
+    from ..memory.streamer import coalesced_h2d_default
+    slot_mult = 4 if (mesh is None and coalesced_h2d_default()) else 2
     reserve = (embed.nbytes + head_bytes + kv_bytes) // tp_ways \
-        + workspace + 2 * layer_bytes  # two streaming slots live in HBM
+        + workspace + slot_mult * layer_bytes
     # reserve_extra_bytes: HBM already promised to co-resident state the
     # loader can't see — e.g. a separate DRAFT model's KV cache (the draft
     # itself loads FIRST and shows up in hbm_free_bytes; main.cpp:121-132)

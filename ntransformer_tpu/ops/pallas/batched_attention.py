@@ -31,9 +31,11 @@ TPU-native design for continuous batching:
         p·(codes_v ⊙ s_v) = (p ⊙ s_v^T)·codes_v
     No dequantized cache is ever materialized.
 
-Scales are passed PRE-TRANSPOSED as [.., Hkv, 1, S] (a free reshape of the
-stored [.., Hkv, S, 1]) so each tile is a natural [1, block_s] row vector
-for lane-wise broadcasting.
+Scales are stored S-MINOR as [.., Hkv, S]: each tile is a natural
+[block_s]-lane vector, and — critically — the layout is compact. A
+trailing size-1 axis ([.., S, 1]) makes the TPU T(8,128) tiling lane-pad
+it 128x: a 32 MB scale buffer balloons to a 4 GB layout copy (measured —
+it alone OOM'd the B=32 step's compile).
 """
 from __future__ import annotations
 
@@ -78,6 +80,11 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
         """Head h's tile — stacked caches carry an extra leading dim."""
         return ref[0, 0, h] if len(ref.shape) == 5 else ref[0, h]
 
+    def at_sc(ref, h):
+        """Head h's scale row [1, lanes] — scale refs are one rank lower
+        (S-minor, no positions axis pair)."""
+        return ref[0, 0, h:h + 1] if len(ref.shape) == 4 else ref[0, h:h + 1]
+
     @pl.when(j == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
@@ -109,7 +116,7 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=F32) * scale      # [group, block_s]
             if quant:
-                s = s * at(ks_ref, h).astype(F32)        # [1, block_s] bcast
+                s = s * at_sc(ks_ref, h).astype(F32)     # [1, block_s] bcast
             if softcap:
                 # after the int8 scale fold — tanh needs TRUE score values
                 s = softcap * jnp.tanh(s * (1.0 / softcap))
@@ -123,7 +130,7 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
                 alpha * l_ref[h][:, :1] + jnp.sum(p, -1, keepdims=True),
                 l_ref.shape[1:])
             if quant:
-                p = p * at(vs_ref, h).astype(F32)
+                p = p * at_sc(vs_ref, h).astype(F32)
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())), preferred_element_type=F32)
             m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
@@ -140,7 +147,7 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
                 q, kn, (((1,), (1,)), ((), ())),
                 preferred_element_type=F32) * scale  # [group, 1]
             if quant:
-                s = s * kns_ref[0, h].astype(F32)    # [1, 1]
+                s = s * kns_ref[0, h:h + 1].astype(F32)  # [1, 1]
             if softcap:
                 s = softcap * jnp.tanh(s * (1.0 / softcap))
             s = jnp.where(act == 1, s, NEG_INF)      # no virtual row when
@@ -151,7 +158,7 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
             p = jnp.exp(s - m_new)                   # [group, 1]
             l = alpha * l_ref[h][:, :1] + p
             if quant:
-                p = p * vns_ref[0, h].astype(F32)
+                p = p * vns_ref[0, h:h + 1].astype(F32)
             acc = acc_ref[h] * alpha + jax.lax.dot_general(
                 p, vn, (((1,), (0,)), ((), ())), preferred_element_type=F32)
             o_ref[0, h] = (acc / l).astype(o_ref.dtype)
@@ -187,19 +194,23 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
 
     def sc_map(bi, j, sref):
         jl = _clamp(j, sref, bi)
-        return ((sref[0, 0], bi, 0, 0, jl) if stacked else (bi, 0, 0, jl))
+        return ((sref[0, 0], bi, 0, jl) if stacked else (bi, 0, jl))
 
     def b_map(bi, j, sref):
         return (bi, 0, 0, 0)
 
+    def b3_map(bi, j, sref):
+        return (bi, 0, 0)
+
     lead = (1, 1) if stacked else (1,)
     kv_sp = pl.BlockSpec(lead + (hkv, block_s, d), kv_map,
                          memory_space=pltpu.VMEM)
-    sc_sp = pl.BlockSpec(lead + (hkv, 1, block_s), sc_map,
+    # scales are one rank lower (S minor): tile [.., hkv, block_s]
+    sc_sp = pl.BlockSpec(lead + (hkv, block_s), sc_map,
                          memory_space=pltpu.VMEM)
     q_sp = pl.BlockSpec((1, hkv, group, d), b_map, memory_space=pltpu.VMEM)
     row_sp = pl.BlockSpec((1, hkv, 1, d), b_map, memory_space=pltpu.VMEM)
-    rsc_sp = pl.BlockSpec((1, hkv, 1, 1), b_map, memory_space=pltpu.VMEM)
+    rsc_sp = pl.BlockSpec((1, hkv, 1), b3_map, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, scale=scale, block_s=block_s,
                                n_blocks=n_blocks, hkv=hkv, group=group,
@@ -240,10 +251,11 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
     q [B, Hq, D]; pos [B] = each sequence's current position (cache keys
     [0, pos-1] are live; the new row logically sits at pos and is passed
     separately). k_cache/v_cache: [B, Hkv, S, D] float tensors or (codes
-    int8, scales f32 [B, Hkv, S, 1]) tuples; with `layer` given, the
-    cache carries a leading [L] axis and the kernel indexes it via scalar
-    prefetch (no slice copies). k_new/v_new: [B, Hkv, D] floats or
-    (codes [B, Hkv, D], scales [B, Hkv, 1]) matching the cache.
+    int8, scales f32 [B, Hkv, S] — S minor; a legacy trailing size-1 axis
+    is dropped) tuples; with `layer` given, the cache carries a leading
+    [L] axis and the kernel indexes it via scalar prefetch (no slice
+    copies). k_new/v_new: [B, Hkv, D] floats or (codes [B, Hkv, D],
+    scales [B, Hkv, 1]) matching the cache.
     active [B] bool (default all-active): INACTIVE slots attend the
     frozen cache rows [0, pos] and the virtual row is masked out, exactly
     matching the jnp path's masked-write-then-attend semantics.
@@ -262,17 +274,19 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
     if quant:
         k, ks = k_cache
         v, vs = v_cache
-        s = k.shape[-2]
-        lead = k.shape[:-3]
-        ks = ks.reshape(*lead, k.shape[-3], 1, s)  # free: size-1 axis moves
-        vs = vs.reshape(*lead, k.shape[-3], 1, s)
+        # scales arrive S-minor ([.., Hkv, S]); a legacy [.., Hkv, S, 1]
+        # is normalized by dropping the trailing size-1 axis (an
+        # order-preserving reshape)
+        if ks.ndim == k.ndim:
+            ks = ks.reshape(ks.shape[:-1])
+            vs = vs.reshape(vs.shape[:-1])
         kn, kns = k_new
         vn, vns = v_new
         b, hkv, d = kn.shape[0], kn.shape[1], kn.shape[-1]
         kn = kn.reshape(b, hkv, 1, d)
         vn = vn.reshape(b, hkv, 1, d)
-        kns = kns.reshape(b, hkv, 1, 1)
-        vns = vns.reshape(b, hkv, 1, 1)
+        kns = kns.reshape(b, hkv, 1)
+        vns = vns.reshape(b, hkv, 1)
     else:
         k, v = k_cache, v_cache
         ks = vs = kns = vns = None

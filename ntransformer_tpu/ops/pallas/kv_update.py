@@ -99,8 +99,11 @@ def append_rows(caches, rows, pos, active, *, interpret: bool | None = None):
 
 
 def supports(caches) -> bool:
-    """S must tile by each cache dtype's sublane height."""
-    return all(c.shape[-2] % _tile_rows(c.dtype) == 0 for c in caches)
+    """Code caches ([.., S, Dc]) need S to tile by the dtype's sublane
+    height; S-minor scale buffers (rank one lower) always merge at a lane
+    within a whole-S block."""
+    return all(c.shape[-2] % _tile_rows(c.dtype) == 0
+               for c in caches if c.ndim == 5)
 
 
 def _stacked_kernel(scal_ref, *refs, n_arrays, tiles):
@@ -111,9 +114,14 @@ def _stacked_kernel(scal_ref, *refs, n_arrays, tiles):
     curs = refs[n_arrays:2 * n_arrays]
     outs = refs[2 * n_arrays:]
     for row, cur, out, tile in zip(rows, curs, outs, tiles):
-        r = pos % tile
-        # [L, 1, Hkv, tile, Dc]: merge each layer's row at sublane r
-        sel = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 3) == r
+        if tile is None:
+            # scale cache tile [L, 1, Hkv, S] (S minor): merge each
+            # layer's scalar at LANE pos — whole-S block, no clamping
+            sel = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 3) == pos
+        else:
+            r = pos % tile
+            # [L, 1, Hkv, tile, Dc]: merge each layer's row at sublane r
+            sel = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 3) == r
         write = jnp.logical_and(sel, act != 0)
         out[:] = jnp.where(write, row[:].astype(out.dtype), cur[:])
 
@@ -122,24 +130,39 @@ def _stacked_kernel(scal_ref, *refs, n_arrays, tiles):
 def _append_stacked_impl(scal, caches, rows, *, interpret):
     n = len(caches)
     L, B, hkv = rows[0].shape[:3]
-    tiles = tuple(_tile_rows(c.dtype) for c in caches)
+    # 5D codes merge at a sublane tile; 4D S-minor scales merge at a lane
+    # (tile=None -> whole-S block)
+    tiles = tuple(_tile_rows(c.dtype) if c.ndim == 5 else None
+                  for c in caches)
 
     def row_map(b, s):
         return (0, b, 0, 0, 0)
 
-    in_specs, out_specs, inputs = [], [], []
-    for r in rows:
-        dc = r.shape[-1]
-        in_specs.append(pl.BlockSpec((L, 1, hkv, 1, dc), row_map,
-                                     memory_space=pltpu.VMEM))
-        inputs.append(r.reshape(L, B, hkv, 1, dc))
-    for c, tile in zip(caches, tiles):
-        dc = c.shape[-1]
+    def row4_map(b, s):
+        return (0, b, 0, 0)
 
-        def cache_map(b, s, _t=tile):
-            return (0, b, 0, s[0, b] // _t, 0)
-        spec = pl.BlockSpec((L, 1, hkv, tile, dc), cache_map,
-                            memory_space=pltpu.VMEM)
+    in_specs, out_specs, inputs = [], [], []
+    for r, c in zip(rows, caches):
+        if c.ndim == 4:
+            in_specs.append(pl.BlockSpec((L, 1, hkv, 1), row4_map,
+                                         memory_space=pltpu.VMEM))
+            inputs.append(r.reshape(L, B, hkv, 1))
+        else:
+            dc = c.shape[-1]
+            in_specs.append(pl.BlockSpec((L, 1, hkv, 1, dc), row_map,
+                                         memory_space=pltpu.VMEM))
+            inputs.append(r.reshape(L, B, hkv, 1, dc))
+    for c, tile in zip(caches, tiles):
+        if c.ndim == 4:
+            spec = pl.BlockSpec((L, 1, hkv, c.shape[-1]), row4_map,
+                                memory_space=pltpu.VMEM)
+        else:
+            dc = c.shape[-1]
+
+            def cache_map(b, s, _t=tile):
+                return (0, b, 0, s[0, b] // _t, 0)
+            spec = pl.BlockSpec((L, 1, hkv, tile, dc), cache_map,
+                                memory_space=pltpu.VMEM)
         in_specs.append(spec)
         inputs.append(c)
         out_specs.append(spec)
@@ -161,11 +184,13 @@ def _append_stacked_impl(scal, caches, rows, *, interpret):
 
 def append_rows_stacked(caches, rows, pos, active, *,
                         interpret: bool | None = None):
-    """All-layers bulk append: caches [L, B, Hkv, S, Dc] (aliased in
-    place), rows [L, B, Hkv, Dc] (or [L, B, Hkv, 1, Dc] — a layer scan's
-    stacked ys), pos/active [B]. ONE grid step per sequence writes every
-    layer's row in a single whole-L tile DMA — the per-(layer, sequence)
-    variant was latency-bound at 32 layers x 32 sequences x ~30 us."""
+    """All-layers bulk append: caches [L, B, Hkv, S, Dc] codes (aliased in
+    place) and/or [L, B, Hkv, S] S-minor scale buffers; rows [L, B, Hkv,
+    Dc] (or [L, B, Hkv, 1, Dc] — a layer scan's stacked ys; scales
+    [L, B, Hkv, 1(, 1)]), pos/active [B]. ONE grid step per sequence
+    writes every layer's row in a single whole-L tile DMA — the
+    per-(layer, sequence) variant was latency-bound at 32 layers x 32
+    sequences x ~30 us."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     caches = tuple(caches)
@@ -179,14 +204,23 @@ def append_rows_stacked(caches, rows, pos, active, *,
 def append_rows_stacked_dus(caches, rows, pos, active):
     """XLA dynamic-update-slice variant of append_rows_stacked (experiment
     switch NT_KV_APPEND=dus): one scalar-indexed DUS per (cache, sequence)
-    on the stacked [L, B, Hkv, S, Dc] buffers — at B=1 this is a single
-    in-place row update per cache, bypassing the Pallas kernel's
-    read-merge-write of a whole sublane tile. Semantics identical
-    (inactive slots keep their previous row)."""
+    on the stacked buffers — at B=1 this is a single in-place row update
+    per cache, bypassing the Pallas kernel's read-merge-write of a whole
+    sublane tile. Semantics identical (inactive slots keep their previous
+    row)."""
     out = []
     b_n = rows[0].shape[1]
     for c, r in zip(caches, rows):
         L, _, hkv = c.shape[:3]
+        if c.ndim == 4:  # S-minor scale buffer [L, B, Hkv, S]
+            r4 = r.reshape(L, b_n, hkv, 1).astype(c.dtype)
+            for b in range(b_n):
+                cur = jax.lax.dynamic_slice(
+                    c, (0, b, 0, pos[b]), (L, 1, hkv, 1))
+                val = jnp.where(active[b], r4[:, b:b + 1], cur)
+                c = jax.lax.dynamic_update_slice(c, val, (0, b, 0, pos[b]))
+            out.append(c)
+            continue
         dc = c.shape[-1]
         r5 = r.reshape(L, b_n, hkv, 1, dc).astype(c.dtype)
         for b in range(b_n):

@@ -41,8 +41,8 @@ def _specs(mesh: Mesh, weights_template: ModelWeights, quant: bool = False):
     # stays whole, everything else still megatron-shards
     dp_ax = DP_AXIS if DP_AXIS in mesh.axis_names else None
     cache = P(None, dp_ax, TP_AXIS if has_tp else None, None, None)
-    # int8 scales are [L, B, Hkv, S, 1] — same leading axes as the cache
-    sc = cache if quant else None
+    # int8 scales are [L, B, Hkv, S] (S minor) — same leading axes
+    sc = P(None, dp_ax, TP_AXIS if has_tp else None, None) if quant else None
     kv_spec = BatchedKV(cache, cache, sc, sc)
     if has_tp:
         wspecs = weight_specs(weights_template)

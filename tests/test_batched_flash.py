@@ -296,3 +296,33 @@ def test_dus_append_matches_kernel_append(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(kv_d.v).astype(np.float32),
         np.asarray(kv_k.v).astype(np.float32))
+
+
+def test_bulk_append_int8_scales_mixed():
+    """Mixed stacked append: 5D int8 code caches (sublane merge) + 4D
+    S-minor f32 scale buffers (lane merge) — interpret-mode twin of the
+    TPU test; also covers the dus variant."""
+    import numpy as np
+    from ntransformer_tpu.ops.pallas.kv_update import (
+        append_rows_stacked, append_rows_stacked_dus)
+
+    L, B, Hkv, S, D = 3, 4, 2, 128, 32
+    rng = np.random.default_rng(13)
+    kc = rng.integers(-127, 127, (L, B, Hkv, S, D)).astype(np.int8)
+    ks = (rng.random((L, B, Hkv, S)) + 0.5).astype(np.float32)
+    rows_c = rng.integers(-127, 127, (L, B, Hkv, 1, D)).astype(np.int8)
+    rows_s = (rng.random((L, B, Hkv, 1, 1)) + 0.5).astype(np.float32)
+    pos = np.array([0, 40, 127, 64], np.int32)
+    active = np.array([True, False, True, True])
+    want_c, want_s = kc.copy(), ks.copy()
+    for b in range(B):
+        if active[b]:
+            want_c[:, b, :, pos[b]] = rows_c[:, b, :, 0]
+            want_s[:, b, :, pos[b]] = rows_s[:, b, :, 0, 0]
+    for fn in (lambda *a: append_rows_stacked(*a, interpret=True),
+               append_rows_stacked_dus):
+        got_c, got_s = fn((jnp.asarray(kc), jnp.asarray(ks)),
+                          (jnp.asarray(rows_c), jnp.asarray(rows_s)),
+                          jnp.asarray(pos), jnp.asarray(active))
+        np.testing.assert_array_equal(np.asarray(got_c), want_c)
+        np.testing.assert_array_equal(np.asarray(got_s), want_s)

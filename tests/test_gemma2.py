@@ -241,7 +241,9 @@ def test_gemma2_batched_kernel_matches_jnp(g2_model, quant):
         if quant:
             def qz(x):
                 s = jnp.abs(x).max(-1, keepdims=True) / 127.0 + 1e-9
-                return jnp.round(x / s).astype(jnp.int8), s
+                # batched scale buffers are S-minor [L, B, Hkv, S]
+                return (jnp.round(x / s).astype(jnp.int8),
+                        s.reshape(s.shape[:-1]))
             kq, ksc = qz(ks)
             vq, vsc = qz(vs)
             return BatchedKV(kq, vq, ksc, vsc)

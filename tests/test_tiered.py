@@ -73,6 +73,43 @@ def test_pack_roundtrip(tiny_gguf, tmp_path):
                                np.asarray(ref.attn_norm))
 
 
+def test_device_unpacker_bit_parity(tiny_gguf, tmp_path):
+    """The coalesced-H2D on-device unpacker (one DMA per layer, planes
+    rebuilt by slice+bitcast) reproduces every plane of every dtype
+    BIT-EXACTLY vs the host numpy views — this locks the bitcast byte
+    order (little-endian minor-dim packing) on the current backend."""
+    from ntransformer_tpu.memory.pack import (make_device_unpacker,
+                                              unpacker_signature)
+    reader = GGUFReader(tiny_gguf)
+    pack = PackWriter(reader).write(str(tmp_path / "u.ntp"))
+    meta = pack.layer_meta(1)
+    blob = pack.read_layer(1)
+    want = pack.layer_weights(1, blob)
+    got = make_device_unpacker(meta)(jnp.asarray(blob[: meta["size"]]))
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        g, w = getattr(got, name), getattr(want, name)
+        assert (g.dtype, g.k, g.n) == (w.dtype, w.k, w.n)
+        for pn in w.planes:
+            assert str(g.planes[pn].dtype) == str(w.planes[pn].dtype)
+            np.testing.assert_array_equal(np.asarray(g.planes[pn]),
+                                          w.planes[pn])
+    np.testing.assert_array_equal(np.asarray(got.attn_norm), want.attn_norm)
+    np.testing.assert_array_equal(np.asarray(got.ffn_norm), want.ffn_norm)
+    # layers of a uniform model share one unpacker compilation
+    assert unpacker_signature(meta) == unpacker_signature(pack.layer_meta(2))
+
+
+def test_tiered_planes_h2d_fallback_parity(tiny_gguf, resident_model,
+                                           monkeypatch):
+    """NT_H2D=planes (the per-plane device_put fallback) still produces
+    bit-identical tiered output."""
+    monkeypatch.setenv("NT_H2D", "planes")
+    tm = _tiered(tiny_gguf, max_hbm=1, max_ram=1)
+    assert tm.streamer.coalesce is False
+    tokens = jnp.asarray([1, 5, 9, 2], jnp.int32)
+    _parity(tm, resident_model, tokens)
+
+
 def test_ensure_pack_caches(tiny_gguf):
     p1 = ensure_pack(GGUFReader(tiny_gguf), tiny_gguf)
     p2 = ensure_pack(GGUFReader(tiny_gguf), tiny_gguf)
@@ -481,9 +518,11 @@ def test_kv_quant_shrinks_hbm_reserve(tiny_gguf):
     embed_b = probe.resident.embed.nbytes
     tied = probe.resident.lm_head is probe.resident.embed
     head_b = 0 if tied else probe.resident.lm_head.nbytes
+    from ntransformer_tpu.memory.streamer import coalesced_h2d_default
     from ntransformer_tpu.memory.tiers import HBM_MARGIN_BYTES
     workspace = 64 << 20
-    base = embed_b + head_b + workspace + 2 * lb + HBM_MARGIN_BYTES
+    slot_mult = 4 if coalesced_h2d_default() else 2
+    base = embed_b + head_b + workspace + slot_mult * lb + HBM_MARGIN_BYTES
     # enough HBM for the quant reserve + 2 layers, but the bf16 reserve
     # eats into the layer budget
     hbm = base + q + 2 * lb + (bf16 - q) // 2

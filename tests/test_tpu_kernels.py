@@ -272,3 +272,57 @@ def test_compiled_bulk_kv_append():
             want[:, b, :, pos[b]] = rb[:, b, :, 0]
     np.testing.assert_array_equal(
         np.asarray(got).astype(np.float32), want.astype(np.float32))
+
+
+def test_compiled_bulk_kv_append_int8_scales():
+    """Mosaic-compiled mixed append: int8 code caches (sublane-tile merge)
+    + S-minor f32 scale buffers [L, B, Hkv, S] (lane merge in a whole-S
+    block) — the serving path's int8-KV write."""
+    from ntransformer_tpu.ops.pallas.kv_update import append_rows_stacked
+
+    L, B, Hkv, S, D = 3, 4, 2, 128, 128
+    rng = np.random.default_rng(11)
+    kc = rng.integers(-127, 127, (L, B, Hkv, S, D)).astype(np.int8)
+    ks = (rng.random((L, B, Hkv, S)) + 0.5).astype(np.float32)
+    rows_c = rng.integers(-127, 127, (L, B, Hkv, 1, D)).astype(np.int8)
+    rows_s = (rng.random((L, B, Hkv, 1, 1)) + 0.5).astype(np.float32)
+    pos = np.array([0, 40, 127, 64], np.int32)
+    active = np.array([True, False, True, True])
+    dev = TPU[0]
+    put = lambda a: jax.device_put(jnp.asarray(a), dev)
+    got_c, got_s = append_rows_stacked(
+        (put(kc), put(ks)), (put(rows_c), put(rows_s)),
+        put(pos), put(active), interpret=False)
+    want_c, want_s = kc.copy(), ks.copy()
+    for b in range(B):
+        if active[b]:
+            want_c[:, b, :, pos[b]] = rows_c[:, b, :, 0]
+            want_s[:, b, :, pos[b]] = rows_s[:, b, :, 0, 0]
+    np.testing.assert_array_equal(np.asarray(got_c), want_c)
+    np.testing.assert_array_equal(np.asarray(got_s), want_s)
+
+
+def test_device_unpacker_bit_parity_on_tpu(tmp_path):
+    """The coalesced-H2D unpacker's slice+bitcast must reinterpret bytes
+    little-endian ON THE TPU BACKEND exactly like the host numpy views —
+    byte order is backend-dependent in principle, so the CPU parity test
+    alone does not lock it."""
+    from ntransformer_tpu.core.gguf import GGUFReader
+    from ntransformer_tpu.memory.pack import (PackWriter,
+                                              make_device_unpacker)
+    from tools.make_test_gguf import write_model
+
+    gguf = str(tmp_path / "tiny_q8.gguf")
+    write_model(gguf, "tiny", "q8_0", seed=5)
+    pack = PackWriter(GGUFReader(gguf)).write(str(tmp_path / "t.ntp"))
+    meta = pack.layer_meta(0)
+    blob = pack.read_layer(0)
+    want = pack.layer_weights(0, blob)
+    dev_blob = jax.device_put(jnp.asarray(blob[: meta["size"]]), TPU[0])
+    got = make_device_unpacker(meta)(dev_blob)
+    for name in ("wq", "wo", "w_down"):
+        g, w = getattr(got, name), getattr(want, name)
+        for pn in w.planes:
+            np.testing.assert_array_equal(np.asarray(g.planes[pn]),
+                                          w.planes[pn])
+    np.testing.assert_array_equal(np.asarray(got.attn_norm), want.attn_norm)
