@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves KV "
                         "memory; resident, tiered and serve paths)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="speculative serving: K resident-prefix draft "
+                        "tokens per verify round (greedy --serve/--http; "
+                        "outputs stay bit-identical to spec-off)")
+    p.add_argument("--spec-draft-layers", type=int, default=None,
+                   help="draft depth for --spec-k (default n_layers/2)")
     p.add_argument("--serve", default=None, metavar="PROMPTS_FILE",
                    help="continuous-batching mode: one prompt per line; "
                         "prints completions + aggregate throughput; "
@@ -150,6 +156,13 @@ def main(argv=None) -> int:
                       "single-request engine modes and do not compose "
                       "with it")
             return 2
+        if args.spec_k and (args.tp or args.dp):
+            log.error("--spec-k does not compose with --tp/--dp yet")
+            return 2
+        if args.spec_k and args.temperature > 0:
+            log.error("--spec-k is greedy-only (set --temperature 0); "
+                      "sampled speculation needs rejection sampling")
+            return 2
         mesh = None
         if args.tp or args.dp:
             from .parallel.multihost import make_mesh
@@ -165,6 +178,8 @@ def main(argv=None) -> int:
         srv = BatchServer(model, batch_size=args.batch_size,
                           fuse=not args.no_fuse,
                           prefix_cache=args.prefix_cache,
+                          spec_k=args.spec_k,
+                          spec_draft_layers=args.spec_draft_layers,
                           kv_quant=args.kv_int8, mesh=mesh,
                           sampler_cfg=SamplerConfig(
                               temperature=args.temperature,

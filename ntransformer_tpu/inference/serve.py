@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.batched import BatchedKV, batched_decode_step
+from ..models.batched import (BatchedKV, batched_decode_step,
+                              batched_verify_step)
 from ..models.llama import KVCache, forward
 from ..models.loader import LoadedModel
 from .engine import Engine, _bucket
@@ -95,23 +96,36 @@ class ServeStats:
     requests: int = 0
     tokens: int = 0
     wall_s: float = 0.0
-    steps: int = 0
+    steps: int = 0           # full-model batched dispatches (decode+verify)
     prefill_chunks: int = 0
     prefix_hits: int = 0  # admissions that reused a cached prompt prefix
+    # speculative serving: resident-prefix draft dispatches and the
+    # per-slot drafted/accepted token accounting (engine Stats analogue)
+    draft_steps: int = 0
+    spec_drafted: int = 0
+    spec_accepted: int = 0
     ttft_s: list = field(default_factory=list)  # per-request time-to-first-token
 
     @property
     def tokens_per_s(self) -> float:
         return self.tokens / self.wall_s if self.wall_s else 0.0
 
+    @property
+    def acceptance(self) -> float:
+        return (self.spec_accepted / self.spec_drafted
+                if self.spec_drafted else 0.0)
+
     def report(self) -> str:
         ttft = (f", ttft p50 {np.median(self.ttft_s)*1e3:.0f} ms"
                 if self.ttft_s else "")
         hits = f", {self.prefix_hits} prefix hits" if self.prefix_hits else ""
+        spec = (f", {self.draft_steps} draft steps, "
+                f"{self.acceptance:.0%} accepted"
+                if self.spec_drafted else "")
         return (f"served {self.requests} requests, {self.tokens} tokens in "
                 f"{self.wall_s:.2f}s ({self.tokens_per_s:.2f} tok/s, "
                 f"{self.steps} batched steps, {self.prefill_chunks} prefill "
-                f"chunks{hits}{ttft})")
+                f"chunks{hits}{spec}{ttft})")
 
 
 class _Admission:
@@ -162,8 +176,34 @@ class BatchServer:
     def __init__(self, model: LoadedModel, batch_size: int = 8,
                  sampler_cfg: SamplerConfig | None = None,
                  kv_quant: bool = False, admit_chunk: int | None = None,
-                 mesh=None, fuse: bool = False, prefix_cache: int = 0):
+                 mesh=None, fuse: bool = False, prefix_cache: int = 0,
+                 spec_k: int = 0, spec_draft_layers: int | None = None):
         self._fuse = fuse  # sharded path: interleaved fused QKV/gate-up
+        # spec_k > 0: SELF-SPECULATIVE serving — every loop iteration runs
+        # K lock-step draft steps through the model's resident-prefix
+        # layers (spec_draft_layers, default n_layers/2), then ONE verify
+        # window of [anchor, drafts] per slot; each slot accepts its
+        # longest matching prefix + a correction token (the reference's
+        # anchor re-feed protocol, engine.cpp:150-351, batched). Greedy
+        # output is BIT-IDENTICAL to spec-off serving — the accept rule
+        # preserves argmax regardless of acceptance rate.
+        self.spec_k = spec_k
+        self.spec_draft = (spec_draft_layers if spec_draft_layers is not None
+                           else max(1, model.arch.n_layers // 2))
+        if spec_k:
+            scfg_chk = sampler_cfg or SamplerConfig(temperature=0.0)
+            if not scfg_chk.greedy:
+                raise NotImplementedError(
+                    "speculative serving is greedy-only (spec_k with "
+                    "temperature > 0 needs rejection sampling; set "
+                    "temperature=0.0)")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "speculative serving does not compose with a dp/tp "
+                    "mesh yet — drop --spec-k or the mesh")
+            if not (1 <= self.spec_draft <= model.arch.n_layers):
+                raise ValueError(
+                    f"spec_draft_layers must be in [1, {model.arch.n_layers}]")
         # prefix_cache > 0: keep the last N admitted prompts' prefill KV
         # alive; a new request whose prompt shares a prefix with one
         # prefills only the DELTA (shared system prompts prefill once).
@@ -193,6 +233,10 @@ class BatchServer:
         else:
             self.weights = model.weights
             self._step = lambda w, bkv, t, p, a: batched_decode_step(
+                self.arch, w, bkv, t, p, a)
+            self._draft = lambda w, bkv, t, p, a: batched_decode_step(
+                self.arch, w, bkv, t, p, a, n_layers=self.spec_draft)
+            self._verify = lambda w, bkv, t, p, a: batched_verify_step(
                 self.arch, w, bkv, t, p, a)
             self._insert = lambda bkv, kv, slot: bkv.insert(slot, kv)
             self._vec = jnp.asarray
@@ -360,6 +404,12 @@ class BatchServer:
         act = self._vec(np.zeros(self.B, bool))
         logits, bkv = self._step(self.weights, bkv, toks, pos, act)
         self._fetch(jnp.argmax(logits, axis=-1))
+        if self.spec_k:
+            dl, bkv = self._draft(self.weights, bkv, toks, pos, act)
+            self._fetch(jnp.argmax(dl, axis=-1))
+            vt = self._vec(np.zeros((self.B, self.spec_k + 1), np.int32))
+            vl, bkv = self._verify(self.weights, bkv, vt, pos, act)
+            self._fetch(jnp.argmax(vl, axis=-1))
         kv = self._make_kv()
         S, chunk = arch.max_seq_len, self.admit_chunk
         if buckets is None:
@@ -601,26 +651,42 @@ class BatchServer:
             slot_req[slot] = None
             active[slot] = False
 
-        while any(active) or pending is not None or not drained():
-            # 1) one lock-step decode step for the active batch
-            if any(active):
-                logits, bkv = self._step(
-                    self.weights, bkv,
-                    self._vec(tokens), self._vec(pos), self._vec(active))
-                stats.steps += 1
-                if self.scfg.greedy:
-                    toks_np = self._fetch(jnp.argmax(logits, axis=-1))
-                else:
-                    toks_np = bsampler.sample(logits)  # one jit, one D2H
-                for b in range(B):
-                    if not active[b]:
-                        continue
-                    r = slot_req[b]
-                    if r.cancelled:
-                        # client went away: free the slot now, don't emit
-                        retire(b)
-                        continue
-                    nxt = int(toks_np[b])
+        def spec_round():
+            """K lock-step drafts through the resident prefix + one verify
+            window; each slot accepts its longest matching prefix and a
+            correction token — 1..K+1 tokens per slot per round, greedy
+            output bit-identical to the plain step."""
+            nonlocal bkv
+            K = self.spec_k
+            drafts = np.zeros((B, K), np.int32)
+            dtok = tokens.copy()
+            act = self._vec(active)
+            for j in range(K):
+                dl, bkv = self._draft(self.weights, bkv, self._vec(dtok),
+                                      self._vec(pos + j), act)
+                dtok = self._fetch(jnp.argmax(dl, axis=-1)).astype(np.int32)
+                drafts[:, j] = dtok
+            stats.draft_steps += K
+            vt = np.concatenate([tokens[:, None], drafts], axis=1)
+            vlogits, bkv = self._verify(self.weights, bkv, self._vec(vt),
+                                        self._vec(pos), act)
+            stats.steps += 1
+            targets = self._fetch(jnp.argmax(vlogits, axis=-1))  # [B, K+1]
+            for b in range(B):
+                if not active[b]:
+                    continue
+                r = slot_req[b]
+                if r.cancelled:
+                    retire(b)
+                    continue
+                n_acc = 0
+                while n_acc < K and targets[b, n_acc] == drafts[b, n_acc]:
+                    n_acc += 1
+                stats.spec_drafted += K
+                stats.spec_accepted += n_acc
+                emitted = list(drafts[b, :n_acc]) + [targets[b, n_acc]]
+                for t in emitted:
+                    nxt = int(t)
                     emit(r, nxt)
                     pos[b] += 1
                     tokens[b] = nxt
@@ -628,6 +694,43 @@ class BatchServer:
                     if (nxt in stop or len(r.output_ids) >= r.max_tokens
                             or seq_len >= self.arch.max_seq_len):
                         retire(b)
+                        break
+
+        while any(active) or pending is not None or not drained():
+            # 1) one lock-step decode step for the active batch
+            if any(active):
+                # spec needs room for the whole verify window in every
+                # active slot's cache; near the end, fall back to plain
+                # decode steps for the remaining tokens
+                if self.spec_k and all(
+                        pos[b] + self.spec_k + 1 < self.arch.max_seq_len
+                        for b in range(B) if active[b]):
+                    spec_round()
+                else:
+                    logits, bkv = self._step(
+                        self.weights, bkv,
+                        self._vec(tokens), self._vec(pos), self._vec(active))
+                    stats.steps += 1
+                    if self.scfg.greedy:
+                        toks_np = self._fetch(jnp.argmax(logits, axis=-1))
+                    else:
+                        toks_np = bsampler.sample(logits)  # 1 jit, 1 D2H
+                    for b in range(B):
+                        if not active[b]:
+                            continue
+                        r = slot_req[b]
+                        if r.cancelled:
+                            # client went away: free the slot, don't emit
+                            retire(b)
+                            continue
+                        nxt = int(toks_np[b])
+                        emit(r, nxt)
+                        pos[b] += 1
+                        tokens[b] = nxt
+                        seq_len = pos[b] + 1
+                        if (nxt in stop or len(r.output_ids) >= r.max_tokens
+                                or seq_len >= self.arch.max_seq_len):
+                            retire(b)
 
             # 2) advance admission by AT MOST one prefill chunk (decode
             #    stalls ≤ 1 chunk per step, never a whole prompt)

@@ -114,9 +114,11 @@ class BatchedKV:
 
 def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
     """Shared front half of a batched layer: norm + (fused) QKV matmuls +
-    rope. Returns (h_norm, q [B,1,Hq,D], k_t [B,Hkv,1,D] f32,
-    v_t [B,Hkv,1,D] f32)."""
+    rope. x [B, H] (decode) or [B, T, H] (a speculative verify window).
+    Returns (q [B,T,Hq,D], k_t [B,Hkv,T,D] f32, v_t [B,Hkv,T,D] f32),
+    T=1 for decode; cos_t/sin_t [B, T(, 2 for gemma3's dual tables), d2]."""
     B = x.shape[0]
+    T = 1 if x.ndim == 2 else x.shape[1]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
 
     def norm_w(w):
@@ -126,23 +128,24 @@ def _qkv_rows(arch: Arch, x, lw: LayerWeights, cos_t, sin_t, layer):
         return w if arch.norm_bias == 0.0 else w + arch.norm_bias
 
     h = rms_norm(x, norm_w(lw.attn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    h = h.reshape(B * T, -1)  # matmuls see plain [rows, K]
     if lw.wqkv is not None:
         # fused QKV: one kernel call, slice the concatenated lanes
         qkv = qmatmul(h, lw.wqkv, layer=layer)
         nq, nkv = Hq * D, Hkv * D
-        q = qkv[:, :nq].reshape(B, 1, Hq, D)
-        k = qkv[:, nq: nq + nkv].reshape(B, 1, Hkv, D)
-        v = qkv[:, nq + nkv:].reshape(B, 1, Hkv, D)
+        q = qkv[:, :nq].reshape(B, T, Hq, D)
+        k = qkv[:, nq: nq + nkv].reshape(B, T, Hkv, D)
+        v = qkv[:, nq + nkv:].reshape(B, T, Hkv, D)
     elif lw.wqk is not None:
         qk = qmatmul(h, lw.wqk, layer=layer)
         nq = Hq * D
-        q = qk[:, :nq].reshape(B, 1, Hq, D)
-        k = qk[:, nq:].reshape(B, 1, Hkv, D)
-        v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
+        q = qk[:, :nq].reshape(B, T, Hq, D)
+        k = qk[:, nq:].reshape(B, T, Hkv, D)
+        v = qmatmul(h, lw.wv, layer=layer).reshape(B, T, Hkv, D)
     else:
-        q = qmatmul(h, lw.wq, layer=layer).reshape(B, 1, Hq, D)
-        k = qmatmul(h, lw.wk, layer=layer).reshape(B, 1, Hkv, D)
-        v = qmatmul(h, lw.wv, layer=layer).reshape(B, 1, Hkv, D)
+        q = qmatmul(h, lw.wq, layer=layer).reshape(B, T, Hq, D)
+        k = qmatmul(h, lw.wk, layer=layer).reshape(B, T, Hkv, D)
+        v = qmatmul(h, lw.wv, layer=layer).reshape(B, T, Hkv, D)
     def sel(w):  # layer-select WITHOUT the norm family offset
         if layer is None:
             return w
@@ -184,15 +187,17 @@ def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
         # gemma scales by (1 + w); static branch, llama graphs unchanged
         return w if arch.norm_bias == 0.0 else w + arch.norm_bias
 
-    o = qmatmul(att.reshape(B, Hq * D).astype(jnp.bfloat16), lw.wo,
+    o = qmatmul(att.reshape(-1, Hq * D).astype(jnp.bfloat16), lw.wo,
                 layer=layer)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
+    o = o.reshape(x.shape)  # [B, H] decode / [B, T, H] verify window
     if arch.post_norms:
         # gemma2/3: normalize the block output before its residual add
         o = rms_norm(o, norm_w(lw.attn_post_norm), arch.norm_eps)
     x = x + o
     hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    hf = hf.reshape(-1, hf.shape[-1])  # [B(*T), H] rows for the matmuls
     if arch.n_experts:
         # routed FFN: [B, H] plays [T, H]'s role — moe_ffn's dense
         # expert loop weights each sequence's row by its own routing
@@ -213,6 +218,7 @@ def _ffn_tail(arch: Arch, x, att, lw: LayerWeights, layer,
                      layer=layer)
         if tp_axis is not None:
             dn = jax.lax.psum(dn, tp_axis)
+    dn = dn.reshape(x.shape)
     if arch.post_norms:
         dn = rms_norm(dn, norm_w(lw.ffn_post_norm), arch.norm_eps)
     return x + dn
@@ -318,7 +324,7 @@ def _insert(bkv: "BatchedKV", kv: KVCache, slot):
                      bkv.v.at[:, slot].set(kv.v))
 
 
-def _resolve_impl(impl: str | None, kv_append: str | None):
+def _resolve_impl(impl: str | None, kv_append: str | None, batch: int = 0):
     """Resolve the implementation switches from the environment OUTSIDE
     any traced code. They become STATIC jit arguments — reading env vars
     inside the traced body latches the first-traced choice for the whole
@@ -328,7 +334,12 @@ def _resolve_impl(impl: str | None, kv_append: str | None):
     if impl is None:
         impl = "kernel" if _batched_kernels_on() else "jnp"
     if kv_append is None:
-        kv_append = os.environ.get("NT_KV_APPEND", "kernel")
+        # B=1 default is the scalar-indexed DUS (a single in-place row
+        # write per cache — the r3 switch A/B measured it ahead on every
+        # dtype at B=1); the Pallas tile merge wins at serving batch
+        # sizes (3x at B=32) and stays the B>1 default.
+        kv_append = os.environ.get("NT_KV_APPEND",
+                                   "dus" if batch == 1 else "kernel")
     assert impl in ("kernel", "jnp") and kv_append in ("kernel", "dus")
     return impl, kv_append
 
@@ -337,18 +348,23 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
                         active: jnp.ndarray, tp_axis: str | None = None,
                         impl: str | None = None,
-                        kv_append: str | None = None):
+                        kv_append: str | None = None,
+                        n_layers: int | None = None):
     """One decode step for B sequences.
 
     tokens [B] int32; pos [B] int32 (per-sequence write offset);
     active [B] bool (inactive slots compute but neither write KV nor
     advance). impl: "kernel" (deferred-write Pallas path) | "jnp" |
     None (NT_BATCHED_FLASH / backend default); kv_append: "kernel" |
-    "dus" | None (NT_KV_APPEND). Returns (logits [B, V] f32, BatchedKV).
+    "dus" | None (NT_KV_APPEND; default dus at B=1, kernel at B>1).
+    n_layers: run only the first n layers (the speculative DRAFT through
+    the resident prefix — reference engine.cpp:357-545's tier-A draft);
+    KV rows are written for those layers only. Returns (logits [B, V]
+    f32, BatchedKV).
     """
-    impl, kv_append = _resolve_impl(impl, kv_append)
+    impl, kv_append = _resolve_impl(impl, kv_append, tokens.shape[0])
     return _batched_decode_step(arch, weights, kv, tokens, pos, active,
-                                tp_axis, impl, kv_append)
+                                tp_axis, impl, kv_append, n_layers)
 
 
 def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
@@ -358,25 +374,27 @@ def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     """Un-jitted step body for callers that trace it inside their own
     transform (shard_map in parallel/dp.py). Env switches resolve at the
     caller's trace time."""
-    impl, kv_append = _resolve_impl(impl, kv_append)
+    impl, kv_append = _resolve_impl(impl, kv_append, tokens.shape[0])
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
                       impl, kv_append)
 
 
-@partial(jax.jit, static_argnames=("arch", "tp_axis", "impl", "kv_append"),
+@partial(jax.jit, static_argnames=("arch", "tp_axis", "impl", "kv_append",
+                                   "n_layers"),
          donate_argnames=("kv",))
 def _batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                          tokens: jnp.ndarray, pos: jnp.ndarray,
                          active: jnp.ndarray, tp_axis: str | None,
-                         impl: str, kv_append: str):
+                         impl: str, kv_append: str,
+                         n_layers: int | None = None):
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
-                      impl, kv_append)
+                      impl, kv_append, n_layers)
 
 
 def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                tokens: jnp.ndarray, pos: jnp.ndarray,
                active: jnp.ndarray, tp_axis: str | None,
-               impl: str, kv_append: str):
+               impl: str, kv_append: str, n_layers: int | None = None):
     B = tokens.shape[0]
     x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
                      tp_axis=tp_axis)              # [B, H]
@@ -401,7 +419,8 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
             return c, s
         cos_t, sin_t = jax.vmap(rope_rows)(pos)  # [B, 1, d2]
 
-    indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
+    n_sel = n_layers if n_layers is not None else arch.n_layers
+    indices = jnp.arange(n_sel, dtype=jnp.int32)
     deferred = impl == "kernel"
     if deferred:
         from ..ops.pallas.kv_update import (append_rows_stacked,
@@ -410,7 +429,9 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         caches = ((kv.k, kv.ks, kv.v, kv.vs) if kv.quantized
                   else (kv.k, kv.v))
         deferred = supports(caches)
-        if kv_append == "dus":
+        if kv_append == "dus" or n_sel < arch.n_layers:
+            # a layer-prefix step (speculative draft) writes only its own
+            # layers' rows — the DUS variant handles partial-L natively
             # experiment switch: XLA scalar-indexed DUS instead of the
             # Pallas tile merge (A/B for the append-cost bisect)
             def append_rows_stacked(cs, rs, p, a):  # noqa: F811
@@ -440,10 +461,23 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                                             layer=li, tp_axis=tp_axis)
             return x, (kk, vv)
 
-        kv_k = (kv.k, kv.ks) if kv.quantized else kv.k
-        kv_v = (kv.v, kv.vs) if kv.quantized else kv.v
+        take = lambda a: a[:n_sel] if n_sel < arch.n_layers else a
+        kv_k = ((take(kv.k), take(kv.ks)) if kv.quantized
+                else take(kv.k))
+        kv_v = ((take(kv.v), take(kv.vs)) if kv.quantized
+                else take(kv.v))
         x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
-        if kv.quantized:
+        if n_sel < arch.n_layers:
+            # layer-prefix step (speculative draft): splice the written
+            # prefix back over the untouched suffix
+            cat = lambda n, c: jnp.concatenate([n, c[n_sel:]], axis=0)
+            if kv.quantized:
+                new_bkv = BatchedKV(cat(new_k[0], kv.k), cat(new_v[0], kv.v),
+                                    cat(new_k[1], kv.ks),
+                                    cat(new_v[1], kv.vs))
+            else:
+                new_bkv = BatchedKV(cat(new_k, kv.k), cat(new_v, kv.v))
+        elif kv.quantized:
             new_bkv = BatchedKV(new_k[0], new_v[0], new_k[1], new_v[1])
         else:
             new_bkv = BatchedKV(new_k, new_v)
@@ -465,3 +499,119 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     if arch.final_softcap:
         logits = arch.final_softcap * jnp.tanh(logits / arch.final_softcap)
     return logits, new_bkv
+
+
+# --- speculative verify window ----------------------------------------------
+
+def _verify_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
+                       active, cos_t, sin_t, layer,
+                       tp_axis: str | None = None):
+    """One layer of the speculative VERIFY window: write T new rows per
+    sequence at [pos, pos+T), then attend the full cache (write-then-
+    attend, matching the jnp decode path's semantics). x [B, T, H];
+    kv [B, Hkv, S, Dc] (or (codes, S-minor scales)); pos/active [B]."""
+    B, T, _ = x.shape
+    Hkv, D = arch.n_kv_heads, arch.head_dim
+    q, k_t, v_t = _qkv_rows(arch, x, lw, cos_t, sin_t, layer)
+
+    def write(cache, new, p, act):
+        # cache [Hkv, S, Dc]; new [Hkv, T, Dc]; frozen when inactive
+        dc = cache.shape[-1]
+        cur = jax.lax.dynamic_slice(cache, (0, p, 0), (Hkv, T, dc))
+        return jax.lax.dynamic_update_slice(
+            cache, jnp.where(act, new.astype(cache.dtype), cur), (0, p, 0))
+
+    def write_sc(cache, new, p, act):
+        # S-minor scale cache [Hkv, S]; new [Hkv, T]
+        cur = jax.lax.dynamic_slice(cache, (0, p), (Hkv, T))
+        return jax.lax.dynamic_update_slice(
+            cache, jnp.where(act, new, cur), (0, p))
+
+    if isinstance(kv_k, tuple):
+        kc, ksc = kv_k
+        vc, vsc = kv_v
+        kq, ks_new, vq, vs_new = _quantize_rows(k_t, v_t)
+        kc = jax.vmap(write)(kc, kq, pos, active)
+        ksc = jax.vmap(write_sc)(ksc, ks_new.reshape(B, Hkv, T), pos, active)
+        vc = jax.vmap(write)(vc, vq, pos, active)
+        vsc = jax.vmap(write_sc)(vsc, vs_new.reshape(B, Hkv, T), pos, active)
+        kv_k, kv_v = (kc, ksc), (vc, vsc)
+        kf = kc.astype(jnp.bfloat16) * ksc[..., None].astype(jnp.bfloat16)
+        vf = vc.astype(jnp.bfloat16) * vsc[..., None].astype(jnp.bfloat16)
+    else:
+        kv_k = jax.vmap(write)(kv_k, k_t, pos, active)
+        kv_v = jax.vmap(write)(kv_v, v_t, pos, active)
+        kf, vf = kv_k, kv_v
+
+    window, _ = layer_window(arch, layer)
+    q_scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
+    att = jax.vmap(attention_jnp, (0, 0, 0, 0, None, None, None, None))(
+        q, kf, vf, pos, T, q_scale, window, arch.attn_softcap)  # [B, T, Hq, D]
+    x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
+    return x, kv_k, kv_v
+
+
+@partial(jax.jit, static_argnames=("arch", "tp_axis"),
+         donate_argnames=("kv",))
+def batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
+                        tokens: jnp.ndarray, pos: jnp.ndarray,
+                        active: jnp.ndarray, tp_axis: str | None = None):
+    """Speculative VERIFY over the whole batch: tokens [B, T] =
+    [anchor, draft_0..draft_{T-2}] per sequence, written/attended at
+    positions [pos, pos+T). Returns (logits [B, T, V] f32, BatchedKV).
+
+    The anchor re-feed protocol (reference engine.cpp:150-351): rows past
+    each sequence's accepted prefix are dead, never attended (attention
+    masks by pos) and overwritten by subsequent steps — no KV rollback.
+    """
+    B, T = tokens.shape
+    x = embed_lookup(weights.embed, tokens.reshape(-1),
+                     out_dtype=jnp.float32, tp_axis=tp_axis)
+    x = x.reshape(B, T, -1)
+    if arch.embed_scale != 1.0:
+        x = x * arch.embed_scale
+    d2 = arch.head_dim // 2
+
+    if weights.rope_cos.ndim == 3:
+        def rope_rows(p):
+            c = jax.lax.dynamic_slice(weights.rope_cos, (0, p, 0),
+                                      (2, T, d2))
+            s = jax.lax.dynamic_slice(weights.rope_sin, (0, p, 0),
+                                      (2, T, d2))
+            return c, s
+        cos_t, sin_t = jax.vmap(rope_rows)(pos)  # [B, 2, T, d2]
+    else:
+        def rope_rows(p):
+            c = jax.lax.dynamic_slice(weights.rope_cos, (p, 0), (T, d2))
+            s = jax.lax.dynamic_slice(weights.rope_sin, (p, 0), (T, d2))
+            return c, s
+        cos_t, sin_t = jax.vmap(rope_rows)(pos)  # [B, T, d2]
+
+    indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
+
+    def body(carry, inp):
+        x = carry
+        li, kk, vv = inp
+        x, kk, vv = _verify_layer_step(arch, x, weights.layers, kk, vv,
+                                       pos, active, cos_t, sin_t,
+                                       layer=li, tp_axis=tp_axis)
+        return x, (kk, vv)
+
+    kv_k = (kv.k, kv.ks) if kv.quantized else kv.k
+    kv_v = (kv.v, kv.vs) if kv.quantized else kv.v
+    x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
+    if kv.quantized:
+        new_bkv = BatchedKV(new_k[0], new_v[0], new_k[1], new_v[1])
+    else:
+        new_bkv = BatchedKV(new_k, new_v)
+
+    x = rms_norm(x, weights.output_norm + arch.norm_bias
+                 if arch.norm_bias != 0.0 else weights.output_norm,
+                 arch.norm_eps)
+    logits = qmatmul(x.reshape(B * T, -1).astype(jnp.bfloat16),
+                     weights.lm_head)
+    if logits.shape[-1] > arch.vocab_size:
+        logits = logits[:, : arch.vocab_size]  # lane-padded LM head
+    if arch.final_softcap:
+        logits = arch.final_softcap * jnp.tanh(logits / arch.final_softcap)
+    return logits.reshape(B, T, -1), new_bkv

@@ -1,5 +1,6 @@
 """Batched decode + continuous batching server: results must be identical
 to independent single-sequence decoding (greedy)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -315,3 +316,97 @@ def test_prefix_cache_lru_eviction(model):
     assert list(srv._pcache[0][0]) == list(range(100, 130))
     srv.run([mk(range(100, 130))])             # identical: replace, not grow
     assert len(srv._pcache) == 1
+
+
+# --- speculative serving ------------------------------------------------------
+
+def test_verify_step_matches_sequential_decode(model):
+    """batched_verify_step over a T-token window produces the same logits
+    as T sequential batched decode steps (write-then-attend semantics)."""
+    from ntransformer_tpu.models.batched import batched_verify_step
+    arch, w = model.arch, model.weights
+    B, T = 2, 3
+    prompts = [[1, 5, 9], [7, 2]]
+    bkv = BatchedKV.create(arch, B)
+    for b, ids in enumerate(prompts):
+        kv = KVCache.create(arch)
+        _, kv, _ = forward(arch, w, kv, jnp.asarray(ids, jnp.int32), 0)
+        bkv = bkv.insert(b, kv)
+    pos = np.array([len(p) for p in prompts], np.int32)
+    active = np.ones(B, bool)
+    window = np.array([[4, 8, 15], [16, 23, 42]], np.int32)
+
+    # sequential: T decode steps, collect logits
+    seq_logits = []
+    sb = jax.tree.map(lambda a: a.copy(), bkv)
+    for j in range(T):
+        lg, sb = batched_decode_step(
+            arch, w, sb, jnp.asarray(window[:, j]),
+            jnp.asarray(pos + j), jnp.asarray(active))
+        seq_logits.append(np.asarray(lg))
+
+    vlg, vb = batched_verify_step(arch, w, bkv, jnp.asarray(window),
+                                  jnp.asarray(pos), jnp.asarray(active))
+    vlg = np.asarray(vlg)
+    for j in range(T):
+        np.testing.assert_allclose(vlg[:, j], seq_logits[j],
+                                   rtol=2e-4, atol=2e-4)
+    # caches end identical too
+    np.testing.assert_allclose(np.asarray(vb.k), np.asarray(sb.k),
+                               rtol=2e-2, atol=2e-2)
+
+
+def _serve_outputs(model, prompts, **kw):
+    srv = BatchServer(model, batch_size=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0), **kw)
+    reqs = [Request(prompt=p, max_tokens=8) for p in prompts]
+    stats = srv.run(reqs)
+    return [list(r.output_ids) for r in reqs], stats
+
+
+def test_spec_serve_matches_plain_greedy(model):
+    """Speculative serving (resident-prefix draft + batched verify) emits
+    BIT-IDENTICAL greedy outputs to the plain server — the accept rule
+    preserves argmax regardless of acceptance rate."""
+    prompts = ["alpha beta", "gamma", "delta epsilon zeta", "eta"]
+    want, base_stats = _serve_outputs(model, prompts)
+    got, stats = _serve_outputs(model, prompts, spec_k=2,
+                                spec_draft_layers=2)
+    assert got == want
+    assert stats.spec_drafted > 0
+    assert stats.draft_steps > 0
+
+
+def test_spec_serve_full_draft_accepts_everything(model):
+    """With draft == full model every draft token verifies: acceptance is
+    100% and full-model steps per token drop by ~(K+1)x vs plain."""
+    prompts = ["alpha beta", "gamma", "delta epsilon zeta", "eta"]
+    L = model.arch.n_layers
+    want, base = _serve_outputs(model, prompts)
+    got, stats = _serve_outputs(model, prompts, spec_k=2,
+                                spec_draft_layers=L)
+    assert got == want
+    assert stats.spec_accepted == stats.spec_drafted > 0
+    assert stats.steps < base.steps  # fewer full-model dispatches
+    assert stats.steps * 3 <= base.steps + 3 * len(prompts)
+
+
+def test_spec_serve_int8_kv(model):
+    """Speculation composes with the int8 KV cache (quantized verify
+    window writes) and still matches the int8 plain server."""
+    prompts = ["alpha beta", "gamma"]
+    want, _ = _serve_outputs(model, prompts, kv_quant=True)
+    got, stats = _serve_outputs(model, prompts, kv_quant=True, spec_k=2,
+                                spec_draft_layers=2)
+    assert got == want
+    assert stats.spec_drafted > 0
+
+
+def test_spec_serve_refusals(model):
+    """Unsupported spec combinations refuse loudly at construction."""
+    with pytest.raises(NotImplementedError, match="greedy-only"):
+        BatchServer(model, spec_k=2,
+                    sampler_cfg=SamplerConfig(temperature=0.8))
+    with pytest.raises(ValueError, match="spec_draft_layers"):
+        BatchServer(model, spec_k=2, spec_draft_layers=0,
+                    sampler_cfg=SamplerConfig(temperature=0.0))
