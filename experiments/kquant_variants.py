@@ -173,6 +173,41 @@ def q4k_v4(vals, tkh, tn):
     return jnp.dot(xc, wc, preferred_element_type=F32) - corr
 
 
+def q4k_v7(vals, tkh, tn):
+    """Group-partial dots (r4): the per-element SCALE MULTIPLY leaves the
+    VPU. x expands into a 0/1-masked [g, tkh] matrix (g*tkh elements —
+    32x fewer than the [tkh, tn] weight tile), one MXU dot per nibble
+    half yields per-group partials P [g, tn], and the scales multiply P
+    (again g*tn elements, 32x fewer). Per-element VPU work drops to
+    widen+and+convert; the MXU does g x more MACs — idle capacity at
+    T=1. Numerically TIGHTER than the scale-on-weights form: x*q
+    products are exact in f32 (4-bit codes are exact bf16), and the f32
+    scale applies after accumulation instead of rounding q*s to bf16."""
+    x_lo, x_hi, qs, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = vals
+    g = tkh // 32
+    df = _rep(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
+    dm = _rep(f16_bits_to_f32(dmin), g // (tkh // 128), g, tn)
+    s_lo = df * sc_lo.astype(jnp.int32).astype(F32)
+    s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
+    m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
+    m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
+    q = qs.astype(jnp.int32)
+    lo = (q & 0x0F).astype(F32)                    # [tkh, tn]
+    hi = (q & 0xF0).astype(F32)
+    xlf = x_lo.astype(F32)                         # [1, tkh]
+    xhf = x_hi.astype(F32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, tkh), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, tkh), 1) // 32
+    mask = (rows == cols).astype(F32)              # [g, tkh]
+    p_lo = jnp.dot(mask * xlf, lo, preferred_element_type=F32)  # [g, tn]
+    p_hi = jnp.dot(mask * xhf, hi, preferred_element_type=F32)
+    acc = s_lo * p_lo + s_hi * p_hi
+    y = jnp.sum(acc, axis=0, keepdims=True)        # sublane reduce [1, tn]
+    corr = (jnp.dot(_group_sums(xlf, g), m_lo, preferred_element_type=F32)
+            + jnp.dot(_group_sums(xhf, g), m_hi, preferred_element_type=F32))
+    return y - corr
+
+
 def q4k_v5(vals, tkh, tn):
     """Ceiling probe: scales/mins arrive as READY f32 [K/64, N] planes."""
     x_lo, x_hi, qs, s_lo_p, s_hi_p, m_lo_p, m_hi_p = vals
@@ -243,6 +278,40 @@ def q6k_v3(vals, tkh, tn):
                    + jnp.dot(_group_sums(xhf, g), s_hi, preferred_element_type=F32))
     return (jnp.dot(xlf, w_lo, preferred_element_type=F32)
             + jnp.dot(xhf, w_hi, preferred_element_type=F32) - corr)
+
+
+def q6k_v7(vals, tkh, tn):
+    """Group-partial dots for Q6_K (see q4k_v7): scales (16-elem groups,
+    g = tkh/16) multiply [g, tn] partials instead of [tkh, tn] weights."""
+    x_lo, x_hi, ql, qh, sc_lo, sc_hi, d = vals
+    nh = tkh // 64
+    qh3 = qh.reshape(nh, 32, tn).astype(jnp.int32)
+    hb_lo = jnp.concatenate([(qh3 & 0x03) << 4, (qh3 & 0x0C) << 2],
+                            axis=1).reshape(tkh, tn)
+    hb_hi16 = jnp.concatenate([(qh3 & 0x30) << 4, (qh3 & 0xC0) << 2],
+                              axis=1).reshape(tkh, tn)
+    qli = ql.astype(jnp.int32)
+    lo = ((qli & 0x0F) | hb_lo).astype(F32)
+    hi16 = ((qli & 0xF0) | hb_hi16).astype(F32)
+    g = tkh // 16
+    df = _rep(f16_bits_to_f32(d), g // (tkh // 128), g, tn)
+    s_lo = df * sc_lo.astype(jnp.int32).astype(F32)
+    s_hi = df * sc_hi.astype(jnp.int32).astype(F32)
+    s_hi16 = s_hi * (1.0 / 16.0)
+    xlf = x_lo.astype(F32)
+    xhf = x_hi.astype(F32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, tkh), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, tkh), 1) // 16
+    mask = (rows == cols).astype(F32)
+    p_lo = jnp.dot(mask * xlf, lo, preferred_element_type=F32)
+    p_hi = jnp.dot(mask * xhf, hi16, preferred_element_type=F32)
+    acc = s_lo * p_lo + s_hi16 * p_hi
+    y = jnp.sum(acc, axis=0, keepdims=True)
+    corr = 32.0 * (jnp.dot(_group_sums(xlf, g), s_lo,
+                           preferred_element_type=F32)
+                   + jnp.dot(_group_sums(xhf, g), s_hi,
+                             preferred_element_type=F32))
+    return y - corr
 
 
 def q6k_w6(vals, tkh, tn):
@@ -394,7 +463,8 @@ def main():
                        ("q4k v1 foldshift", q4k_v1),
                        ("q4k v2 3d-bcast", q4k_v2),
                        ("q4k v3 v1+v2", q4k_v3),
-                       ("q4k v4 v3+concat-dot", q4k_v4)]:
+                       ("q4k v4 v3+concat-dot", q4k_v4),
+                       ("q4k v7 group-dot", q4k_v7)]:
             for tk in (4096, 2048):
                 run_variant(nm, fn, [xl, xh], base_planes, divs, tk,
                             golden=golden_full)
@@ -428,6 +498,8 @@ def main():
             run_variant("q6k v0 current", q6k_v0, [xl, xh], base_planes,
                         divs, tk, golden=golden_full)
             run_variant("q6k v3 u8&+3d", q6k_v3, [xl, xh], base_planes,
+                        divs, tk, golden=golden_full)
+            run_variant("q6k v7 group-dot", q6k_v7, [xl, xh], base_planes,
                         divs, tk, golden=golden_full)
         # w6 widened: int8 [K, N] + ready f32 scales, built ON DEVICE from
         # the same planes (original element order)

@@ -44,6 +44,19 @@ DOT_PRECISION = (jax.lax.Precision.HIGHEST
                  if _os.environ.get("NT_DOT_PRECISION", "").lower() == "highest"
                  else jax.lax.Precision.DEFAULT)
 
+# K-quant decode tiles: move the per-element scale multiply off the VPU
+# via group-partial MXU dots (see _q4_k_tile). MEASURED AND DEFAULT-OFF
+# (r4): the isolated kernel wins +13% (58.3 vs 66.1 us on the gate/up
+# shape — the VPU saving is real), but the IN-MODEL A/B loses 2-3%
+# consistently (Q4_K_M 81.4/82.8 vs 85.0/84.3 tok/s, two interleaved
+# pairs): inside the layer scan the added MXU dots contend with the
+# NEIGHBORING kernels' dots, which an isolated loop never sees — the
+# same transfer failure as the r2 tile sweep. Kept as an opt-in
+# (NT_KQ_GROUP_DOT=1) because it documents where the exact-dequant
+# ceiling lives: per-element VPU work cannot move to the MXU for free
+# when the MXU is already pipelined across kernels.
+GROUP_DOT = _os.environ.get("NT_KQ_GROUP_DOT", "0") == "1"
+
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=F32,
@@ -106,16 +119,32 @@ def _group_sums(xf, groups: int):
     return _dot(xf, gmat)
 
 
+def _group_partial_dot(xf, codes, groups: int, grp: int):
+    """Per-group partial products P[g, n] = Σ_{k∈g} x_k·codes_{k,n} via ONE
+    MXU dot: x expands into a 0/1-masked [g, kh] matrix (g·kh elements —
+    `grp`x fewer than the [kh, tn] codes tile). The MXU does g·kh·tn MACs
+    instead of kh·tn — idle capacity at T=1 decode."""
+    t, kh = xf.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (groups, kh), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (groups, kh), 1) // grp
+    mask = (rows == cols).astype(F32)
+    return _dot(mask * xf, codes)
+
+
 def _q4_k_tile(vals, tkh, tn):
     """Affine superblock dequant, restructured VPU-light:
-    y = Σ x·q·s  −  Σ_g (Σ_{k∈g} x_k)·m_g   — per-element work is just
-    and + convert + one multiply by a group-broadcast scale; the affine
-    mins leave as a tiny [T, G]×[G, N] correction dot on the MXU.
+    y = Σ x·q·s  −  Σ_g (Σ_{k∈g} x_k)·m_g.
 
     The hi nibble is NOT shifted down: (q & 0xF0) = 16·hi, and the /16 is
-    folded into s_hi (exact — powers of two in f32). Measured +18% kernel
-    bandwidth vs the shift variant (experiments/kquant_variants.py v1:
-    480 → 565 GB/s)."""
+    folded into s_hi (exact — powers of two in f32; measured +18% kernel
+    bandwidth, experiments/kquant_variants.py v1). At T=1 (decode) the
+    per-element SCALE MULTIPLY also leaves the VPU: one masked MXU dot
+    yields per-group partials P [g, tn] and the scales multiply P — per-
+    element work drops to widen+and+convert (r4 shootout v7: 66.1 → 58.3
+    us on the 4096x14336 shape, +13%). Numerically TIGHTER than scaling
+    the weights (integer codes are exact bf16 dot operands; the f32 scale
+    applies after accumulation instead of rounding q·s to bf16).
+    NT_KQ_GROUP_DOT=0 forces the scale-on-weights form everywhere."""
     x_lo, x_hi, qs, sc_lo, sc_hi, mn_lo, mn_hi, d, dmin = vals
     q = qs.astype(jnp.int32)
     g = tkh // 32  # scale/min groups per half-tile (32 elements each)
@@ -125,12 +154,17 @@ def _q4_k_tile(vals, tkh, tn):
     s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
     m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
     m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
-    w_lo = (q & 0x0F).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
-    w_hi = (q & 0xF0).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
     corr = (_dot(_group_sums(xlf, g), m_lo)
             + _dot(_group_sums(xhf, g), m_hi))
+    if x_lo.shape[0] == 1 and GROUP_DOT:
+        p_lo = _group_partial_dot(xlf, (q & 0x0F).astype(F32), g, 32)
+        p_hi = _group_partial_dot(xhf, (q & 0xF0).astype(F32), g, 32)
+        acc = s_lo * p_lo + s_hi * p_hi                      # [g, tn]
+        return jnp.sum(acc, axis=0, keepdims=True) - corr
+    w_lo = (q & 0x0F).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
+    w_hi = (q & 0xF0).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     return (_dot(xlf, w_lo)
             + _dot(xhf, w_hi) - corr)
 
@@ -155,12 +189,21 @@ def _q5_k_tile(vals, tkh, tn):
     s_hi = (df * sc_hi.astype(jnp.int32).astype(F32)) * (1.0 / 16.0)
     m_lo = dm * mn_lo.astype(jnp.int32).astype(F32)
     m_hi = dm * mn_hi.astype(jnp.int32).astype(F32)
-    w_lo = ((q & 0x0F) + (hb_lo << 4)).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
-    w_hi = ((q & 0xF0) + (hb_hi << 8)).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     xlf = x_lo.astype(F32)
     xhf = x_hi.astype(F32)
     corr = (_dot(_group_sums(xlf, g), m_lo)
             + _dot(_group_sums(xhf, g), m_hi))
+    if x_lo.shape[0] == 1 and GROUP_DOT:
+        # decode: scale multiplies the [g, tn] group partials, not the
+        # [tkh, tn] weights (see _q4_k_tile)
+        p_lo = _group_partial_dot(
+            xlf, ((q & 0x0F) + (hb_lo << 4)).astype(F32), g, 32)
+        p_hi = _group_partial_dot(
+            xhf, ((q & 0xF0) + (hb_hi << 8)).astype(F32), g, 32)
+        acc = s_lo * p_lo + s_hi * p_hi
+        return jnp.sum(acc, axis=0, keepdims=True) - corr
+    w_lo = ((q & 0x0F) + (hb_lo << 4)).astype(F32) * _rep_sublanes(s_lo, 32, tkh, tn)
+    w_hi = ((q & 0xF0) + (hb_hi << 8)).astype(F32) * _rep_sublanes(s_hi, 32, tkh, tn)
     return (_dot(xlf, w_lo)
             + _dot(xhf, w_hi) - corr)
 
