@@ -197,7 +197,13 @@ def load_model(path: str, *, max_seq_len: int | None = None,
     else:
         lm_head = embed  # tied embeddings (transformer.cpp:92-99)
     import os
-    pad = int(os.environ.get("NT_PAD_VOCAB", "0"))
+    from ..core.dtypes import DType as _DT
+    # default-on for K-quant heads: their superblock kernels lose ~2x on
+    # the un-512-divisible 128256 vocab (tn=256 -> 501 grid steps); the
+    # r3 on-chip A/B measured padding consistently positive for Q4_K/Q6_K
+    # heads and neutral-to-noise elsewhere. NT_PAD_VOCAB=0 disables.
+    kq_head = lm_head.dtype in (_DT.Q4_K, _DT.Q5_K, _DT.Q6_K)
+    pad = int(os.environ.get("NT_PAD_VOCAB", "2048" if kq_head else "0"))
     if pad:
         # lane-pad so the LM-head matmul gets wider tn tiles; padded
         # columns dequant to exactly 0 and head_logits slices them off.

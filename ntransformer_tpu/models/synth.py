@@ -88,7 +88,10 @@ def synth_model(preset: str, dtype: str, max_seq_len: int = 4096,
     embed = synth_qlinear(v, h, policy("token_embd"))
     lm_head = synth_qlinear(v, h, policy("output."))
     import os
-    pad = int(os.environ.get("NT_PAD_VOCAB", "0"))
+    # K-quant heads lane-pad by default (see loader.py: tn=256 -> 501
+    # grid steps on the raw 128256 vocab; r3 A/B positive)
+    kq_head = lm_head.dtype in (DType.Q4_K, DType.Q5_K, DType.Q6_K)
+    pad = int(os.environ.get("NT_PAD_VOCAB", "2048" if kq_head else "0"))
     if pad:
         # lane-pad the LM head so its N hits wider tn tiles (the 128256
         # vocab is not 512-divisible); head_logits slices the zeros off
