@@ -87,18 +87,22 @@ def main():
 
         vt = jnp.tile(toks[:, None], (1, K + 1))
 
-        def verify(n):
+        def verify(n, impl=None):
             for i in range(n):
                 lg, state["bkv"] = batched_verify_step(
                     arch, w, state["bkv"], vt,
                     jnp.full(B, base + (state["p"] + i) % 128, jnp.int32),
-                    act)
+                    act, impl=impl)
             np.asarray(jnp.argmax(lg, -1))
             state["p"] += n
 
         t_plain = time_fn(plain)
         t_draft = time_fn(draft)
-        t_verify = time_fn(verify, iters=8)
+        t_verify = time_fn(verify, iters=8)       # backend default impl
+        # r4 A/B: the jnp write-then-attend verify (dequantizes/reads the
+        # full padded cache per layer) vs the kernel verify window (flash
+        # + causal virtual block + one bulk T-row append)
+        t_verify_jnp = time_fn(lambda n: verify(n, impl="jnp"), iters=8)
         round_cost = K * t_draft + t_verify
         breakeven = max(0.0, (round_cost / t_plain - 1) / K)
         ceiling = B * (1 + K) / round_cost  # acc = 1
@@ -106,6 +110,7 @@ def main():
         row = {"B": B, "ms_plain": round(t_plain * 1e3, 2),
                "ms_draft": round(t_draft * 1e3, 2),
                "ms_verify": round(t_verify * 1e3, 2),
+               "ms_verify_jnp": round(t_verify_jnp * 1e3, 2),
                "breakeven_acceptance": round(breakeven, 3),
                "plain_tok_s": round(plain_tps, 1),
                "full_accept_tok_s": round(ceiling, 1),

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="layer-skip calibration threshold, e.g. 0.98")
     p.add_argument("--requant-q4k", action="store_true",
                    help="requantize Q6_K tensors to Q4_K at pack build")
+    p.add_argument("--requant-ram", action="store_true",
+                   help="requantize RAM-tier (tier B) Q6_K layers to Q4_K "
+                        "as they load — no pack rebuild, disk tier "
+                        "untouched (reference streamer.cu:45-153)")
     p.add_argument("--delta-model", default=None,
                    help="(negative result — refused; see R1)")
     p.add_argument("--max-hbm-layers", type=int, default=None)
@@ -97,7 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
 def should_stream(path: str, ctx: int, args) -> bool:
     """Tiered vs resident decision: file size + KV cache vs free HBM (the
     reference's auto tier sizing makes the same call, streamer.cu:158-226)."""
-    if args.streaming or args.self_spec or args.requant_q4k:
+    if (args.streaming or args.self_spec or args.requant_q4k
+            or args.requant_ram):
         return True  # flags imply streaming (main.cpp:112-119,138-144)
     if args.max_hbm_layers is not None or args.max_ram_layers is not None:
         return True
@@ -261,6 +266,7 @@ def main(argv=None) -> int:
         engine = TieredEngine.load(
             args.model, max_seq_len=args.ctx_size,
             requant=DType.Q4_K if args.requant_q4k else None,
+            requant_ram=DType.Q4_K if args.requant_ram else None,
             max_hbm_layers=args.max_hbm_layers,
             max_ram_layers=args.max_ram_layers,
             kv_quant=args.kv_int8,

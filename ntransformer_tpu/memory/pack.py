@@ -231,9 +231,13 @@ class PackReader:
             assert n == size, f"short read: {n} != {size}"
         return out
 
-    def layer_weights(self, j: int, blob: np.ndarray) -> LayerWeights:
-        """LayerWeights of numpy views into `blob` (zero-copy)."""
-        meta = self.layer_meta(j)
+    def layer_weights(self, j: int, blob: np.ndarray,
+                      meta: dict | None = None) -> LayerWeights:
+        """LayerWeights of numpy views into `blob` (zero-copy). `meta`
+        overrides the pack's layer meta (runtime tier-B requant stores
+        re-described RAM blobs)."""
+        if meta is None:
+            meta = self.layer_meta(j)
 
         def view(m):
             arr = blob[m["off"]: m["off"] + int(np.prod(m["shape"]))
@@ -250,6 +254,84 @@ class PackReader:
         for key, m in meta["norms"].items():
             fields[key] = view(m)
         return LayerWeights(**fields)
+
+
+def requant_layer_meta(meta: dict, target: DType) -> dict:
+    """Metadata half of the RUNTIME tier-B requant (reference
+    streamer.cu:45-153 shrinks tier-B RAM copies Q6_K→Q4_K at load with
+    no extra disk artifact): re-describe each Q6_K tensor (k % 256 == 0)
+    at `target`'s plane layout and recompute every offset. Pure metadata —
+    cheap enough to size tiers and staging before any data is read."""
+    off = 0
+    tensors = {}
+    for key, t in meta["tensors"].items():
+        k, n = t["k"], t["n"]
+        if t["qdtype"] == "Q6_K" and k % 256 == 0 and target in LAYOUTS:
+            pmeta = {}
+            for spec in LAYOUTS[target]:
+                rows = k // spec.rows_div
+                pmeta[spec.name] = {"off": off, "dtype": spec.np_dtype,
+                                    "shape": [rows, int(n)]}
+                off += rows * n * np.dtype(spec.np_dtype).itemsize
+            tensors[key] = {"qdtype": target.name, "k": k, "n": n,
+                            "planes": pmeta}
+        else:
+            pmeta = {}
+            for p, pm in t["planes"].items():
+                sz = (int(np.prod(pm["shape"]))
+                      * np.dtype(pm["dtype"]).itemsize)
+                pmeta[p] = {"off": off, "dtype": pm["dtype"],
+                            "shape": pm["shape"]}
+                off += sz
+            tensors[key] = {**t, "planes": pmeta}
+    norms = {}
+    for key, m in meta["norms"].items():
+        sz = int(np.prod(m["shape"])) * np.dtype(m["dtype"]).itemsize
+        norms[key] = {**m, "off": off}
+        off += sz
+    return {"tensors": tensors, "norms": norms, "size": off}
+
+
+def requant_layer_blob(meta: dict, blob: np.ndarray, new_meta: dict,
+                       target: DType, out: np.ndarray | None = None
+                       ) -> np.ndarray:
+    """Data half of the runtime tier-B requant: produce the blob matching
+    requant_layer_meta(meta, target). Q6_K planes dequantize (exact planar
+    reconstruction) and requantize to `target` — the same dequant→quant
+    chain as the pack-build `--requant-q4k`, so a runtime-requanted layer
+    is byte-identical to the offline pack's. Unchanged tensors/norms copy
+    through at their new offsets."""
+    from ..core.layout import dequant_planes
+    if out is None:
+        out = np.empty(new_meta["size"], np.uint8)
+
+    def oview(m):
+        nb = int(np.prod(m["shape"])) * np.dtype(m["dtype"]).itemsize
+        return blob[m["off"]: m["off"] + nb]
+
+    def put(m, data_u8):
+        nb = data_u8.size
+        out[m["off"]: m["off"] + nb] = data_u8
+
+    for key, t in meta["tensors"].items():
+        nt = new_meta["tensors"][key]
+        if nt["qdtype"] != t["qdtype"]:
+            k, n = t["k"], t["n"]
+            planes = {p: oview(pm).view(pm["dtype"]).reshape(pm["shape"])
+                      for p, pm in t["planes"].items()}
+            wt = dequant_planes(planes, DType[t["qdtype"]], k, n)  # [K, N]
+            raw = np.frombuffer(
+                quantize(np.ascontiguousarray(wt.T), target), np.uint8)
+            new_planes = relayout(raw, target, n, k)
+            for p, pm in nt["planes"].items():
+                arr = np.ascontiguousarray(new_planes[p])
+                put(pm, np.frombuffer(arr.tobytes(), np.uint8))
+        else:
+            for p, pm in t["planes"].items():
+                put(nt["planes"][p], oview(pm))
+    for key, m in meta["norms"].items():
+        put(new_meta["norms"][key], oview(m))
+    return out
 
 
 def unpacker_signature(meta: dict) -> str:

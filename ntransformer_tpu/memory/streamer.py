@@ -91,12 +91,25 @@ class LayerStreamer:
     LayerWeights through a 2-slot pipeline."""
 
     def __init__(self, pack: PackReader, tiers: TierConfig, *,
-                 pool: StagePool | None = None, n_threads: int = 8):
+                 pool: StagePool | None = None, n_threads: int = 8,
+                 requant_ram=None):
         self.pack = pack
         self.tiers = tiers
         self.pool = pool or StagePool(n_threads)
         self.first = tiers.n_hbm                      # first streamed layer
         self.n_streamed = tiers.n_streamed
+        # runtime tier-B requant (reference streamer.cu:45-153): Q6_K
+        # tensors of RAM-tier layers requantize to `requant_ram` (DType,
+        # usually Q4_K) as they load — ~31% less RAM and per-token H2D for
+        # those layers, no pack rebuild, tier-C layers untouched. Default
+        # from NT_REQUANT_RAM (a dtype name; unset/"" = off).
+        if requant_ram is None:
+            env = os.environ.get("NT_REQUANT_RAM", "")
+            if env and env != "0":
+                from ..core.dtypes import DType
+                requant_ram = DType[env.upper()]
+        self.requant_ram = requant_ram
+        self.ram_meta: dict[int, dict] = {}  # per-layer overrides
         # tier-C reads bypass the page cache (O_DIRECT) by default — the
         # reference's entire tier-C design exists because page-cache thrash
         # gives 0.006 tok/s at 70B (docs/TIERED_CACHING.md:5); staging
@@ -122,7 +135,10 @@ class LayerStreamer:
     # -- init ---------------------------------------------------------------
     def _load_ram_tier(self):
         """Read tier-B layer blobs into RAM (parallel chunked reads —
-        reference's pinned per-layer copies, streamer.cu:599-638)."""
+        reference's pinned per-layer copies, streamer.cu:599-638); with
+        requant_ram set, each blob is requantized as it lands (the
+        reference's requant-on-stage, streamer.cu:45-153) and the smaller
+        re-described blob is what stays resident."""
         jobs = []
         for layer in range(self.first, self.first + self.tiers.n_ram):
             size = self.pack.layer_nbytes(layer)
@@ -135,6 +151,25 @@ class LayerStreamer:
                                        size, blob, direct=self.direct_io))
         for j in jobs:
             self.pool.wait(j)
+        if self.requant_ram is not None:
+            from .pack import requant_layer_blob, requant_layer_meta
+            saved = 0
+            for layer, blob in list(self.ram_blobs.items()):
+                meta = self.pack.layer_meta(layer)
+                new_meta = requant_layer_meta(meta, self.requant_ram)
+                if new_meta["size"] == meta["size"]:
+                    continue  # nothing requantizable in this layer
+                new_blob = aligned_empty(
+                    (new_meta["size"] + 4095) // 4096 * 4096)
+                requant_layer_blob(meta, blob, new_meta, self.requant_ram,
+                                   out=new_blob)
+                self.ram_blobs[layer] = new_blob
+                self.ram_meta[layer] = new_meta
+                saved += meta["size"] - new_meta["size"]
+            if saved:
+                print(f"streamer: tier B requant -> "
+                      f"{self.requant_ram.name}, {saved / (1 << 20):.0f} "
+                      f"MiB saved", file=sys.stderr)
         if self.ram_blobs:
             gb = sum(b.nbytes for b in self.ram_blobs.values()) / (1 << 30)
             print(f"streamer: tier B = {len(self.ram_blobs)} layers "
@@ -186,6 +221,8 @@ class LayerStreamer:
                 slot.stage_job = None
             blob = slot.staging
         with PROFILER.phase("stream/begin_h2d"):
+            # requant-on-load re-describes RAM-tier blobs (smaller planes)
+            meta = self.ram_meta.get(layer) or self.pack.layer_meta(layer)
             if self.shardings is None and self.coalesce:
                 # ONE H2D DMA for the whole layer; planes reconstructed on
                 # device by slice+bitcast (exact). The blob device array is
@@ -193,7 +230,6 @@ class LayerStreamer:
                 # until the unpack program retires, so peak HBM is
                 # 2x layer_bytes per in-flight slot (accounted in the
                 # tiered loader's reserve).
-                meta = self.pack.layer_meta(layer)
                 sig = unpacker_signature(meta)
                 fn = self._unpackers.get(sig)
                 if fn is None:
@@ -202,7 +238,7 @@ class LayerStreamer:
                 slot.device = fn(blob_dev)
                 del blob_dev
             else:
-                host_lw = self.pack.layer_weights(layer, blob)
+                host_lw = self.pack.layer_weights(layer, blob, meta=meta)
                 if self.shardings is not None:
                     slot.device = jax.tree.map(jax.device_put, host_lw,
                                                self.shardings)
@@ -228,6 +264,12 @@ class LayerStreamer:
         self.slots[slot_id].layer = -1
 
     # -- convenience --------------------------------------------------------
+    def layer_nbytes(self, layer: int) -> int:
+        """Bytes this layer actually moves host→HBM per token (RAM-tier
+        requant shrinks them below the pack's on-disk size)."""
+        meta = self.ram_meta.get(layer)
+        return meta["size"] if meta else self.pack.layer_nbytes(layer)
+
     def schedule(self, skip: set[int] | frozenset[int] = frozenset()) -> list[int]:
         """Streamed layer ids in order, minus skipped ones (the layer-skip
         schedule rebuild, transformer.cpp:831-835 — skipping a streamed

@@ -72,9 +72,14 @@ class TierConfig:
     def compute(cls, n_layers: int, layer_bytes: int, reserve_bytes: int, *,
                 hbm_bytes: int | None = None, ram_bytes: int | None = None,
                 max_hbm_layers: int | None = None,
-                max_ram_layers: int | None = None) -> "TierConfig":
+                max_ram_layers: int | None = None,
+                ram_layer_bytes: int | None = None) -> "TierConfig":
         """Auto-size tiers (streamer.cu:158-226). reserve_bytes = resident
-        non-layer weights + KV cache + workspace the model needs in HBM."""
+        non-layer weights + KV cache + workspace the model needs in HBM.
+        ram_layer_bytes: per-layer RAM cost when it differs from the HBM
+        cost (runtime tier-B requant shrinks RAM copies ~31% — more layers
+        fit, which is the reference's whole motivation for requant-on-
+        stage, streamer.cu:45-153)."""
         hbm = hbm_free_bytes() if hbm_bytes is None else hbm_bytes
         ram = ram_available_bytes() if ram_bytes is None else ram_bytes
 
@@ -89,7 +94,8 @@ class TierConfig:
 
         rest = n_layers - n_hbm
         usable_ram = max(0, ram - RAM_SAFETY_BYTES)
-        n_ram = min(rest, usable_ram // layer_bytes if layer_bytes else rest)
+        rlb = ram_layer_bytes if ram_layer_bytes is not None else layer_bytes
+        n_ram = min(rest, usable_ram // rlb if rlb else rest)
 
         env_ram = os.environ.get("NT_MAX_RAM_LAYERS")
         if max_ram_layers is None and env_ram is not None:

@@ -551,11 +551,39 @@ def _verify_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
     return x, kv_k, kv_v
 
 
-@partial(jax.jit, static_argnames=("arch", "tp_axis"),
-         donate_argnames=("kv",))
+def _verify_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
+                                active, cos_t, sin_t, layer,
+                                tp_axis: str | None = None):
+    """KERNEL-path verify layer: the flash kernel reads the STACKED cache
+    (layer via scalar prefetch) plus the window's T k/v rows as a CAUSAL
+    virtual block; no cache write happens here — rows are returned for the
+    post-scan bulk append (the decode path's deferred-write contract,
+    generalized to T rows). Returns (x [B, T, H], rows tuple)."""
+    from ..ops.pallas.batched_attention import flash_verify_batched
+    q, k_t, v_t = _qkv_rows(arch, x, lw, cos_t, sin_t, layer)
+    D = arch.head_dim
+    scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
+    window, _ = layer_window(arch, layer)
+    if bkv.quantized:
+        kq, ks_new, vq, vs_new = _quantize_rows(k_t, v_t)
+        att = flash_verify_batched(
+            q, (bkv.k, bkv.ks), (bkv.v, bkv.vs),
+            (kq, ks_new), (vq, vs_new), pos, scale, layer=layer,
+            active=active, window=window, softcap=arch.attn_softcap)
+        rows = (kq, ks_new, vq, vs_new)
+    else:
+        att = flash_verify_batched(
+            q, bkv.k, bkv.v, k_t, v_t, pos, scale, layer=layer,
+            active=active, window=window, softcap=arch.attn_softcap)
+        rows = (k_t, v_t)
+    x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
+    return x, rows
+
+
 def batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
-                        active: jnp.ndarray, tp_axis: str | None = None):
+                        active: jnp.ndarray, tp_axis: str | None = None,
+                        impl: str | None = None):
     """Speculative VERIFY over the whole batch: tokens [B, T] =
     [anchor, draft_0..draft_{T-2}] per sequence, written/attended at
     positions [pos, pos+T). Returns (logits [B, T, V] f32, BatchedKV).
@@ -563,7 +591,23 @@ def batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     The anchor re-feed protocol (reference engine.cpp:150-351): rows past
     each sequence's accepted prefix are dead, never attended (attention
     masks by pos) and overwritten by subsequent steps — no KV rollback.
+
+    impl: "kernel" (flash kernel attends the stacked cache + a CAUSAL
+    T-row virtual block, ONE bulk T-row append after the scan) | "jnp"
+    (per-layer write-then-attend) | None (NT_BATCHED_FLASH / backend
+    default — same switch as the decode step).
     """
+    impl, _ = _resolve_impl(impl, "dus", tokens.shape[0])
+    return _batched_verify_step(arch, weights, kv, tokens, pos, active,
+                                tp_axis, impl)
+
+
+@partial(jax.jit, static_argnames=("arch", "tp_axis", "impl"),
+         donate_argnames=("kv",))
+def _batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
+                         tokens: jnp.ndarray, pos: jnp.ndarray,
+                         active: jnp.ndarray, tp_axis: str | None,
+                         impl: str):
     B, T = tokens.shape
     x = embed_lookup(weights.embed, tokens.reshape(-1),
                      out_dtype=jnp.float32, tp_axis=tp_axis)
@@ -588,22 +632,47 @@ def batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
         cos_t, sin_t = jax.vmap(rope_rows)(pos)  # [B, T, d2]
 
     indices = jnp.arange(arch.n_layers, dtype=jnp.int32)
+    deferred = impl == "kernel"
+    if deferred:
+        from ..ops.pallas.kv_update import append_rows_stacked_dus
 
-    def body(carry, inp):
-        x = carry
-        li, kk, vv = inp
-        x, kk, vv = _verify_layer_step(arch, x, weights.layers, kk, vv,
-                                       pos, active, cos_t, sin_t,
-                                       layer=li, tp_axis=tp_axis)
-        return x, (kk, vv)
+        def body(carry, li):
+            x = carry
+            x, rows = _verify_layer_step_deferred(
+                arch, x, weights.layers, kv, pos, active, cos_t, sin_t,
+                layer=li, tp_axis=tp_axis)
+            return x, rows
 
-    kv_k = (kv.k, kv.ks) if kv.quantized else kv.k
-    kv_v = (kv.v, kv.vs) if kv.quantized else kv.v
-    x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
-    if kv.quantized:
-        new_bkv = BatchedKV(new_k[0], new_v[0], new_k[1], new_v[1])
+        # rows: [L, B, Hkv, T, Dc] (+[L, B, Hkv, T, 1] scales) — ONE
+        # contiguous T-row DUS per cache after the scan (the Pallas tile
+        # merge is a single-row kernel; a T-row window can straddle
+        # sublane tiles)
+        x, rows = jax.lax.scan(body, x, indices)
+        if kv.quantized:
+            kc, ksc, vc, vsc = append_rows_stacked_dus(
+                (kv.k, kv.ks, kv.v, kv.vs),
+                (rows[0], rows[1], rows[2], rows[3]), pos, active)
+            new_bkv = BatchedKV(kc, vc, ksc, vsc)
+        else:
+            nk, nv = append_rows_stacked_dus((kv.k, kv.v), rows, pos,
+                                             active)
+            new_bkv = BatchedKV(nk, nv)
     else:
-        new_bkv = BatchedKV(new_k, new_v)
+        def body(carry, inp):
+            x = carry
+            li, kk, vv = inp
+            x, kk, vv = _verify_layer_step(arch, x, weights.layers, kk, vv,
+                                           pos, active, cos_t, sin_t,
+                                           layer=li, tp_axis=tp_axis)
+            return x, (kk, vv)
+
+        kv_k = (kv.k, kv.ks) if kv.quantized else kv.k
+        kv_v = (kv.v, kv.vs) if kv.quantized else kv.v
+        x, (new_k, new_v) = jax.lax.scan(body, x, (indices, kv_k, kv_v))
+        if kv.quantized:
+            new_bkv = BatchedKV(new_k[0], new_v[0], new_k[1], new_v[1])
+        else:
+            new_bkv = BatchedKV(new_k, new_v)
 
     x = rms_norm(x, weights.output_norm + arch.norm_bias
                  if arch.norm_bias != 0.0 else weights.output_norm,

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
 import warnings
 
 with warnings.catch_warnings():
@@ -465,7 +466,8 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
                       n_stage_threads: int = 8,
                       mesh=None,
                       reserve_extra_bytes: int = 0,
-                      kv_quant: bool = False) -> TieredModel:
+                      kv_quant: bool = False,
+                      requant_ram: DType | None = None) -> TieredModel:
     """Load a GGUF with automatic HBM/RAM/disk tier assignment
     (Transformer::load_tiered, transformer.cpp:193-280).
 
@@ -473,7 +475,13 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     KV shard megatron-style, and every streamed layer's host planes scatter
     to the shards in begin_h2d (each shard stages 1/tp of the layer). The
     HBM/RAM budgets then apply PER SHARD: pass hbm_bytes = per-chip HBM;
-    effective layer bytes per chip are layer/tp (accounted here)."""
+    effective layer bytes per chip are layer/tp (accounted here).
+
+    requant_ram: RUNTIME tier-B requant target (usually DType.Q4_K) — RAM
+    copies of Q6_K layers requantize as they load, no pack rebuild, tier-C
+    layers untouched (reference streamer.cu:45-153; the offline `requant=`
+    rebuilds the pack instead and covers every streamed tier). Defaults
+    from NT_REQUANT_RAM. The RAM-tier sizer budgets the smaller size."""
     import sys
 
     from ..core.gguf import GGUFReader
@@ -523,10 +531,30 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     # itself loads FIRST and shows up in hbm_free_bytes; main.cpp:121-132)
     reserve += reserve_extra_bytes
 
+    if requant_ram is None:
+        env = os.environ.get("NT_REQUANT_RAM", "")
+        if env and env != "0":
+            requant_ram = DType[env.upper()]
+    ram_layer_bytes = None
+    if requant_ram is not None:
+        if mesh is not None:
+            raise NotImplementedError(
+                "requant_ram x TP is not supported — per-shard RAM blobs "
+                "take per-plane slices of the pack's layout; requantize "
+                "the pack offline instead (requant=/--requant-q4k)")
+        from ..memory.pack import requant_layer_meta
+        ram_layer_bytes = requant_layer_meta(
+            pack.layer_meta(0), requant_ram)["size"]
+        if ram_layer_bytes == pack.layer_meta(0)["size"]:
+            print("requant_ram: no Q6_K tensors to requantize — ignored",
+                  file=sys.stderr)
+            requant_ram = ram_layer_bytes = None
+
     tiers = TierConfig.compute(
         cfg.n_layers, layer_bytes, reserve,
         hbm_bytes=hbm_bytes, ram_bytes=ram_bytes,
-        max_hbm_layers=max_hbm_layers, max_ram_layers=max_ram_layers)
+        max_hbm_layers=max_hbm_layers, max_ram_layers=max_ram_layers,
+        ram_layer_bytes=ram_layer_bytes)
     print(tiers.describe(layer_bytes), file=sys.stderr)
 
     # tier A: resident stacked prefix, loaded straight from the pack
@@ -551,7 +579,8 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
                             output_norm=output_norm, lm_head=lm_head,
                             rope_cos=cos, rope_sin=sin)
 
-    streamer = (LayerStreamer(pack, tiers, n_threads=n_stage_threads)
+    streamer = (LayerStreamer(pack, tiers, n_threads=n_stage_threads,
+                              requant_ram=requant_ram)
                 if tiers.n_streamed else None)
 
     tpf = None

@@ -66,13 +66,19 @@ def _pick_block_s(s: int, per_pos_bytes: int, target_bytes: int = 1 << 21) -> in
 
 
 def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
-            softcap):
+            softcap, n_virtual=1):
+    """n_virtual = T new (not-yet-written) rows per sequence. T=1 is the
+    decode step; T>1 is the speculative VERIFY window: query rows are
+    token-major ([T*group] per head), row r belongs to window token
+    r // group (at position pos + r//group), and virtual row i is visible
+    to window tokens >= i (causal within the window)."""
     if quant:
         (q_ref, k_ref, v_ref, ks_ref, vs_ref, kn_ref, vn_ref, kns_ref,
          vns_ref, o_ref, m_ref, l_ref, acc_ref) = refs
     else:
         q_ref, k_ref, v_ref, kn_ref, vn_ref, o_ref, m_ref, l_ref, acc_ref = refs
         ks_ref = vs_ref = kns_ref = vns_ref = None
+    rows = group * n_virtual
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -91,37 +97,45 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    pos = scal_ref[1, b]  # the NEW token's position; cache keys are < pos
+    pos = scal_ref[1, b]  # the window base; cache keys are < pos
     # active flag: ACTIVE slots attend cache [0, pos-1] plus the virtual
-    # row; INACTIVE slots attend the FROZEN cache [0, pos] and the virtual
-    # row is masked out — bit-matching the jnp path's masked-write-then-
-    # attend semantics (the write kernel also freezes inactive rows).
+    # rows; INACTIVE slots attend the FROZEN cache (window token t sees
+    # [0, pos+t]) and the virtual rows are masked out — bit-matching the
+    # jnp path's masked-write-then-attend semantics (the write kernel
+    # also freezes inactive rows).
     act = scal_ref[2, b]
     # sliding window (dynamic — gemma2/3 alternate local/global per layer
-    # inside one scan body): the query at `pos` sees keys in
-    # (pos - win, pos]. Global layers pass a huge window.
+    # inside one scan body): the query at pos+t sees keys in
+    # (pos + t - win, pos + t]. Global layers pass a huge window.
     win = scal_ref[3, b]
+    # last cache key any query row may attend (union over window tokens)
+    last = pos - act + (1 - act) * (n_virtual - 1)
 
-    @pl.when((j * block_s <= pos - act)
+    @pl.when((j * block_s <= last)
              & ((j + 1) * block_s - 1 >= pos - win + 1))
     def _block():
         kpos = j * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (group, block_s), 1)
-        live = (kpos <= pos - act) & (kpos > pos - win)
+            jnp.int32, (rows, block_s), 1)
+        qpos = pos + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, block_s), 0) // group  # each row's position
+        # active rows never attend cache keys >= pos (those arrive as
+        # virtual rows); inactive (frozen) rows attend [0, qpos]
+        live = (kpos <= jnp.where(act == 1, pos - 1, qpos)) \
+            & (kpos > qpos - win)
         for h in range(hkv):
-            q = q_ref[0, h].astype(F32)          # [group, D]
+            q = q_ref[0, h].astype(F32)          # [rows, D]
             k = at(k_ref, h).astype(F32)         # [block_s, D]
             v = at(v_ref, h).astype(F32)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32) * scale      # [group, block_s]
+                preferred_element_type=F32) * scale      # [rows, block_s]
             if quant:
                 s = s * at_sc(ks_ref, h).astype(F32)     # [1, block_s] bcast
             if softcap:
                 # after the int8 scale fold — tanh needs TRUE score values
                 s = softcap * jnp.tanh(s * (1.0 / softcap))
             s = jnp.where(live, s, NEG_INF)
-            m_prev = m_ref[h][:, :1]                     # [group, 1]
+            m_prev = m_ref[h][:, :1]                     # [rows, 1]
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_new)
@@ -137,26 +151,30 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
 
     @pl.when(j == n_blocks - 1)
     def _finish():
-        # virtual block: the CURRENT token's k/v (always live, at `pos`,
-        # not yet written to the cache), then normalize.
+        # virtual block: the T new tokens' k/v rows (not yet written to
+        # the cache; row i sits at pos+i, visible to window tokens >= i),
+        # then normalize.
+        vcol = jax.lax.broadcasted_iota(jnp.int32, (rows, n_virtual), 1)
+        t_r = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, n_virtual), 0) // group
+        vis = (act == 1) & (vcol <= t_r) & (vcol > t_r - win)
         for h in range(hkv):
-            q = q_ref[0, h].astype(F32)              # [group, D]
-            kn = kn_ref[0, h].astype(F32)            # [1, D]
+            q = q_ref[0, h].astype(F32)              # [rows, D]
+            kn = kn_ref[0, h].astype(F32)            # [T, D]
             vn = vn_ref[0, h].astype(F32)
             s = jax.lax.dot_general(
                 q, kn, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32) * scale  # [group, 1]
+                preferred_element_type=F32) * scale  # [rows, T]
             if quant:
-                s = s * kns_ref[0, h:h + 1].astype(F32)  # [1, 1]
+                s = s * kns_ref[0, h:h + 1].astype(F32)  # [1, T]
             if softcap:
                 s = softcap * jnp.tanh(s * (1.0 / softcap))
-            s = jnp.where(act == 1, s, NEG_INF)      # no virtual row when
-            #                                          the slot is inactive
+            s = jnp.where(vis, s, NEG_INF)
             m_prev = m_ref[h][:, :1]
-            m_new = jnp.maximum(m_prev, s)
+            m_new = jnp.maximum(m_prev, jnp.max(s, -1, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)                   # [group, 1]
-            l = alpha * l_ref[h][:, :1] + p
+            p = jnp.exp(s - m_new)                   # [rows, T]
+            l = alpha * l_ref[h][:, :1] + jnp.sum(p, -1, keepdims=True)
             if quant:
                 p = p * vns_ref[0, h:h + 1].astype(F32)
             acc = acc_ref[h] * alpha + jax.lax.dot_general(
@@ -166,10 +184,11 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "quant", "stacked", "interpret",
-                                    "softcap"))
+                                    "softcap", "n_virtual"))
 def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
-          interpret, softcap=0.0):
-    b, hkv, group, d = q.shape
+          interpret, softcap=0.0, n_virtual=1):
+    b, hkv, rows, d = q.shape
+    group = rows // n_virtual
     s = k.shape[-2]
     itemsize = 1 if quant else k.dtype.itemsize
     block_s = _pick_block_s(s, hkv * d * itemsize)
@@ -180,12 +199,13 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
     # scal[2,:] = active, scal[3,:] = window. Blocks past a sequence's
     # last live key — or entirely below its window — clamp to a
     # neighboring index so Mosaic ELIDES their DMA (active: pos-1 is the
-    # last cache key — the new token's row arrives as the virtual block;
-    # inactive: the frozen row at pos IS attended). max(.., 0)/clip keep
-    # pos=0 and huge windows in range.
+    # last cache key — the T new rows arrive as the virtual block;
+    # inactive: the frozen rows at [pos, pos+T-1] ARE attended).
+    # max(.., 0)/clip keep pos=0 and huge windows in range.
     def _clamp(j, sref, bi):
-        last = jnp.maximum(sref[1, bi] - sref[2, bi], 0)
-        first = jnp.clip(sref[1, bi] - sref[3, bi] + 1, 0, last)
+        p, a = sref[1, bi], sref[2, bi]
+        last = jnp.maximum(p - a + (1 - a) * (n_virtual - 1), 0)
+        first = jnp.clip(p - sref[3, bi] + 1, 0, last)
         return jnp.clip(j, first // block_s, last // block_s)
 
     def kv_map(bi, j, sref):
@@ -208,13 +228,16 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
     # scales are one rank lower (S minor): tile [.., hkv, block_s]
     sc_sp = pl.BlockSpec(lead + (hkv, block_s), sc_map,
                          memory_space=pltpu.VMEM)
-    q_sp = pl.BlockSpec((1, hkv, group, d), b_map, memory_space=pltpu.VMEM)
-    row_sp = pl.BlockSpec((1, hkv, 1, d), b_map, memory_space=pltpu.VMEM)
-    rsc_sp = pl.BlockSpec((1, hkv, 1), b3_map, memory_space=pltpu.VMEM)
+    q_sp = pl.BlockSpec((1, hkv, rows, d), b_map, memory_space=pltpu.VMEM)
+    row_sp = pl.BlockSpec((1, hkv, n_virtual, d), b_map,
+                          memory_space=pltpu.VMEM)
+    rsc_sp = pl.BlockSpec((1, hkv, n_virtual), b3_map,
+                          memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, scale=scale, block_s=block_s,
                                n_blocks=n_blocks, hkv=hkv, group=group,
-                               quant=quant, softcap=softcap)
+                               quant=quant, softcap=softcap,
+                               n_virtual=n_virtual)
     if quant:
         in_specs = [q_sp, kv_sp, kv_sp, sc_sp, sc_sp, row_sp, row_sp,
                     rsc_sp, rsc_sp]
@@ -225,16 +248,16 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hkv, group, d), b_map,
+        out_specs=pl.BlockSpec((1, hkv, rows, d), b_map,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((hkv, group, 128), F32),   # running max
-            pltpu.VMEM((hkv, group, 128), F32),   # running denom
-            pltpu.VMEM((hkv, group, d), F32),     # output accumulator
+            pltpu.VMEM((hkv, rows, 128), F32),   # running max
+            pltpu.VMEM((hkv, rows, 128), F32),   # running denom
+            pltpu.VMEM((hkv, rows, d), F32),     # output accumulator
         ])
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), F32),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d), F32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(scal, *inputs)
@@ -306,3 +329,64 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
                 quant=quant, stacked=stacked, interpret=interpret,
                 softcap=softcap)
     return out.reshape(b, hq, d)
+
+
+def flash_verify_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
+                         pos: jnp.ndarray, scale: float, *,
+                         layer=None, active=None,
+                         window=None, softcap: float = 0.0,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """Speculative VERIFY window attention: T new tokens per sequence over
+    per-sequence caches, the T new k/v rows riding in as a causal virtual
+    block (deferred write — the same protocol as flash_decode_batched,
+    generalized to T query rows per head group).
+
+    q [B, T, Hq, D]; pos [B] = each sequence's window base (cache keys
+    [0, pos-1] are live; window token t sits at pos+t and its k/v row is
+    virtual row t, visible to window tokens >= t). k_new/v_new:
+    [B, Hkv, T, D] floats or (codes [B, Hkv, T, D], scales [B, Hkv, T, 1]
+    or [B, Hkv, T]) matching the cache. Caches/active/window/softcap as
+    in flash_decode_batched; INACTIVE slots attend the frozen cache rows
+    [0, pos+t] per window token and every virtual row is masked — exactly
+    the jnp verify path's masked-write-then-attend semantics.
+    Returns [B, T, Hq, D] f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    quant = isinstance(k_cache, tuple)
+    stacked = layer is not None
+    b, t, hq, d = q.shape
+    if quant:
+        k, ks = k_cache
+        v, vs = v_cache
+        if ks.ndim == k.ndim:   # legacy [.., Hkv, S, 1] scales
+            ks = ks.reshape(ks.shape[:-1])
+            vs = vs.reshape(vs.shape[:-1])
+        kn, kns = k_new
+        vn, vns = v_new
+        hkv = kn.shape[1]
+        kns = kns.reshape(b, hkv, t)
+        vns = vns.reshape(b, hkv, t)
+    else:
+        k, v = k_cache, v_cache
+        ks = vs = kns = vns = None
+        kn, vn = k_new, v_new
+        hkv = kn.shape[1]
+        kn = kn.astype(k.dtype)
+        vn = vn.astype(v.dtype)
+    group = hq // hkv
+    # token-major rows: row r = t*group + g belongs to window token t
+    qr = (q.reshape(b, t, hkv, group, d)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(b, hkv, t * group, d))
+    li = jnp.full((b,), 0 if layer is None else layer, jnp.int32)
+    act = (jnp.ones((b,), jnp.int32) if active is None
+           else jnp.asarray(active, jnp.int32))
+    win = jnp.full((b,), 2**30 if window is None else window, jnp.int32)
+    scal = jnp.stack([li, jnp.asarray(pos, jnp.int32), act, win])
+    out = _impl(qr, k, v, ks, vs, kn, vn, kns, vns, scal, scale=scale,
+                quant=quant, stacked=stacked, interpret=interpret,
+                softcap=softcap, n_virtual=t)
+    return (out.reshape(b, hkv, t, group, d)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(b, t, hq, d))

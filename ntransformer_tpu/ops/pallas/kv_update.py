@@ -207,29 +207,32 @@ def append_rows_stacked_dus(caches, rows, pos, active):
     (cache, sequence) on the stacked buffers — at B=1 this is a single
     in-place row update per cache, bypassing the Pallas kernel's
     read-merge-write of a whole sublane tile. Semantics identical
-    (inactive slots keep their previous row). Rows may cover only a
+    (inactive slots keep their previous rows). Rows may cover only a
     leading PREFIX of the layers (a speculative draft through the
     resident prefix writes layers [0, rows.shape[0]) and leaves the rest
-    untouched)."""
+    untouched), and may carry T > 1 positions per sequence (a speculative
+    VERIFY window writes [pos, pos+T) contiguously)."""
     out = []
     b_n = rows[0].shape[1]
     for c, r in zip(caches, rows):
         hkv = c.shape[2]
         lr = r.shape[0]  # layers covered (may be a prefix of the cache's L)
         if c.ndim == 4:  # S-minor scale buffer [L, B, Hkv, S]
-            r4 = r.reshape(lr, b_n, hkv, 1).astype(c.dtype)
+            t = r.size // (lr * b_n * hkv)  # window rows per sequence
+            r4 = r.reshape(lr, b_n, hkv, t).astype(c.dtype)
             for b in range(b_n):
                 cur = jax.lax.dynamic_slice(
-                    c, (0, b, 0, pos[b]), (lr, 1, hkv, 1))
+                    c, (0, b, 0, pos[b]), (lr, 1, hkv, t))
                 val = jnp.where(active[b], r4[:, b:b + 1], cur)
                 c = jax.lax.dynamic_update_slice(c, val, (0, b, 0, pos[b]))
             out.append(c)
             continue
         dc = c.shape[-1]
-        r5 = r.reshape(lr, b_n, hkv, 1, dc).astype(c.dtype)
+        t = r.size // (lr * b_n * hkv * dc)
+        r5 = r.reshape(lr, b_n, hkv, t, dc).astype(c.dtype)
         for b in range(b_n):
             cur = jax.lax.dynamic_slice(
-                c, (0, b, 0, pos[b], 0), (lr, 1, hkv, 1, dc))
+                c, (0, b, 0, pos[b], 0), (lr, 1, hkv, t, dc))
             val = jnp.where(active[b], r5[:, b:b + 1], cur)
             c = jax.lax.dynamic_update_slice(c, val, (0, b, 0, pos[b], 0))
         out.append(c)

@@ -410,3 +410,18 @@ def test_spec_serve_refusals(model):
     with pytest.raises(ValueError, match="spec_draft_layers"):
         BatchServer(model, spec_k=2, spec_draft_layers=0,
                     sampler_cfg=SamplerConfig(temperature=0.0))
+
+
+def test_spec_serve_kernel_impl_matches_jnp(model, monkeypatch):
+    """The KERNEL spec round (deferred decode + kernel verify window with
+    causal virtual rows + bulk T-row append) emits the same greedy outputs
+    as the jnp round through the full server loop (interpret mode on CPU
+    — the same code path the TPU compiles)."""
+    prompts = ["alpha beta", "gamma", "delta epsilon"]
+    monkeypatch.setenv("NT_BATCHED_FLASH", "off")
+    want, _ = _serve_outputs(model, prompts, spec_k=2, spec_draft_layers=2)
+    monkeypatch.setenv("NT_BATCHED_FLASH", "on")
+    got, stats = _serve_outputs(model, prompts, spec_k=2,
+                                spec_draft_layers=2)
+    assert got == want
+    assert stats.spec_drafted > 0

@@ -326,3 +326,160 @@ def test_bulk_append_int8_scales_mixed():
                           jnp.asarray(pos), jnp.asarray(active))
         np.testing.assert_array_equal(np.asarray(got_c), want_c)
         np.testing.assert_array_equal(np.asarray(got_s), want_s)
+
+
+# --- speculative verify window (T virtual rows) ------------------------------
+
+def _mk_win(B, Hq, Hkv, S, D, T, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, T, Hq, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, T, D)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, T, D)).astype(np.float32)
+    return q, k, v, kn, vn
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_flash_verify_batched_bf16(group):
+    """Kernel (cache [0, pos-1] + T CAUSAL virtual rows) ≡ jnp reference
+    with the rows written at [pos, pos+T) (attention_jnp masks by
+    position: window token t attends keys [0, pos+t])."""
+    from ntransformer_tpu.ops.layers import attention_jnp
+    from ntransformer_tpu.ops.pallas.batched_attention import \
+        flash_verify_batched
+    B, Hkv, S, D, T = 3, 2, 64, 32, 3
+    Hq = Hkv * group
+    q, k, v, kn, vn = _mk_win(B, Hq, Hkv, S, D, T)
+    pos = np.array([0, 17, 61], np.int32)
+    kk, vv = k.copy(), v.copy()
+    for b in range(B):
+        kk[b, :, pos[b]:] = 100.0   # poison: must come from virtual rows
+        vv[b, :, pos[b]:] = 100.0
+    scale = 1.0 / math.sqrt(D)
+    got = np.asarray(flash_verify_batched(
+        jnp.asarray(q), jnp.asarray(kk, jnp.bfloat16),
+        jnp.asarray(vv, jnp.bfloat16), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(pos), scale, interpret=True))
+    ref_k, ref_v = k.copy(), v.copy()
+    knb = np.asarray(jnp.asarray(kn, jnp.bfloat16).astype(jnp.float32))
+    vnb = np.asarray(jnp.asarray(vn, jnp.bfloat16).astype(jnp.float32))
+    for b in range(B):
+        ref_k[b, :, pos[b]:pos[b] + T] = knb[b]
+        ref_v[b, :, pos[b]:pos[b] + T] = vnb[b]
+    want = np.asarray(jax.vmap(
+        attention_jnp, (0, 0, 0, 0, None, None, None, None))(
+        jnp.asarray(q), jnp.asarray(ref_k, jnp.bfloat16),
+        jnp.asarray(ref_v, jnp.bfloat16), jnp.asarray(pos), T, scale,
+        None, 0.0))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_verify_batched_int8_window_softcap_inactive():
+    """int8 cache + sliding window + softcap + an INACTIVE slot: frozen
+    rows [0, pos+t] attended per window token, virtual rows masked."""
+    from ntransformer_tpu.ops.layers import attention_jnp
+    from ntransformer_tpu.ops.pallas.batched_attention import \
+        flash_verify_batched
+    B, Hkv, S, D, T, group = 3, 2, 64, 32, 3, 2
+    Hq = Hkv * group
+    q, k, v, kn, vn = _mk_win(B, Hq, Hkv, S, D, T, seed=5)
+    pos = np.array([2, 30, 59], np.int32)
+    act = np.array([1, 0, 1], np.int32)
+    win, cap = 24, 30.0
+    scale = 1.0 / math.sqrt(D)
+
+    def quant(x):
+        s = np.abs(x).max(-1, keepdims=True) / 127.0 + 1e-9
+        return np.round(x / s).astype(np.int8), s.astype(np.float32)
+
+    kc, ks = quant(k)
+    vc, vs = quant(v)
+    knc, kns = quant(kn)
+    vnc, vns = quant(vn)
+    kcp, vcp = kc.copy(), vc.copy()
+    for b in range(B):
+        if act[b]:   # inactive slots DO attend their frozen rows >= pos
+            kcp[b, :, pos[b]:] = 127
+            vcp[b, :, pos[b]:] = 127
+    got = np.asarray(flash_verify_batched(
+        jnp.asarray(q),
+        (jnp.asarray(kcp), jnp.asarray(ks.reshape(B, Hkv, S))),
+        (jnp.asarray(vcp), jnp.asarray(vs.reshape(B, Hkv, S))),
+        (jnp.asarray(knc), jnp.asarray(kns)),
+        (jnp.asarray(vnc), jnp.asarray(vns)),
+        jnp.asarray(pos), scale, active=jnp.asarray(act),
+        window=jnp.int32(win), softcap=cap, interpret=True))
+    ref_kf = kc.astype(np.float32) * ks
+    ref_vf = vc.astype(np.float32) * vs
+    for b in range(B):
+        if act[b]:
+            ref_kf[b, :, pos[b]:pos[b] + T] = knc[b].astype(np.float32) * kns[b]
+            ref_vf[b, :, pos[b]:pos[b] + T] = vnc[b].astype(np.float32) * vns[b]
+    want = np.asarray(jax.vmap(
+        attention_jnp, (0, 0, 0, 0, None, None, None, None))(
+        jnp.asarray(q),
+        jnp.asarray(ref_kf, jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(ref_vf, jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(pos), T, scale, jnp.int32(win), cap))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_deferred_verify_step_matches_jnp_step(tmp_path, quant):
+    """The full deferred-write VERIFY step (stacked-cache kernel + causal
+    virtual block + post-scan T-row bulk append) reproduces the jnp
+    write-then-attend path's logits AND cache contents — including an
+    inactive slot with non-zero frozen rows."""
+    from ntransformer_tpu.models.batched import (BatchedKV,
+                                                 batched_decode_step,
+                                                 batched_verify_step)
+    from ntransformer_tpu.models.loader import load_model
+    from tools.make_test_gguf import write_model
+    path = str(tmp_path / "tv.gguf")
+    write_model(path, "tiny", "q8_0", seed=31)
+    m = load_model(path)
+    arch, w = m.arch, m.weights
+    B, T = 3, 4
+    tokens = jnp.asarray([[3, 7, 11, 2], [5, 1, 9, 4], [8, 8, 2, 6]],
+                         jnp.int32)
+    # warm both caches with two all-active decode steps (non-zero frozen
+    # rows for the inactive slot below)
+    kv_j = BatchedKV.create(arch, B, quant=quant)
+    kv_n = BatchedKV.create(arch, B, quant=quant)
+    act1 = jnp.asarray([True, True, True])
+    dtok = jnp.asarray([3, 7, 11], jnp.int32)
+    for p in range(2):
+        pv = jnp.full((B,), p, jnp.int32)
+        _, kv_j = batched_decode_step(arch, w, kv_j, dtok, pv, act1,
+                                      impl="jnp")
+        _, kv_n = batched_decode_step(arch, w, kv_n, dtok, pv, act1,
+                                      impl="kernel")
+    pos = jnp.asarray([2, 2, 2], jnp.int32)
+    active = jnp.asarray([True, True, False])
+    l_ref, kv_j = batched_verify_step(arch, w, kv_j, tokens, pos, active,
+                                      impl="jnp")
+    l_k, kv_n = batched_verify_step(arch, w, kv_n, tokens, pos, active,
+                                    impl="kernel")
+    # int8 gets the looser int8-kernel tolerance (the jnp path attends
+    # bf16-DEQUANTIZED codes; the kernel folds scales exactly in f32 —
+    # activations diverge at bf16 rounding scale, and the re-quantized
+    # rows of later layers can flip codes by ±1), matching the wrapper
+    # tests above; bf16 caches must agree bitwise.
+    tol = 2e-2 if quant else 5e-3
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                               rtol=tol, atol=tol)
+    if quant:
+        kd_n = np.asarray(kv_n.k, np.float32) * np.asarray(kv_n.ks)[..., None]
+        kd_j = np.asarray(kv_j.k, np.float32) * np.asarray(kv_j.ks)[..., None]
+        vd_n = np.asarray(kv_n.v, np.float32) * np.asarray(kv_n.vs)[..., None]
+        vd_j = np.asarray(kv_j.v, np.float32) * np.asarray(kv_j.vs)[..., None]
+        np.testing.assert_allclose(kd_n, kd_j, atol=2e-2)
+        np.testing.assert_allclose(vd_n, vd_j, atol=2e-2)
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(kv_n.k).astype(np.float32),
+            np.asarray(kv_j.k).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(kv_n.v).astype(np.float32),
+            np.asarray(kv_j.v).astype(np.float32))

@@ -531,3 +531,101 @@ def test_kv_quant_shrinks_hbm_reserve(tiny_gguf):
                             kv_quant=True)
     assert t_q.tiers.n_hbm > t_bf.tiers.n_hbm, \
         (t_q.tiers.n_hbm, t_bf.tiers.n_hbm)
+
+
+# --- runtime tier-B requant ----------------------------------------------
+
+def test_runtime_ram_requant_serves_q4k_and_matches_offline(tmp_path):
+    """RUNTIME tier-B requant (reference streamer.cu:45-153): Q6_K RAM
+    copies requantize to Q4_K at load with NO pack rebuild — the RAM blob
+    is byte-identical to the OFFLINE requant pack's blob (same dequant →
+    quant chain), tier-C layers stay Q6_K, RAM + per-token H2D shrink."""
+    from ntransformer_tpu.memory.pack import requant_layer_meta
+
+    path = str(tmp_path / "t6.gguf")
+    write_model(path, "tiny", "q6_k", seed=9)
+    tm = load_model_tiered(path, max_hbm_layers=1, max_ram_layers=2,
+                           hbm_bytes=64 * GB, ram_bytes=64 * GB,
+                           requant_ram=DType.Q4_K)
+    st = tm.streamer
+    assert set(st.ram_meta) == {1, 2}          # the 2 RAM-tier layers
+    assert st.layer_nbytes(1) < tm.pack.layer_nbytes(1)
+    assert st.layer_nbytes(3) == tm.pack.layer_nbytes(3)  # disk untouched
+
+    # byte parity vs the offline pack-build requant of the same layer
+    reader = GGUFReader(path)
+    off_pack = PackWriter(reader, requant=DType.Q4_K).write(
+        str(tmp_path / "off.ntp"))
+    size = st.ram_meta[1]["size"]
+    assert size == off_pack.layer_meta(1)["size"]
+    np.testing.assert_array_equal(st.ram_blobs[1][:size],
+                                  off_pack.read_layer(1)[:size])
+
+    # served dtypes: RAM layer -> Q4_K planes, disk layer -> Q6_K
+    st.begin_h2d(1, 0)
+    assert st.get_weights(0).wq.dtype == DType.Q4_K
+    st.signal_compute_done(0)
+    st.prefetch_staging(3, 0)
+    st.begin_h2d(3, 0)
+    assert st.get_weights(0).wq.dtype == DType.Q6_K
+    st.signal_compute_done(0)
+
+    # mixed-dtype streamed forward runs and matches itself deterministically
+    kv = TieredKV.create(tm.arch, tm.tiers)
+    toks = jnp.asarray([3, 5, 7], jnp.int32)
+    logits, kv, _ = forward_tiered(tm, kv, toks, 0)
+    assert np.isfinite(np.asarray(logits)).all()
+    st.close()
+
+
+def test_runtime_ram_requant_pure_streaming_bit_matches_offline(tmp_path):
+    """With every layer in the RAM tier, runtime requant is BIT-IDENTICAL
+    to decoding from the offline requant pack (same blobs, same compute):
+    the runtime path buys the same result without the pack rebuild."""
+    path = str(tmp_path / "t6b.gguf")
+    write_model(path, "tiny", "q6_k", seed=11)
+    toks = jnp.asarray([2, 9, 4, 8], jnp.int32)
+
+    def decode(**kw):
+        tm = load_model_tiered(path, max_hbm_layers=0, max_ram_layers=4,
+                               hbm_bytes=64 * GB, ram_bytes=64 * GB, **kw)
+        kv = TieredKV.create(tm.arch, tm.tiers)
+        logits, kv, _ = forward_tiered(tm, kv, toks, 0)
+        out = [int(jnp.argmax(logits[-1]))]
+        for i in range(4):
+            logits, kv, _ = forward_tiered(
+                tm, kv, jnp.asarray([out[-1]], jnp.int32), 4 + i)
+            out.append(int(jnp.argmax(logits[-1])))
+        arr = np.asarray(logits)
+        tm.streamer.close()
+        return out, arr
+
+    out_rt, lg_rt = decode(requant_ram=DType.Q4_K)
+    out_off, lg_off = decode(requant=DType.Q4_K)
+    assert out_rt == out_off
+    np.testing.assert_array_equal(lg_rt, lg_off)
+
+
+def test_requant_ram_sizer_budgets_smaller_layers(tmp_path):
+    """The RAM-tier auto-sizer uses the REQUANTED per-layer size: with a
+    budget that fits 2 requanted layers but only 1 at full size, requant
+    gets both (the reference's motivation for requant-on-stage)."""
+    from ntransformer_tpu.memory.pack import ensure_pack, requant_layer_meta
+    path = str(tmp_path / "t6c.gguf")
+    write_model(path, "tiny", "q6_k", seed=13)
+    reader = GGUFReader(path)
+    pack = ensure_pack(reader, path)
+    full = pack.layer_meta(0)["size"]
+    small = requant_layer_meta(pack.layer_meta(0), DType.Q4_K)["size"]
+    assert small < full
+    from ntransformer_tpu.memory.tiers import RAM_SAFETY_BYTES
+    budget = RAM_SAFETY_BYTES + 2 * small + full // 8
+    tm = load_model_tiered(path, max_hbm_layers=1, hbm_bytes=64 * GB,
+                           ram_bytes=budget, requant_ram=DType.Q4_K)
+    assert tm.tiers.n_ram == 2
+    tm.streamer.close()
+    tm2 = load_model_tiered(path, max_hbm_layers=1, hbm_bytes=64 * GB,
+                            ram_bytes=budget)
+    assert tm2.tiers.n_ram == 1
+    if tm2.streamer:
+        tm2.streamer.close()

@@ -326,3 +326,61 @@ def test_device_unpacker_bit_parity_on_tpu(tmp_path):
             np.testing.assert_array_equal(np.asarray(g.planes[pn]),
                                           w.planes[pn])
     np.testing.assert_array_equal(np.asarray(got.attn_norm), want.attn_norm)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_compiled_batched_verify_window_parity(quant):
+    """Mosaic-compiled VERIFY window (T causal virtual rows, token-major
+    query rows) == jnp masked attention over a cache that already holds
+    the window's rows at [pos, pos+T) — bf16 and int8, with an inactive
+    slot and a sliding window."""
+    from ntransformer_tpu.ops.layers import attention_jnp
+    from ntransformer_tpu.ops.pallas.batched_attention import (
+        flash_verify_batched)
+
+    B, Hq, Hkv, D, S, T, W = 4, 8, 2, 128, 256, 4, 48
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((B, T, Hq, D)).astype(np.float32) * 0.3
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.3
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.3
+    pos = np.array([0, 7, 63, 250], np.int32)
+    active = np.array([True, True, False, True])
+    scale = 1.0 / np.sqrt(D)
+    dev = TPU[0]
+    put = lambda a, dt=None: jax.device_put(
+        jnp.asarray(a, dt) if dt else jnp.asarray(a), dev)
+    win_rows = np.stack([k[b, :, pos[b]:pos[b] + T] for b in range(B)])
+    win_vals = np.stack([v[b, :, pos[b]:pos[b] + T] for b in range(B)])
+    if quant:
+        ks = np.abs(k).max(-1, keepdims=True) / 127.0 + 1e-9
+        vs = np.abs(v).max(-1, keepdims=True) / 127.0 + 1e-9
+        kc = np.round(k / ks).astype(np.int8)
+        vc = np.round(v / vs).astype(np.int8)
+        kv_k = (put(kc), put(ks.reshape(B, Hkv, S).astype(np.float32)))
+        kv_v = (put(vc), put(vs.reshape(B, Hkv, S).astype(np.float32)))
+        knc = np.stack([kc[b, :, pos[b]:pos[b] + T] for b in range(B)])
+        vnc = np.stack([vc[b, :, pos[b]:pos[b] + T] for b in range(B)])
+        kns = np.stack([ks[b, :, pos[b]:pos[b] + T, 0] for b in range(B)])
+        vns = np.stack([vs[b, :, pos[b]:pos[b] + T, 0] for b in range(B)])
+        k_new = (put(knc), put(kns.astype(np.float32)))
+        v_new = (put(vnc), put(vns.astype(np.float32)))
+        kf = kc.astype(np.float32) * ks
+        vf = vc.astype(np.float32) * vs
+    else:
+        kv_k, kv_v = put(k, jnp.bfloat16), put(v, jnp.bfloat16)
+        k_new = put(win_rows, jnp.bfloat16)
+        v_new = put(win_vals, jnp.bfloat16)
+        kf = np.asarray(jnp.asarray(k, jnp.bfloat16).astype(jnp.float32))
+        vf = np.asarray(jnp.asarray(v, jnp.bfloat16).astype(jnp.float32))
+    got = np.asarray(flash_verify_batched(
+        put(q), kv_k, kv_v, k_new, v_new, put(pos), scale,
+        active=put(active), window=jnp.int32(W), interpret=False))
+    # jnp reference: rows already in the cache; attention_jnp masks window
+    # token t to keys [0, pos+t] — identical data either way, so the
+    # active/inactive distinction collapses (exactly like the decode test)
+    want = np.asarray(jax.vmap(
+        attention_jnp, (0, 0, 0, 0, None, None, None, None))(
+        jnp.asarray(q), jnp.asarray(kf, jnp.float32),
+        jnp.asarray(vf, jnp.float32), jnp.asarray(pos), T, scale,
+        jnp.int32(W), 0.0))
+    _assert_rel_rms(got.reshape(-1), want.reshape(-1))
