@@ -317,6 +317,10 @@ BENCHES = {
     "llama8b_q4_0_resident_decode": lambda: bench_decode("q4_0"),
     "llama8b_q4_k_m_resident_decode": lambda: bench_decode("q4_k_m"),
     "llama8b_q6_k_resident_decode": lambda: bench_decode("q6_k"),
+    # w4a8: the int8-MXU quantized-activation decode format (r5) — what a
+    # Q4_K_M/Q6_K file serves at with --w4a8 (quality priced per source
+    # dtype by tools/quality_gate.py)
+    "llama8b_w4a8_resident_decode": lambda: bench_decode("w4a8"),
     "llama8b_q8_0_b32_int8_aggregate": bench_b32_int8,
     "llama8b_q8_0_prefill_t2048": bench_prefill,
     "tiered_1b_overlap_efficiency": bench_tiered,

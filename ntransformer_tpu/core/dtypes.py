@@ -29,6 +29,11 @@ class DType(enum.Enum):
     Q6_K = "q6_k"
     Q2_K = "q2_k"  # layout defined; no kernel yet (matches reference)
     I32 = "i32"
+    # Engine-native runtime format (NOT a GGUF storage type): 4-bit affine
+    # codes + per-256-group f32 scale/min planes, consumed by the int8-MXU
+    # quantized-activation decode kernel (core/w4a8.py). Produced by
+    # load-time requant from any source dtype; opt-in via --w4a8.
+    W4A8 = "w4a8"
 
 
 @dataclass(frozen=True)
@@ -51,6 +56,8 @@ _BLOCK_INFO = {
     DType.Q5_K: BlockInfo(256, 176),  # + 32B high-bit plane
     DType.Q6_K: BlockInfo(256, 210),  # 128B ql + 64B qh + 16B int8 scales + f16 d
     DType.Q2_K: BlockInfo(256, 84),
+    # w4a8: per 512 elems, 256 code bytes + 4 f32 plane entries = 4.25 bpw
+    DType.W4A8: BlockInfo(512, 272),
 }
 
 

@@ -56,6 +56,7 @@ SPLIT_UNIT = {
     DType.Q4_K: 64,
     DType.Q5_K: 64,
     DType.Q6_K: 128,
+    DType.W4A8: 512,  # lo half = even 256-groups, hi = odd (core/w4a8.py)
 }
 
 
@@ -102,6 +103,15 @@ LAYOUTS: dict[DType, tuple[PlaneSpec, ...]] = {
         PlaneSpec("sc_lo", "int8", 32),
         PlaneSpec("sc_hi", "int8", 32),
         PlaneSpec("d", "uint16", 256),
+    ),
+    # Engine-native w4a8 (core/w4a8.py) — produced by load-time requant,
+    # never by relayout() of file bytes.
+    DType.W4A8: (
+        PlaneSpec("qs", "uint8", 2),
+        PlaneSpec("s_lo", "float32", 512),
+        PlaneSpec("s_hi", "float32", 512),
+        PlaneSpec("m_lo", "float32", 512),
+        PlaneSpec("m_hi", "float32", 512),
     ),
 }
 
@@ -204,6 +214,10 @@ def split_x(x: np.ndarray, dtype: DType) -> tuple[np.ndarray, np.ndarray]:
 def dequant_planes(planes: dict[str, np.ndarray], dtype: DType,
                    k: int, n: int) -> np.ndarray:
     """Reconstruct W^T [K, N] f32 in ORIGINAL element order from planes."""
+    if dtype == DType.W4A8:
+        from .w4a8 import dequant_w4a8
+        return dequant_w4a8(planes, k, n, xp=np)
+
     if dtype == DType.Q8_0:
         d = planes["d"].view(np.float16).astype(np.float32)
         qs = planes["qs"].astype(np.float32)

@@ -138,6 +138,43 @@ def load_layer_host(reader: GGUFReader, i: int, compute: str = "quant") -> Layer
     )
 
 
+def convert_layer_w4a8(lw: LayerWeights) -> LayerWeights:
+    """Requantize every eligible weight matrix of one layer to W4A8
+    (core/w4a8.py; opt-in, changes numerics — priced by
+    tools/quality_gate.py). Matrices whose shapes don't fit the format
+    (K % 512, N % 128 — e.g. tiny MoE routers) keep their source dtype;
+    qmatmul dispatches per-QLinear, so mixing is free."""
+    import dataclasses
+
+    from ..ops.linear import convert_qlinear_w4a8
+
+    def conv(v):
+        if not isinstance(v, QLinear) or v.dtype == DType.W4A8:
+            return v
+        if v.k % 512 or v.n % 128:
+            return v
+        return convert_qlinear_w4a8(v)
+
+    return dataclasses.replace(lw, **{
+        f: conv(getattr(lw, f)) for f in lw.__dataclass_fields__
+        if isinstance(getattr(lw, f), QLinear)})
+
+
+def convert_weights_w4a8(weights: ModelWeights) -> ModelWeights:
+    """W4A8-convert a fully-built ModelWeights (synth/bench path; the GGUF
+    load path converts per-layer on host before device placement). The
+    embedding table keeps its source dtype — it is a gather, not a
+    bandwidth-bound matmul; a tied LM head gets its own converted copy."""
+    import dataclasses
+
+    from ..ops.linear import convert_qlinear_w4a8
+    layers = convert_layer_w4a8(weights.layers)
+    lm_head = weights.lm_head
+    if lm_head.k % 512 == 0 and lm_head.n % 128 == 0:
+        lm_head = convert_qlinear_w4a8(lm_head)
+    return dataclasses.replace(weights, layers=layers, lm_head=lm_head)
+
+
 @dataclass
 class LoadedModel:
     config: ModelConfig
@@ -155,7 +192,7 @@ class LoadedModel:
 def load_model(path: str, *, max_seq_len: int | None = None,
                compute: str = "quant", n_layers: int | None = None,
                with_tokenizer: bool = True, device: bool = True,
-               fuse: bool = False) -> LoadedModel:
+               fuse: bool = False, w4a8: bool = False) -> LoadedModel:
     """Load a GGUF model fully resident in device memory.
 
     compute: "quant" keeps quantized planes (Pallas kernels dequant on the
@@ -165,6 +202,9 @@ def load_model(path: str, *, max_seq_len: int | None = None,
     so sharded device_put never coexists with a full unsharded device copy.
     fuse=True builds fused wqkv / w_gate_up matrices (single-chip resident
     decode; incompatible with TP column sharding).
+    w4a8=True requantizes eligible matrices to the engine-native W4A8
+    format on host before placement (int8-MXU decode kernel; CHANGES
+    NUMERICS — price with tools/quality_gate.py).
     """
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
@@ -181,7 +221,10 @@ def load_model(path: str, *, max_seq_len: int | None = None,
         embed = _to_device(embed)
     layers = []
     for i in range(cfg.n_layers):
-        layers.append(put_layer(load_layer_host(reader, i, compute)))
+        lw = load_layer_host(reader, i, compute)
+        if w4a8:
+            lw = convert_layer_w4a8(lw)  # on host, pre-placement
+        layers.append(put_layer(lw))
     stacked = jax.tree.map(lambda *xs: stack(xs), *layers)
     if fuse:
         assert device, "fuse=True requires device placement (resident path)"
@@ -192,10 +235,18 @@ def load_model(path: str, *, max_seq_len: int | None = None,
         output_norm = jnp.asarray(output_norm)
     if "output.weight" in reader:
         lm_head = load_qlinear_host(reader, "output.weight", compute)
+        if w4a8 and lm_head.k % 512 == 0 and lm_head.n % 128 == 0:
+            from ..ops.linear import convert_qlinear_w4a8
+            lm_head = convert_qlinear_w4a8(lm_head)
         if device:
             lm_head = _to_device(lm_head)
     else:
         lm_head = embed  # tied embeddings (transformer.cpp:92-99)
+        if w4a8 and lm_head.k % 512 == 0 and lm_head.n % 128 == 0:
+            # tied head: the HEAD gets a converted copy, the gather table
+            # keeps its source dtype (embedding lookup is not a matmul)
+            from ..ops.linear import convert_qlinear_w4a8
+            lm_head = convert_qlinear_w4a8(lm_head)
     import os
     from ..core.dtypes import DType as _DT
     # default-on for K-quant heads: their superblock kernels lose ~2x on

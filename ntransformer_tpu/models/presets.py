@@ -15,6 +15,9 @@ PRESETS = {
     # (il % 6 == 5) — a 4-layer model would test only the local path
     "deep": dict(vocab=512, hidden=128, inter=256, layers=7, heads=4,
                  kv_heads=2, ctx=512, rope_theta=10000.0),
+    # smallest shape the W4A8 format accepts (K % 512 == 0 everywhere)
+    "tiny512": dict(vocab=512, hidden=512, inter=1024, layers=2, heads=8,
+                    kv_heads=4, ctx=512, rope_theta=10000.0),
     # mixture-of-experts (mixtral-shaped: llama arch + expert tensors);
     # inter is the PER-EXPERT FFN width
     "moe": dict(vocab=512, hidden=128, inter=192, layers=3, heads=4,

@@ -38,6 +38,9 @@ def synth_qlinear(n: int, k: int, dtype: DType, lead: int | None = None) -> QLin
         shape = (rows, n) if lead is None else (lead, rows, n)
         if spec.np_dtype == "uint16":
             arr = jnp.full(shape, np.uint16(_F16_SMALL), dtype=jnp.uint16)
+        elif spec.np_dtype == "float32":
+            # w4a8 s/m planes: small positive so dequant magnitudes are sane
+            arr = jnp.full(shape, 0.004, dtype=jnp.float32)
         elif spec.name.startswith(("sc", "mn")):
             arr = jnp.full(shape, 8, dtype=spec.np_dtype)
         else:

@@ -81,4 +81,8 @@ def dequant_planes_jnp(planes: dict, dtype: DType, k: int, n: int,
                        w_hi.reshape(k // 128, 64, n)], axis=1)
         return w.reshape(k, n).astype(out_dtype)
 
+    if dtype == DType.W4A8:
+        from ..core.w4a8 import dequant_w4a8
+        return dequant_w4a8(planes, k, n, xp=jnp).astype(out_dtype)
+
     raise ValueError(f"no jnp plane dequant for {dtype}")

@@ -120,6 +120,12 @@ def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
         return jnp.dot(x.astype(w.dtype), w,
                        preferred_element_type=jnp.float32).astype(out_dtype)
     if use_kernel:
+        if ql.dtype == DType.W4A8 and x.shape[0] == 1:
+            # int8-MXU quantized-activation decode kernel; T>1 (prefill /
+            # verify) falls through to the exact-dequant tile below
+            from .pallas.w4a8 import w4a8_decode_pallas
+            return w4a8_decode_pallas(x, ql, out_dtype=out_dtype,
+                                      layer=layer)
         from .pallas.matmul import quant_matmul_pallas
         return quant_matmul_pallas(x, ql, out_dtype=out_dtype, layer=layer)
     planes = ql.planes
@@ -127,9 +133,55 @@ def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
         planes = {nm: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
                   for nm, v in planes.items()}
     k, n = plane_dims(planes, ql.dtype)
+    if ql.dtype == DType.W4A8 and x.shape[0] == 1:
+        # CPU fallback mirrors the decode kernel's quantized-activation
+        # semantics (parity target: core/w4a8.w4a8_matmul_golden)
+        from ..core.w4a8 import w4a8_matmul_golden
+        return w4a8_matmul_golden(x.astype(jnp.float32), planes, k, n,
+                                  xp=jnp).astype(out_dtype)
     w = dequant_planes_jnp(planes, ql.dtype, k, n, out_dtype=jnp.bfloat16)
     return jnp.dot(x.astype(jnp.bfloat16), w,
                    preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def convert_qlinear_w4a8(ql: QLinear) -> QLinear:
+    """Requantize any QLinear to the engine-native W4A8 format
+    (core/w4a8.py): dequantize each [rows, N] plane set to f32 W^T and
+    requantize per-(256-group, column). Handles stacked leading dims
+    ([L, ...] layer stacks, [E, ...] expert stacks) by mapping over them.
+    numpy planes stay numpy (host load path); jnp planes stay on device
+    (synth/bench path). CHANGES NUMERICS — callers gate with --w4a8."""
+    from ..core.w4a8 import requant_w4a8
+    if ql.dtype == DType.W4A8:
+        return ql
+    names = QLinear.plane_names(ql.dtype)
+    first = ql.planes[names[0]]
+    xp = np if isinstance(first, np.ndarray) else jnp
+    lead = first.shape[:-2]
+    flat = {nm: v.reshape((-1,) + v.shape[len(lead):])
+            for nm, v in ql.planes.items()}
+    n_slices = flat[names[0]].shape[0]
+    outs = []
+    for i in range(n_slices):
+        sl = {nm: flat[nm][i] for nm in names}
+        if ql.dtype in _FLOAT_KINDS:
+            w = sl["w"].astype(xp.float32)
+            k, n = w.shape
+        else:
+            k, n = plane_dims(sl, ql.dtype)
+            if xp is np:
+                from ..core.layout import dequant_planes
+                w = dequant_planes(sl, ql.dtype, k, n)
+            else:
+                w = dequant_planes_jnp(sl, ql.dtype, k, n)
+        outs.append(requant_w4a8(w, xp))
+    stacked = {nm: xp.stack([o[nm] for o in outs]) for nm in outs[0]}
+    if lead:
+        planes = {nm: v.reshape(lead + v.shape[1:])
+                  for nm, v in stacked.items()}
+    else:
+        planes = {nm: v[0] for nm, v in stacked.items()}
+    return QLinear(DType.W4A8, ql.k, ql.n, planes)
 
 
 def gather_columns(ql: QLinear, ids: jnp.ndarray) -> QLinear:

@@ -245,12 +245,34 @@ def _q6_k_tile(vals, tkh, tn):
             + _dot(xhf, w_hi) - corr)
 
 
+def _w4a8_tile(vals, tkh, tn):
+    """w4a8 planes on the T>1 (prefill/verify) path: exact dequant + bf16
+    MXU dot, amortized across tokens — the same structure as the K-quant
+    tiles but with ready f32 scale/min planes (no f16-bit or 6-bit scale
+    unpack). The hi shift folds into s_hi/16 (exact). The T=1 decode path
+    uses the int8-MXU kernel in ops/pallas/w4a8.py instead."""
+    x_lo, x_hi, qs, s_lo, s_hi, m_lo, m_hi = vals
+    q = qs.astype(jnp.int32)
+    g = tkh // 256
+    s_hi16 = s_hi * (1.0 / 16.0)
+    w_lo = ((q & 0x0F).astype(F32).reshape(g, 256, tn)
+            * s_lo.reshape(g, 1, tn)).reshape(tkh, tn)
+    w_hi = ((q & 0xF0).astype(F32).reshape(g, 256, tn)
+            * s_hi16.reshape(g, 1, tn)).reshape(tkh, tn)
+    xlf = x_lo.astype(F32)
+    xhf = x_hi.astype(F32)
+    corr = (_dot(_group_sums(xlf, g), m_lo)
+            + _dot(_group_sums(xhf, g), m_hi))
+    return _dot(xlf, w_lo) + _dot(xhf, w_hi) - corr
+
+
 _TILE_FNS = {
     DType.Q8_0: _q8_0_tile,
     DType.Q4_0: _q4_0_tile,
     DType.Q4_K: _q4_k_tile,
     DType.Q5_K: _q5_k_tile,
     DType.Q6_K: _q6_k_tile,
+    DType.W4A8: _w4a8_tile,
 }
 
 # plane order must match QLinear.plane_names / LAYOUTS
@@ -262,9 +284,11 @@ _PLANE_ROWS_DIV = {
     DType.Q5_K: {"qs": 2, "qh": 8, "sc_lo": 64, "sc_hi": 64, "mn_lo": 64,
                  "mn_hi": 64, "d": 256, "dmin": 256},
     DType.Q6_K: {"ql": 2, "qh": 4, "sc_lo": 32, "sc_hi": 32, "d": 256},
+    DType.W4A8: {"qs": 2, "s_lo": 512, "s_hi": 512, "m_lo": 512,
+                 "m_hi": 512},
 }
 
-_SPLIT = {DType.Q4_0, DType.Q4_K, DType.Q5_K, DType.Q6_K}
+_SPLIT = {DType.Q4_0, DType.Q4_K, DType.Q5_K, DType.Q6_K, DType.W4A8}
 
 # Experiment hook: {(dtype, k, n): (tn, tk)} overrides for the shape sweep
 # (experiments/shape_sweep.py); production choices live in _pick_tiles.
@@ -296,7 +320,13 @@ def _pick_tiles(dtype: DType, k: int, n: int) -> tuple[int, int]:
     baked = _TILE_TABLE.get((dtype, k, n))
     if baked is not None:
         return baked
-    tn = _largest_tile(n, (512, 256, 128))
+    # sub-128-lane (or non-128-multiple) N: a block EQUAL to the whole dim
+    # is always legal — small-kv-dim models (head_dim 32) hit this
+    tn = n if n % 128 else _largest_tile(n, (512, 256, 128))
+    if dtype == DType.W4A8:
+        # s/m plane rows are tk/512 and must be 8-divisible or whole-K
+        kcands = ((k,) if k <= 14336 else ()) + (8192, 4096)
+        return tn, _largest_tile(k, kcands)
     if dtype != DType.Q8_0:
         kcands = ((k,) if k <= 14336 else ()) + (8192, 6144, 4096, 2048,
                                                  1024, 512, 256)

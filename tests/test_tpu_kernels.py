@@ -384,3 +384,58 @@ def test_compiled_batched_verify_window_parity(quant):
         jnp.asarray(vf, jnp.float32), jnp.asarray(pos), T, scale,
         jnp.int32(W), 0.0))
     _assert_rel_rms(got.reshape(-1), want.reshape(-1))
+
+
+def test_compiled_w4a8_decode_parity():
+    """Mosaic-compiled w4a8 int8-MXU decode kernel == golden math
+    (core/w4a8.w4a8_matmul_golden) — the fixup dots run HIGHEST so parity
+    is tight, not just relative-RMS."""
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.core.w4a8 import requant_w4a8, w4a8_matmul_golden
+    from ntransformer_tpu.ops.linear import QLinear
+    from ntransformer_tpu.ops.pallas.w4a8 import w4a8_decode_pallas
+
+    rng = np.random.default_rng(11)
+    w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    planes = requant_w4a8(w)
+    x = (rng.standard_normal((1, K)) * 0.5).astype(np.float32)
+    want = w4a8_matmul_golden(x, planes, K, N)
+
+    dev = TPU[0]
+    ql = QLinear(DType.W4A8, K, N,
+                 {nm: jax.device_put(v, dev) for nm, v in planes.items()})
+    got = np.asarray(w4a8_decode_pallas(
+        jax.device_put(jnp.asarray(x), dev), ql, interpret=False))
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
+
+    # stacked layer select
+    w1 = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    planes1 = requant_w4a8(w1)
+    stacked = {nm: jax.device_put(np.stack([planes[nm], planes1[nm]]), dev)
+               for nm in planes}
+    qls = QLinear(DType.W4A8, K, N, stacked)
+    got1 = np.asarray(w4a8_decode_pallas(
+        jax.device_put(jnp.asarray(x), dev), qls, interpret=False,
+        layer=jnp.int32(1)))
+    want1 = w4a8_matmul_golden(x, planes1, K, N)
+    assert np.abs(got1 - want1).max() / np.abs(want1).max() < 2e-5
+
+
+def test_compiled_w4a8_t_gt_1_tile_parity():
+    """The w4a8 T>1 exact-dequant tile compiled on TPU == x @ dequant(W)."""
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.core.w4a8 import dequant_w4a8, requant_w4a8
+    from ntransformer_tpu.ops.linear import QLinear
+    from ntransformer_tpu.ops.pallas.matmul import quant_matmul_pallas
+
+    rng = np.random.default_rng(12)
+    w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    planes = requant_w4a8(w)
+    wd = dequant_w4a8(planes, K, N)
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    dev = TPU[0]
+    ql = QLinear(DType.W4A8, K, N,
+                 {nm: jax.device_put(v, dev) for nm, v in planes.items()})
+    got = np.asarray(quant_matmul_pallas(
+        jax.device_put(jnp.asarray(x), dev), ql, interpret=False))
+    _assert_rel_rms(got, x @ wd)

@@ -55,8 +55,12 @@ GOLDEN_PROMPTS = ["def ", "The ", "import ", "# "]
 # |Δ nll/token| budget vs the base model, per requant target. Generous
 # enough for real-model quantization error, tight enough that a broken
 # dequant chain (wrong scales, swapped planes) fails by orders of
-# magnitude.
-PPL_BUDGET = {"q8_0": 0.02, "q6_k": 0.05, "q4_k_m": 0.15, "q4_0": 0.25}
+# magnitude. "+w4a8" rows load the requanted file with --w4a8 (runtime
+# W4A8 conversion + int8 activations) and run DECODE-MODE PPL (per-token
+# T=1 stepping — the path whose numerics w4a8 changes); their deltas are
+# measured against a decode-mode base NLL.
+PPL_BUDGET = {"q8_0": 0.02, "q6_k": 0.05, "q4_k_m": 0.15, "q4_0": 0.25,
+              "w4a8": 0.25, "q6_k+w4a8": 0.3, "q4_k_m+w4a8": 0.35}
 
 
 def log(msg):
@@ -109,11 +113,12 @@ def _goldens(path: str, n_tokens: int) -> dict:
     return out
 
 
-def _ppl(path: str, ids, ctx: int) -> float:
+def _ppl(path: str, ids, ctx: int, w4a8: bool = False,
+         mode: str = "prefill") -> float:
     from ntransformer_tpu.models.loader import load_model
     from tools.perplexity import perplexity
-    model = load_model(path)
-    r = perplexity(model, ids, ctx)
+    model = load_model(path, w4a8=w4a8)
+    r = perplexity(model, ids, ctx, mode=mode)
     return float(r["nll_per_token"])
 
 
@@ -180,24 +185,53 @@ def run_gate(model_path: str, corpus: str, dtypes: list[str],
     nll0 = _ppl(model_path, ids, ctx)
     ppl_res = {"base_nll": round(nll0, 5), "deltas": {}}
     results["checks"]["ppl"] = {"ok": True, **ppl_res}
+    w4a8_rows = [d for d in dtypes if d == "w4a8" or d.endswith("+w4a8")]
+    if w4a8_rows:
+        # W4A8 needs K % 512 == 0; on an ineligible model the conversion
+        # would silently no-op and the rows would "pass" measuring nothing
+        from ntransformer_tpu.core.gguf import GGUFReader
+        from ntransformer_tpu.models.config import ModelConfig
+        c = ModelConfig.from_gguf_metadata(GGUFReader(model_path).metadata)
+        if c.hidden_size % 512 or c.intermediate_size % 512:
+            log(f"SKIP w4a8 rows: hidden={c.hidden_size} inter="
+                f"{c.intermediate_size} not 512-divisible — the W4A8 "
+                "format does not apply to this model")
+            results["checks"].setdefault("ppl_skipped", {})["w4a8"] = \
+                "shapes not 512-divisible"
+            dtypes = [d for d in dtypes if d not in w4a8_rows]
+    nll0_dec = None
+    if any(d == "w4a8" or d.endswith("+w4a8") for d in dtypes):
+        # decode-mode base: w4a8 rows step T=1 (their changed path), so
+        # their deltas compare against the base stepped the same way
+        nll0_dec = _ppl(model_path, ids, ctx, mode="decode")
+        results["checks"]["ppl"]["base_nll_decode"] = round(nll0_dec, 5)
+        log(f"  base decode-mode nll {nll0_dec:.5f} "
+            f"(prefill {nll0:.5f})")
     tmpdir = tempfile.mkdtemp(prefix="qgate_")
     for dt in dtypes:
-        target = DType[dt.upper().replace("Q4_K_M", "Q4_K")] \
-            if dt != "q4_k_m" else DType.Q4_K
-        out = os.path.join(tmpdir, f"requant_{dt}.gguf")
-        try:
-            requant(model_path, out, target)
-        except Exception as e:
-            fail("ppl", f"requant to {dt} failed: {e}")
-            continue
-        nll = _ppl(out, ids, ctx)
-        delta = nll - nll0
+        w4a8 = dt == "w4a8" or dt.endswith("+w4a8")
+        base_dt = dt.removesuffix("+w4a8") if dt != "w4a8" else None
+        if base_dt is None:
+            path_dt = model_path
+        else:
+            target = DType[base_dt.upper().replace("Q4_K_M", "Q4_K")] \
+                if base_dt != "q4_k_m" else DType.Q4_K
+            path_dt = os.path.join(tmpdir, f"requant_{base_dt}.gguf")
+            try:
+                requant(model_path, path_dt, target)
+            except Exception as e:
+                fail("ppl", f"requant to {dt} failed: {e}")
+                continue
+        nll = _ppl(path_dt, ids, ctx, w4a8=w4a8,
+                   mode="decode" if w4a8 else "prefill")
+        delta = nll - (nll0_dec if w4a8 else nll0)
         results["checks"]["ppl"]["deltas"][dt] = round(delta, 5)
         log(f"  {dt}: nll {nll:.5f} (Δ {delta:+.5f})")
         budget = PPL_BUDGET.get(dt, 0.25)
         if not math.isfinite(nll) or abs(delta) > budget:
             fail("ppl", f"{dt} Δnll {delta:+.5f} exceeds ±{budget}")
-        os.unlink(out)
+        if path_dt != model_path:
+            os.unlink(path_dt)
 
     if update or not os.path.exists(fx_path):
         json.dump(results, open(fx_path, "w"), indent=1)
@@ -209,7 +243,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--corpus", default=os.path.join(REPO, "README.md"))
-    ap.add_argument("--dtypes", default="q6_k,q4_k_m,q4_0")
+    ap.add_argument("--dtypes",
+                    default="q6_k,q4_k_m,q4_0,w4a8,q4_k_m+w4a8,q6_k+w4a8")
     ap.add_argument("--fixtures", default=None)
     ap.add_argument("--update", action="store_true",
                     help="(re)write the fixture file from this run")

@@ -47,6 +47,7 @@ INTER = 512
 CTX = 512
 ROPE_THETA = 10000.0
 EPS = 1e-5
+NAME = "repolm"  # output file stem (overridden by --name)
 
 BOS, EOS = 1, 2
 BYTE0 = 3  # token id of <0x00>
@@ -165,7 +166,25 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--inner", type=int, default=50,
                     help="train steps per dispatch (lax.scan)")
+    # shape overrides (r5: a hidden>=512 variant is W4A8-eligible —
+    # K % 512 == 0 — so the quality gate can price w4a8 on LEARNED weights)
+    global HIDDEN, INTER, N_LAYERS, N_HEADS, N_KV, HEAD_DIM, NAME
+    ap.add_argument("--hidden", type=int, default=None)
+    ap.add_argument("--inter", type=int, default=None)
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--heads", type=int, default=None)
+    ap.add_argument("--kv", type=int, default=None)
+    ap.add_argument("--name", default="repolm",
+                    help="output file stem (<name>_q8.gguf, <name>_meta.json)")
     args = ap.parse_args()
+
+    HIDDEN = args.hidden or HIDDEN
+    INTER = args.inter or INTER
+    N_LAYERS = args.layers or N_LAYERS
+    N_HEADS = args.heads or N_HEADS
+    N_KV = args.kv or N_KV
+    HEAD_DIM = HIDDEN // N_HEADS
+    NAME = args.name
 
     import jax
     import jax.numpy as jnp
@@ -267,10 +286,10 @@ def export(params, out_dir: str, val_loss: float):
     from ntransformer_tpu.core.gguf import GGUFValueType, GGUFWriter
     from ntransformer_tpu.core.quant import quantize
 
-    path = os.path.join(out_dir, "repolm_q8.gguf")
+    path = os.path.join(out_dir, f"{NAME}_q8.gguf")
     w = GGUFWriter(path)
     w.add_meta("general.architecture", "llama")
-    w.add_meta("general.name", "repolm-byte-6L")
+    w.add_meta("general.name", f"{NAME}-byte-{N_LAYERS}L")
     # this writer emits q/k rows UNPERMUTED (HF half-split rope order)
     w.add_meta("ntransformer.rope_style", "half")
     w.add_meta("llama.vocab_size", VOCAB)
@@ -316,10 +335,14 @@ def export(params, out_dir: str, val_loss: float):
     w.write()
     print(f"# wrote {path} ({os.path.getsize(path)/1e6:.2f} MB)",
           file=sys.stderr)
+    import jax as _jax
+    n_params = sum(int(np.prod(x.shape)) for x in _jax.tree.leaves(params))
     meta = {"val_loss": val_loss, "ppl": float(np.exp(val_loss)),
             "bits_per_byte": float(val_loss / np.log(2)),
-            "params": "3.6M", "corpus": "repo .py/.md"}
-    with open(os.path.join(out_dir, "repolm_meta.json"), "w") as f:
+            "params": f"{n_params/1e6:.1f}M", "corpus": "repo .py/.md",
+            "shapes": dict(hidden=HIDDEN, inter=INTER, layers=N_LAYERS,
+                           heads=N_HEADS, kv=N_KV)}
+    with open(os.path.join(out_dir, f"{NAME}_meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
 
