@@ -34,11 +34,12 @@ from ..ops.linear import QLinear
 
 MAGIC = b"NTP1"
 # format version: 2 = layer blobs may carry qwen2 QKV bias vectors;
-# 3 = they may also carry qwen3/gemma3 per-head q/k norms
-# (both in LAYER_BIASES). Readers check this against the source GGUF: an
+# 3 = they may also carry qwen3/gemma3 per-head q/k norms;
+# 4 = they may also carry gemma2/3 post-attention/post-FFN norms
+# (all in LAYER_BIASES). Readers check this against the source GGUF: an
 # old pack of a vector-carrying GGUF must rebuild or tiered decode would
 # silently drop them.
-PACK_VERSION = 3
+PACK_VERSION = 4
 ALIGN = 4096
 
 # pack tensor key -> (GGUF suffix, LayerWeights field)
@@ -50,11 +51,14 @@ LAYER_TENSORS = {
 LAYER_NORMS = {"attn_norm": "attn_norm.weight", "ffn_norm": "ffn_norm.weight"}
 # optional small f32 vectors that ride the same plain-array mechanism as
 # the norms, included per layer only when the GGUF has them: qwen2-family
-# QKV biases (v2) and qwen3/gemma3 per-head q/k norms (v3)
+# QKV biases (v2), qwen3/gemma3 per-head q/k norms (v3), gemma2/3 post
+# norms (v4 — tiered SWA support, r4 verdict item 4)
 LAYER_BIASES = {"bq": "attn_q.bias", "bk": "attn_k.bias",
                 "bv": "attn_v.bias",
                 "q_norm": "attn_q_norm.weight",
-                "k_norm": "attn_k_norm.weight"}
+                "k_norm": "attn_k_norm.weight",
+                "attn_post_norm": "post_attention_norm.weight",
+                "ffn_post_norm": "post_ffw_norm.weight"}
 
 
 def _align(n: int, a: int = ALIGN) -> int:
@@ -435,7 +439,10 @@ def ensure_pack(reader, gguf_path: str, requant: DType | None = None,
             needs_biases = ((pr.version < 2
                              and "blk.0.attn_q.bias" in reader)
                             or (pr.version < 3
-                                and "blk.0.attn_q_norm.weight" in reader))
+                                and "blk.0.attn_q_norm.weight" in reader)
+                            or (pr.version < 4
+                                and "blk.0.post_attention_norm.weight"
+                                in reader))
             if pr.header.get("src_key") == key and not needs_biases:
                 return pr
         except Exception:

@@ -366,7 +366,8 @@ def layer_window(arch: Arch, layer):
 
 def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
                n_valid=None, tp_axis: str | None = None, layer=None,
-               cp_axis: str | None = None, ep_axis: str | None = None):
+               cp_axis: str | None = None, ep_axis: str | None = None,
+               abs_layer=None):
     """One transformer block. x [T, H] f32; kv [Hkv, S, D]; pos scalar.
 
     n_valid (traced scalar or None): with bucketed prefill, only the first
@@ -382,11 +383,17 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     leaves) — the quantized matmuls select the layer inside the Pallas
     kernel via scalar prefetch, so the layer scan never copies weights
     (XLA's dynamic-slice of scan-carried planes measured ~55% of decode).
+
+    abs_layer: the ABSOLUTE layer index when it differs from the weight-
+    select index — the tiered path hands single (unstacked) streamed
+    layers here with layer=None, but SWA parity and gemma3's dual rope
+    table still need the real depth position (r4 verdict item 4).
     """
     T = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
     q_scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
-    window, local = layer_window(arch, layer)
+    window, local = layer_window(
+        arch, abs_layer if abs_layer is not None else layer)
 
     def norm_w(w):
         if layer is not None:

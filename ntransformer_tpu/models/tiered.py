@@ -113,6 +113,9 @@ class _TPFns:
             # qwen2 QKV biases shard on lanes with their matrices' columns
             bias = ((P(None, TP_AXIS) if stacked else P(TP_AXIS))
                     if lw.bq is not None else None)
+            # gemma2/3 post norms and qwen3/gemma3 q/k norms are replicated
+            # vectors (post norms see the post-psum full sum; q/k norms are
+            # per-head-dim and heads shard, but the [D] vector is shared)
             return LayerWeights(
                 attn_norm=norm,
                 wq=_qlinear_spec(lw.wq, col, stacked),
@@ -124,6 +127,10 @@ class _TPFns:
                 w_up=_qlinear_spec(lw.w_up, col, stacked),
                 w_down=_qlinear_spec(lw.w_down, row, stacked),
                 bq=bias, bk=bias, bv=bias,
+                attn_post_norm=norm if lw.attn_post_norm is not None else None,
+                ffn_post_norm=norm if lw.ffn_post_norm is not None else None,
+                q_norm=norm if lw.q_norm is not None else None,
+                k_norm=norm if lw.k_norm is not None else None,
             )
 
         self._lw_specs = lw_specs
@@ -205,26 +212,31 @@ class _TPFns:
                            donate_argnums=(2, 3))
         return self._get(("res", has_nv, has_sel, wc), build)
 
-    def stream_step_fn(self, has_nv, wc):
+    def stream_step_fn(self, has_nv, wc, has_abs: bool = False):
         P = self._P
         rep2 = P(None, None)
 
         def build():
             def body(lw, x, kk, vv, idx, pos, cos_t, sin_t, *opt):
-                nv = opt[0] if has_nv else None
+                i = 0
+                nv = opt[i] if has_nv else None
+                i += int(has_nv)
+                abs_layer = opt[i] if has_abs else None
                 return _stream_step.__wrapped__(
                     self.arch_l, lw, x, kk, vv, idx, pos, cos_t, sin_t,
-                    nv, wc, tp_axis=self.tp_axis)
+                    nv, wc, tp_axis=self.tp_axis, abs_layer=abs_layer)
             in_specs = [self.lw_spec_single, rep2, self.kv_spec,
                         self.kv_spec, P(), P(), rep2, rep2]
             if has_nv:
+                in_specs.append(P())
+            if has_abs:
                 in_specs.append(P())
             out_specs = (rep2, self.kv_spec, self.kv_spec, P())
             return jax.jit(shard_map(body, mesh=self.mesh,
                                      in_specs=tuple(in_specs),
                                      out_specs=out_specs, check_rep=False),
                            donate_argnums=(2, 3))
-        return self._get(("stream", has_nv, wc), build)
+        return self._get(("stream", has_nv, wc, has_abs), build)
 
     def head_fn(self, resident_specs, has_nv, all_logits):
         P = self._P
@@ -278,10 +290,12 @@ def _resident_scan(arch: Arch, layers: LayerWeights, x, kv_k, kv_v, pos,
          donate_argnames=("kv_k", "kv_v"))
 def _stream_step(arch: Arch, lw: LayerWeights, x, kv_k, kv_v, idx, pos,
                  cos_t, sin_t, n_valid=None, with_cosine: bool = False,
-                 tp_axis: str | None = None):
+                 tp_axis: str | None = None, abs_layer=None):
     """One streamed layer: idx is the layer's slot in the streamed KV stack
     (traced, so every streamed layer reuses one compilation). kv_k/kv_v may
-    be (codes, scales) tuples for the int8 cache."""
+    be (codes, scales) tuples for the int8 cache. abs_layer (traced) is the
+    ABSOLUTE layer index — SWA window parity and gemma3's dual rope table
+    need the real depth position even though lw is a single layer."""
     kk = jax.tree.map(
         lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
         kv_k)
@@ -289,7 +303,7 @@ def _stream_step(arch: Arch, lw: LayerWeights, x, kv_k, kv_v, idx, pos,
         lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
         kv_v)
     x2, kk, vv = layer_step(arch, x, lw, kk, vv, pos, cos_t, sin_t, n_valid,
-                            tp_axis)
+                            tp_axis, abs_layer=abs_layer)
     kv_k = jax.tree.map(
         lambda c, n: jax.lax.dynamic_update_index_in_dim(c, n, idx, 0),
         kv_k, kk)
@@ -404,15 +418,19 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
                 if i + 2 < len(sched):
                     s.prefetch_staging(sched[i + 2], slot)
                 idx = jnp.int32(layer - s.first)
+                abs_layer = (jnp.int32(layer) if arch.swa_pattern else None)
                 if tpf is None:
                     x, kk, vv, cos_l = _stream_step(
                         arch, lw, x, kk, vv, idx, pos, cos_t, sin_t,
-                        n_valid, want_cos)
+                        n_valid, want_cos, abs_layer=abs_layer)
                 else:
-                    fn = tpf.stream_step_fn(n_valid is not None, want_cos)
+                    fn = tpf.stream_step_fn(n_valid is not None, want_cos,
+                                            abs_layer is not None)
                     args = [lw, x, kk, vv, idx, pos, cos_t, sin_t]
                     if n_valid is not None:
                         args.append(jnp.asarray(n_valid, jnp.int32))
+                    if abs_layer is not None:
+                        args.append(abs_layer)
                     x, kk, vv, cos_l = fn(*args)
                 s.signal_compute_done(slot)
                 if with_cosine:
@@ -490,14 +508,13 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
     arch = Arch.from_config(cfg)
-    if arch.swa_pattern:
-        # the streamed per-layer step is compiled once with the layer's
-        # KV-stack SLOT as its only index — SWA needs the absolute layer
-        # parity. gemma2 tops out at 27B (fits resident on one v5e pod
-        # slice); tiered streaming is the 70B feature.
+    if arch.rope_local_theta and mesh is not None:
+        # gemma3's dual rope tables are 3-D ([2, S, d2]); the TP shard_map
+        # specs here are written for the 2-D table. Single-chip tiered
+        # gemma3 works; the spec plumbing lands with a TP parity test.
         raise NotImplementedError(
-            "sliding-window models (gemma2) are not supported on the "
-            "tiered/streamed path — load resident (Engine.load)")
+            "gemma3 (dual rope tables) x TP tiered streaming is not "
+            "supported yet — run tiered single-chip, or resident TP")
     if arch.n_experts:
         raise NotImplementedError(
             "mixture-of-experts models are not supported on the tiered/"
@@ -575,6 +592,14 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
     output_norm = jnp.asarray(load_norm(reader, "output_norm.weight"))
     cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_theta,
                           rope_freq_factors(reader))
+    if cfg.rope_local_theta:
+        # gemma3: SWA layers rotate with their own base — stacked
+        # [global, local] tables; layer_step selects by SWA parity
+        # (same as loader.load_model)
+        lcos, lsin = rope_table(cfg.max_seq_len, cfg.head_dim,
+                                cfg.rope_local_theta)
+        cos = jnp.stack([cos, lcos])
+        sin = jnp.stack([sin, lsin])
     resident = ModelWeights(embed=embed_dev, layers=stacked,
                             output_norm=output_norm, lm_head=lm_head,
                             rope_cos=cos, rope_sin=sin)

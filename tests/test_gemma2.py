@@ -188,13 +188,16 @@ def test_gemma2_engine_generates(tmp_path_factory):
     assert t1 == t2 and s1.decode_tokens > 0
 
 
-def test_gemma2_tiered_refused(tmp_path_factory):
+def test_gemma2_tiered_loads(tmp_path_factory):
+    """r5: SWA models stream — the per-layer step carries the absolute
+    layer index (llama.layer_step abs_layer), so the r4 refusal is gone.
+    Full tiered-vs-resident parity lives in tests/test_tiered.py."""
     from ntransformer_tpu.models.tiered import load_model_tiered
     path = str(tmp_path_factory.mktemp("models") / "gemma2_q8b.gguf")
     write_model(path, "tiny", "q8_0", seed=73, arch="gemma2")
-    with pytest.raises(NotImplementedError, match="sliding-window"):
-        load_model_tiered(path, max_hbm_layers=2, max_ram_layers=2,
-                          hbm_bytes=8 << 30, ram_bytes=16 << 30)
+    tm = load_model_tiered(path, max_hbm_layers=2, max_ram_layers=2,
+                           hbm_bytes=8 << 30, ram_bytes=16 << 30)
+    assert tm.arch.swa_pattern and tm.tiers.n_streamed > 0
 
 
 def test_gemma2_batched_server_matches_engine(tmp_path_factory):

@@ -629,3 +629,69 @@ def test_requant_ram_sizer_budgets_smaller_layers(tmp_path):
     assert tm2.tiers.n_ram == 1
     if tm2.streamer:
         tm2.streamer.close()
+
+
+# --- SWA families on the tiered path (r4 verdict item 4) ---------------------
+
+@pytest.fixture(scope="module")
+def gemma2_gguf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "g2_q8.gguf"
+    write_model(str(path), "deep", "q8_0", seed=31, arch="gemma2")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def gemma3_gguf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "g3_q8.gguf"
+    write_model(str(path), "deep", "q8_0", seed=32, arch="gemma3")
+    return str(path)
+
+
+def test_tiered_gemma2_parity(gemma2_gguf):
+    """Sliding-window + softcap + post-norm layers stream bit-parity with
+    the resident path: the streamed step carries the ABSOLUTE layer index
+    (layer_step abs_layer) so SWA parity is preserved, and the v4 pack
+    carries the post norms. 'deep' = 7 layers, so hbm=2/ram=2/disk=3 puts
+    both local and global layers in every tier."""
+    rm = load_model(gemma2_gguf, compute="quant")
+    assert rm.arch.swa_pattern, "fixture must be an SWA model"
+    tm = _tiered(gemma2_gguf, max_hbm=2, max_ram=2)
+    assert tm.tiers.n_disk >= 1
+    # long enough that positions fall OUT of the tiny window (16), so a
+    # wrong window mask actually fails
+    tokens = jnp.asarray(np.arange(24) % 64, jnp.int32)
+    _parity(tm, rm, tokens)
+    # decode continues past the window
+    kv_t = TieredKV.create(tm.arch, tm.tiers)
+    lt, kv_t, _ = forward_tiered(tm, kv_t, tokens, 0)
+    kv_r = KVCache.create(rm.arch)
+    lr, kv_r, _ = forward(rm.arch, rm.weights, kv_r, tokens, 0)
+    for step in range(3):
+        nxt = jnp.asarray([int(np.argmax(np.asarray(lr)[-1]))], jnp.int32)
+        lt, kv_t, _ = forward_tiered(tm, kv_t, nxt, 24 + step)
+        lr, kv_r, _ = forward(rm.arch, rm.weights, kv_r, nxt, 24 + step)
+        np.testing.assert_allclose(np.asarray(lt), np.asarray(lr),
+                                   rtol=1e-4, atol=2e-4)
+
+
+def test_tiered_gemma3_parity(gemma3_gguf):
+    """gemma3 adds the DUAL rope table (local layers rotate at their own
+    base) — the tiered loader now builds the stacked [global, local]
+    tables and the streamed step selects by absolute-layer parity."""
+    rm = load_model(gemma3_gguf, compute="quant")
+    assert rm.arch.rope_local_theta
+    tm = _tiered(gemma3_gguf, max_hbm=2, max_ram=2)
+    assert tm.resident.rope_cos.ndim == 3
+    tokens = jnp.asarray(np.arange(24) % 64, jnp.int32)
+    _parity(tm, rm, tokens)
+
+
+def test_tiered_gemma3_tp_refused(gemma3_gguf):
+    """gemma3 x TP tiered is a documented loud refusal (dual-rope specs)."""
+    import jax as _jax
+    from jax.sharding import Mesh
+    from ntransformer_tpu.parallel.tp import TP_AXIS
+    mesh = Mesh(np.asarray(_jax.devices()[:2]), (TP_AXIS,))
+    with pytest.raises(NotImplementedError, match="dual rope"):
+        load_model_tiered(gemma3_gguf, max_hbm_layers=2, max_ram_layers=2,
+                          hbm_bytes=64 * GB, ram_bytes=64 * GB, mesh=mesh)
