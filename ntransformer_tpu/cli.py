@@ -166,13 +166,8 @@ def main(argv=None) -> int:
                       "single-request engine modes and do not compose "
                       "with it")
             return 2
-        if args.spec_k and (args.tp or args.dp):
-            log.error("--spec-k does not compose with --tp/--dp yet")
-            return 2
-        if args.spec_k and args.temperature > 0:
-            log.error("--spec-k is greedy-only (set --temperature 0); "
-                      "sampled speculation needs rejection sampling")
-            return 2
+        # --spec-k composes with temperature > 0 (greedy-draft rejection
+        # sampling) and with --tp/--dp meshes (sharded draft/verify) — r5
         mesh = None
         if args.tp or args.dp:
             from .parallel.multihost import make_mesh

@@ -148,6 +148,82 @@ def _sample_batched(logits, keys, recent, n, temps, top_ps, penalties,
     return toks, keys_new, recent, n + 1
 
 
+@functools.partial(jax.jit, static_argnames=("k_cap", "vocab_size"))
+def _spec_accept_batched(vlogits, drafts, keys, recent, n, temps, top_ps,
+                         penalties, k_limits, active,
+                         k_cap: int, vocab_size: int):
+    """Speculative ACCEPT for sampled serving: greedy-draft rejection
+    sampling, exactly unbiased. The draft distribution is the point mass
+    at the draft model's argmax d_j, so the Leviathan accept rule reduces
+    to: accept d_j with probability p_j(d_j) (the slot's full tempered /
+    top-k / top-p / penalty-adjusted target distribution); on rejection,
+    sample the correction from p_j with d_j masked out and renormalized —
+    the combined law is exactly p_j. All K+1 positions run in one on-device
+    scan per slot (vmapped), with the repeat-penalty window advancing
+    through the round so position j+1 sees position j's accepted token.
+
+    vlogits [B, K+1, V], drafts [B, K] -> (toks [B, K+1] int32 with a
+    vocab_size sentinel beyond each slot's emitted prefix, n_acc [B],
+    new sampler state). Greedy slots (temp <= 0) reduce to the prefix-
+    match rule (accept iff argmax == draft, correction = argmax) — the
+    same tokens as the greedy host path."""
+    B, K1, V = vlogits.shape
+    splits = jax.vmap(jax.random.split)(keys)
+    _, subs = splits[:, 0], splits[:, 1]
+
+    def row(lg_all, dr, key, rec, cnt, t, p, pen, kl, alive0):
+        w = rec.shape[0]
+
+        def dist(lg, rec):
+            lg = lg.astype(jnp.float32)
+            seen = jnp.zeros((vocab_size,), jnp.bool_).at[rec].set(
+                True, mode="drop")
+            pl = jnp.where(lg > 0, lg / pen, lg * pen)
+            lg = jnp.where(seen & (pen != 1.0), pl, lg)
+            x = lg / jnp.maximum(t, 1e-6)
+            vals, idx = jax.lax.top_k(x, k_cap)
+            keep = jnp.arange(k_cap) < kl
+            logp = jax.nn.log_softmax(jnp.where(keep, vals, -jnp.inf))
+            probs = jnp.exp(logp)
+            cum = jnp.cumsum(probs)
+            keep = keep & ((cum - probs) < p)
+            logp = jnp.where(keep, logp, -jnp.inf)
+            return idx, logp, jnp.argmax(lg).astype(jnp.int32)
+
+        def step(carry, inp):
+            key, rec, cnt, alive, n_acc = carry
+            lg, d, is_bonus = inp
+            idx, logp, gmax = dist(lg, rec)
+            key, ku, kc = jax.random.split(key, 3)
+            p_d = jnp.sum(jnp.where(idx == d, jnp.exp(logp), 0.0))
+            accept = jnp.where(t <= 0.0, gmax == d,
+                               jax.random.uniform(ku) < p_d) & ~is_bonus
+            # correction / bonus draw (bonus keeps the full distribution)
+            logp_c = jnp.where((idx == d) & ~is_bonus, -jnp.inf, logp)
+            corr = jnp.where(t <= 0.0, gmax,
+                             idx[jax.random.categorical(kc, logp_c)]
+                             .astype(jnp.int32))
+            tok = jnp.where(accept, d, corr)
+            tok_out = jnp.where(alive, tok, jnp.int32(vocab_size))
+            rec = jnp.where(alive, rec.at[cnt % w].set(tok), rec)
+            cnt = cnt + alive
+            n_acc = n_acc + (alive & accept)
+            alive = alive & accept  # bonus always ends the round
+            return (key, rec, cnt, alive, n_acc), tok_out
+
+        drs = jnp.concatenate([dr, jnp.full((1,), -1, jnp.int32)])
+        bonus = jnp.arange(K1) == (K1 - 1)
+        (key, rec, cnt, _alive, n_acc), toks = jax.lax.scan(
+            step, (key, rec, cnt, alive0, jnp.int32(0)),
+            (lg_all, drs, bonus))
+        return toks, n_acc, key, rec, cnt
+
+    toks, n_acc, keys2, rec2, n2 = jax.vmap(row)(
+        vlogits, drafts, subs, recent, n, temps, top_ps, penalties,
+        k_limits, active)
+    return toks, n_acc, keys2, rec2, n2
+
+
 class BatchedSampler:
     """Per-slot sampling state kept ON DEVICE for the serving loop: one
     jit + one D2H per STEP instead of one D2H per active sequence plus a
@@ -238,6 +314,19 @@ class BatchedSampler:
             logits, self.keys, self.recent, self.n, self.temps,
             self.top_ps, self.penalties, self.k_limits, self.k_cap, self.V)
         return self._fetch(toks)
+
+    def spec_accept(self, vlogits, drafts, active):
+        """Speculative accept round (see _spec_accept_batched): returns
+        host (toks [B, K+1] sentinel-padded, n_acc [B]) and advances the
+        per-slot RNG/window state by each slot's emitted tokens. vlogits /
+        drafts / active arrive as device (or mesh-global) arrays shaped
+        [B, K+1, V] / [B, K] / [B] — the serving loop's _vec handles mesh
+        placement."""
+        toks, n_acc, self.keys, self.recent, self.n = _spec_accept_batched(
+            vlogits, drafts, self.keys, self.recent, self.n, self.temps,
+            self.top_ps, self.penalties, self.k_limits, active,
+            self.k_cap, self.V)
+        return self._fetch(toks), self._fetch(n_acc)
 
 
 class Sampler:

@@ -190,20 +190,13 @@ class BatchServer:
         self.spec_k = spec_k
         self.spec_draft = (spec_draft_layers if spec_draft_layers is not None
                            else max(1, model.arch.n_layers // 2))
-        if spec_k:
-            scfg_chk = sampler_cfg or SamplerConfig(temperature=0.0)
-            if not scfg_chk.greedy:
-                raise NotImplementedError(
-                    "speculative serving is greedy-only (spec_k with "
-                    "temperature > 0 needs rejection sampling; set "
-                    "temperature=0.0)")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "speculative serving does not compose with a dp/tp "
-                    "mesh yet — drop --spec-k or the mesh")
-            if not (1 <= self.spec_draft <= model.arch.n_layers):
-                raise ValueError(
-                    f"spec_draft_layers must be in [1, {model.arch.n_layers}]")
+        # spec_k with temperature > 0 runs greedy-draft REJECTION SAMPLING
+        # (BatchedSampler.spec_accept — exactly unbiased for the
+        # deterministic draft); spec_k on a dp/tp mesh runs the sharded
+        # draft/verify twins (parallel/dp.py). Both r4 refusals removed.
+        if spec_k and not (1 <= self.spec_draft <= model.arch.n_layers):
+            raise ValueError(
+                f"spec_draft_layers must be in [1, {model.arch.n_layers}]")
         # prefix_cache > 0: keep the last N admitted prompts' prefill KV
         # alive; a new request whose prompt shares a prefix with one
         # prefills only the DELTA (shared system prompts prefill once).
@@ -240,6 +233,7 @@ class BatchServer:
                 self.arch, w, bkv, t, p, a)
             self._insert = lambda bkv, kv, slot: bkv.insert(slot, kv)
             self._vec = jnp.asarray
+            self._vec2 = jnp.asarray
             self._fetch = np.asarray
             self._sampler_kw = {}
             self._make_bkv = lambda: BatchedKV.create(self.arch, self.B,
@@ -326,8 +320,18 @@ class BatchServer:
         _, bkv_spec, has_tp = _specs(mesh, template, quant=self.kv_quant)
         self._step = make_batched_decode_sharded(mesh, arch, template,
                                                  quant=self.kv_quant)
+        if self.spec_k:
+            from ..parallel.dp import (make_batched_draft_sharded,
+                                       make_batched_verify_sharded)
+            self._draft = make_batched_draft_sharded(
+                mesh, arch, template, quant=self.kv_quant,
+                n_layers=self.spec_draft)
+            self._verify = make_batched_verify_sharded(
+                mesh, arch, template, quant=self.kv_quant)
         vec_sh = NamedSharding(
             mesh, P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None))
+        dp_ax = DP_AXIS if DP_AXIS in mesh.axis_names else None
+        vec2_sh = NamedSharding(mesh, P(dp_ax, None))
 
         def _global(x, sh):
             """Host value (same on every process) → global array."""
@@ -335,6 +339,7 @@ class BatchServer:
             return jax.make_array_from_callback(x.shape, sh,
                                                 lambda idx: x[idx])
         self._vec = lambda x: _global(x, vec_sh)
+        self._vec2 = lambda x: _global(x, vec2_sh)  # [B, K+1] spec windows
         rep = NamedSharding(mesh, P())
         # fetch: reshard to fully-replicated (an all-gather across dp),
         # then one D2H every process can perform
@@ -407,9 +412,15 @@ class BatchServer:
         if self.spec_k:
             dl, bkv = self._draft(self.weights, bkv, toks, pos, act)
             self._fetch(jnp.argmax(dl, axis=-1))
-            vt = self._vec(np.zeros((self.B, self.spec_k + 1), np.int32))
+            vt = self._vec2(np.zeros((self.B, self.spec_k + 1), np.int32))
             vl, bkv = self._verify(self.weights, bkv, vt, pos, act)
             self._fetch(jnp.argmax(vl, axis=-1))
+            if not self.scfg.greedy:
+                # compile the sampled-spec accept round too
+                bs0 = BatchedSampler(self.scfg, arch.vocab_size, self.B,
+                                     **self._sampler_kw)
+                bs0.spec_accept(vl, self._vec2(
+                    np.zeros((self.B, self.spec_k), np.int32)), act)
         kv = self._make_kv()
         S, chunk = arch.max_seq_len, self.admit_chunk
         if buckets is None:
@@ -653,9 +664,11 @@ class BatchServer:
 
         def spec_round():
             """K lock-step drafts through the resident prefix + one verify
-            window; each slot accepts its longest matching prefix and a
-            correction token — 1..K+1 tokens per slot per round, greedy
-            output bit-identical to the plain step."""
+            window. Greedy: each slot accepts its longest argmax-matching
+            prefix + a correction token — output bit-identical to the
+            plain step. Sampled: greedy-draft rejection sampling on device
+            (BatchedSampler.spec_accept — exactly unbiased, so the output
+            DISTRIBUTION matches spec-off serving)."""
             nonlocal bkv
             K = self.spec_k
             drafts = np.zeros((B, K), np.int32)
@@ -668,10 +681,26 @@ class BatchServer:
                 drafts[:, j] = dtok
             stats.draft_steps += K
             vt = np.concatenate([tokens[:, None], drafts], axis=1)
-            vlogits, bkv = self._verify(self.weights, bkv, self._vec(vt),
+            vlogits, bkv = self._verify(self.weights, bkv, self._vec2(vt),
                                         self._vec(pos), act)
             stats.steps += 1
-            targets = self._fetch(jnp.argmax(vlogits, axis=-1))  # [B, K+1]
+            if self.scfg.greedy:
+                targets = self._fetch(jnp.argmax(vlogits, axis=-1))
+                emitted_rows = []
+                for b in range(B):
+                    n_acc = 0
+                    while n_acc < K and targets[b, n_acc] == drafts[b, n_acc]:
+                        n_acc += 1
+                    emitted_rows.append(
+                        (list(drafts[b, :n_acc]) + [int(targets[b, n_acc])],
+                         n_acc))
+            else:
+                toks_acc, n_accs = bsampler.spec_accept(
+                    vlogits, self._vec2(drafts), act)
+                emitted_rows = [
+                    ([int(t) for t in toks_acc[b] if t < self.arch.vocab_size],
+                     int(n_accs[b]))
+                    for b in range(B)]
             for b in range(B):
                 if not active[b]:
                     continue
@@ -679,12 +708,9 @@ class BatchServer:
                 if r.cancelled:
                     retire(b)
                     continue
-                n_acc = 0
-                while n_acc < K and targets[b, n_acc] == drafts[b, n_acc]:
-                    n_acc += 1
+                emitted, n_acc = emitted_rows[b]
                 stats.spec_drafted += K
                 stats.spec_accepted += n_acc
-                emitted = list(drafts[b, :n_acc]) + [targets[b, n_acc]]
                 for t in emitted:
                     nxt = int(t)
                     emit(r, nxt)

@@ -370,13 +370,25 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
 def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens, pos, active, tp_axis: str | None = None,
                         impl: str | None = None,
-                        kv_append: str | None = None):
+                        kv_append: str | None = None,
+                        n_layers: int | None = None):
     """Un-jitted step body for callers that trace it inside their own
     transform (shard_map in parallel/dp.py). Env switches resolve at the
-    caller's trace time."""
+    caller's trace time. n_layers: resident-prefix DRAFT depth (sharded
+    speculative serving)."""
     impl, kv_append = _resolve_impl(impl, kv_append, tokens.shape[0])
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
-                      impl, kv_append)
+                      impl, kv_append, n_layers)
+
+
+def batched_verify_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
+                        tokens, pos, active, tp_axis: str | None = None,
+                        impl: str | None = None):
+    """Un-jitted verify-window body (shard_map callers; see
+    batched_verify_step)."""
+    impl, _ = _resolve_impl(impl, "dus", tokens.shape[0])
+    return _batched_verify_step.__wrapped__(arch, weights, kv, tokens, pos,
+                                            active, tp_axis, impl)
 
 
 @partial(jax.jit, static_argnames=("arch", "tp_axis", "impl", "kv_append",

@@ -101,3 +101,52 @@ def make_batched_decode_sharded(mesh: Mesh, arch: Arch,
                   out_specs=(P(dp_ax, None), kv_spec),
                   check_rep=False)
     return jax.jit(f, donate_argnums=(1,))
+
+
+def make_batched_draft_sharded(mesh: Mesh, arch: Arch,
+                               weights_template: ModelWeights,
+                               quant: bool = False,
+                               n_layers: int | None = None):
+    """Sharded resident-prefix DRAFT step (speculative serving on a dp/tp
+    mesh): batched_decode_body limited to the first n_layers."""
+    from ..models.batched import batched_decode_body
+    wspecs, kv_spec, has_tp = _specs(mesh, weights_template, quant)
+    arch_l = local_arch(arch, mesh.shape[TP_AXIS]) if has_tp else arch
+    vec = P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None)
+
+    def body(weights, kv, tokens, pos, active):
+        return batched_decode_body(
+            arch_l, weights, kv, tokens, pos, active,
+            tp_axis=TP_AXIS if has_tp else None, n_layers=n_layers)
+
+    dp_ax = DP_AXIS if DP_AXIS in mesh.axis_names else None
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(wspecs, kv_spec, vec, vec, vec),
+                  out_specs=(P(dp_ax, None), kv_spec),
+                  check_rep=False)
+    return jax.jit(f, donate_argnums=(1,))
+
+
+def make_batched_verify_sharded(mesh: Mesh, arch: Arch,
+                                weights_template: ModelWeights,
+                                quant: bool = False):
+    """Sharded VERIFY window (speculative serving on a dp/tp mesh):
+    tokens [B, K+1] shard on dp with the slots; logits come back
+    [B, K+1, V] dp-sharded on the slot axis."""
+    from ..models.batched import batched_verify_body
+    wspecs, kv_spec, has_tp = _specs(mesh, weights_template, quant)
+    arch_l = local_arch(arch, mesh.shape[TP_AXIS]) if has_tp else arch
+    dp_ax = DP_AXIS if DP_AXIS in mesh.axis_names else None
+    vec = P(dp_ax)
+    vec2 = P(dp_ax, None)
+
+    def body(weights, kv, tokens, pos, active):
+        return batched_verify_body(
+            arch_l, weights, kv, tokens, pos, active,
+            tp_axis=TP_AXIS if has_tp else None)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(wspecs, kv_spec, vec2, vec, vec),
+                  out_specs=(P(dp_ax, None, None), kv_spec),
+                  check_rep=False)
+    return jax.jit(f, donate_argnums=(1,))

@@ -404,12 +404,86 @@ def test_spec_serve_int8_kv(model):
 
 def test_spec_serve_refusals(model):
     """Unsupported spec combinations refuse loudly at construction."""
-    with pytest.raises(NotImplementedError, match="greedy-only"):
-        BatchServer(model, spec_k=2,
-                    sampler_cfg=SamplerConfig(temperature=0.8))
     with pytest.raises(ValueError, match="spec_draft_layers"):
         BatchServer(model, spec_k=2, spec_draft_layers=0,
                     sampler_cfg=SamplerConfig(temperature=0.0))
+
+
+def test_spec_accept_greedy_matches_prefix_rule():
+    """BatchedSampler.spec_accept with temp<=0 slots reproduces the greedy
+    longest-argmax-prefix + correction rule exactly."""
+    import jax.numpy as jnp
+    from ntransformer_tpu.inference.sampler import BatchedSampler
+    rng = np.random.default_rng(0)
+    B, K, V = 3, 3, 64
+    vlogits = rng.standard_normal((B, K + 1, V)).astype(np.float32)
+    targets = vlogits.argmax(-1)                       # [B, K+1]
+    drafts = targets[:, :K].copy()
+    drafts[0, 1] = (targets[0, 1] + 1) % V             # reject at j=1
+    drafts[2, 0] = (targets[2, 0] + 1) % V             # reject at j=0
+    bs = BatchedSampler(SamplerConfig(temperature=0.0, repeat_penalty=1.0),
+                        V, B)
+    toks, n_acc = bs.spec_accept(jnp.asarray(vlogits), jnp.asarray(drafts),
+                                 jnp.ones(B, bool))
+    assert list(n_acc) == [1, K, 0]
+    # row 0: draft0 accepted, correction = target argmax at j=1
+    assert list(toks[0][:2]) == [targets[0, 0], targets[0, 1]]
+    assert toks[0][2] == V  # sentinel
+    # row 1: all accepted + bonus
+    assert list(toks[1]) == list(targets[1])
+    # row 2: immediate correction
+    assert toks[2][0] == targets[2, 0] and toks[2][1] == V
+
+
+def test_spec_accept_sampled_unbiased():
+    """Greedy-draft rejection sampling is exactly unbiased: over many
+    independent slots, the FIRST emitted token's empirical distribution
+    matches direct sampling from the target distribution."""
+    import jax
+    import jax.numpy as jnp
+    from ntransformer_tpu.inference.sampler import BatchedSampler
+    rng = np.random.default_rng(1)
+    B, V = 512, 16
+    cfg = SamplerConfig(temperature=1.0, top_k=V, top_p=1.0,
+                        repeat_penalty=1.0, seed=7)
+    logits_row = (rng.standard_normal(V) * 1.5).astype(np.float32)
+    p = np.exp(logits_row - logits_row.max())
+    p /= p.sum()
+    d = int(np.argmax(logits_row))  # greedy draft token
+    vlogits = np.broadcast_to(logits_row, (B, 2, V)).copy()
+    drafts = np.full((B, 1), d, np.int32)
+    bs = BatchedSampler(cfg, V, B)
+    toks, n_acc = bs.spec_accept(jnp.asarray(vlogits), jnp.asarray(drafts),
+                                 jnp.ones(B, bool))
+    first = toks[:, 0]
+    freq = np.bincount(first, minlength=V)[:V] / B
+    # acceptance rate of the draft token must be ~p[d]; every token's
+    # frequency within 4 sigma of its true probability
+    sigma = np.sqrt(p * (1 - p) / B)
+    assert (np.abs(freq - p) < 4 * sigma + 0.01).all(), (freq, p)
+    assert 0 < n_acc.sum() < B  # some accepted, some rejected
+
+
+def test_spec_serve_sampled_runs_and_is_deterministic(model):
+    """Sampled speculative serving (temperature > 0) completes, reports
+    sane acceptance, and is seed-deterministic across runs."""
+    prompts = ["alpha beta", "gamma", "delta epsilon"]
+
+    def run():
+        srv = BatchServer(model, batch_size=2, spec_k=2,
+                          spec_draft_layers=2,
+                          sampler_cfg=SamplerConfig(temperature=0.9,
+                                                    seed=13))
+        reqs = [Request(prompt=p, max_tokens=8) for p in prompts]
+        stats = srv.run(reqs)
+        return [list(r.output_ids) for r in reqs], stats
+
+    got1, stats1 = run()
+    got2, stats2 = run()
+    assert got1 == got2
+    assert stats1.spec_drafted > 0
+    assert 0 <= stats1.spec_accepted <= stats1.spec_drafted
+    assert all(len(o) == 8 or (len(o) > 0) for o in got1)
 
 
 def test_spec_serve_kernel_impl_matches_jnp(model, monkeypatch):

@@ -162,3 +162,36 @@ def test_sharded_server_non_greedy(model):
     assert stats.requests == 3
     for r in reqs:
         assert r.finished_at > 0 and len(r.output_ids) >= 1
+
+
+def test_spec_serve_dp_mesh_matches_single(model):
+    """Speculative serving on a dp mesh (r4 verdict item 3): sharded
+    draft/verify twins emit the same greedy outputs as the single-chip
+    plain server."""
+    want = _expected(model)
+    import jax
+    devices = np.array(jax.devices("cpu")[:2])
+    mesh = Mesh(devices, (DP_AXIS,))
+    srv = BatchServer(model, batch_size=2, mesh=mesh, spec_k=2,
+                      spec_draft_layers=2,
+                      sampler_cfg=SamplerConfig(temperature=0.0))
+    reqs = [Request(prompt=p, max_tokens=6) for p in PROMPTS]
+    stats = srv.run(reqs)
+    for r, w in zip(reqs, want):
+        assert r.text == w, f"{r.prompt!r}: {r.text!r} != {w!r}"
+    assert stats.spec_drafted > 0 and stats.draft_steps > 0
+
+
+def test_spec_serve_sampled_dp_mesh_runs(model):
+    """Sampled spec (temperature > 0) on a dp mesh: the on-device accept
+    round runs SPMD (sampler state dp-sharded) and completes."""
+    import jax
+    devices = np.array(jax.devices("cpu")[:2])
+    mesh = Mesh(devices, (DP_AXIS,))
+    srv = BatchServer(model, batch_size=2, mesh=mesh, spec_k=2,
+                      spec_draft_layers=2,
+                      sampler_cfg=SamplerConfig(temperature=0.9, seed=5))
+    reqs = [Request(prompt=p, max_tokens=6) for p in PROMPTS[:3]]
+    stats = srv.run(reqs)
+    assert all(len(r.output_ids) > 0 for r in reqs)
+    assert stats.spec_drafted > 0
