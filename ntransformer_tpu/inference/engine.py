@@ -913,6 +913,12 @@ class TieredEngine(Engine):
 
     def _make_kv(self):
         from ..models.tiered import TieredKV
+        from ..models.tiered_moe import TieredMoEModel
+        if isinstance(self.tm, TieredMoEModel):
+            # MoE tiering streams EXPERTS, not layers: the whole attention
+            # stack is resident, so one plain full-depth cache
+            from ..models.llama import KVCache
+            return KVCache.create(self.arch, quant=self.kv_quant)
         return TieredKV.create(self.arch, self.tm.tiers, tp=self.tm.tp,
                                quant=self.kv_quant)
 

@@ -36,10 +36,14 @@ MAGIC = b"NTP1"
 # format version: 2 = layer blobs may carry qwen2 QKV bias vectors;
 # 3 = they may also carry qwen3/gemma3 per-head q/k norms;
 # 4 = they may also carry gemma2/3 post-attention/post-FFN norms
-# (all in LAYER_BIASES). Readers check this against the source GGUF: an
-# old pack of a vector-carrying GGUF must rebuild or tiered decode would
-# silently drop them.
-PACK_VERSION = 4
+# (all in LAYER_BIASES); 5 = MoE layers carry per-expert sub-ranges
+# (meta["experts"]: each expert's gate/up/down planes at a 4096-aligned
+# blob-relative offset, independently readable/transferable — the
+# (layer, expert) streaming unit of models/tiered_moe.py).
+# Readers check this against the source GGUF: an old pack of a
+# vector-carrying GGUF must rebuild or tiered decode would silently
+# drop them.
+PACK_VERSION = 5
 ALIGN = 4096
 
 # pack tensor key -> (GGUF suffix, LayerWeights field)
@@ -74,39 +78,49 @@ class PackWriter:
         self.requant = requant
 
     def _effective_dtype(self, info) -> DType:
-        n, k = info.shape
+        k = info.shape[-1]
         if (self.requant is not None and info.dtype == DType.Q6_K
                 and k % 256 == 0):  # K-quant superblock alignment
             return self.requant
         return info.dtype
+
+    def _tensor_meta(self, info, off: int) -> tuple[dict, int]:
+        """(tensor meta dict, new offset) for one matrix at blob offset."""
+        n, k = info.shape[-2], info.shape[-1]
+        dtype = self._effective_dtype(info)
+        pmeta = {}
+        if dtype in LAYOUTS:
+            for spec in LAYOUTS[dtype]:
+                rows = k // spec.rows_div
+                pmeta[spec.name] = {"off": off, "dtype": spec.np_dtype,
+                                    "shape": [rows, int(n)]}
+                off += rows * n * np.dtype(spec.np_dtype).itemsize
+        else:
+            # float tensors stream as bf16 (2 B/elem) — r1 stored f32
+            # and doubled an F16 model's streamed bytes, contradicting
+            # the file-equal-bpw design claim (r1 verdict weak #9)
+            pmeta["w"] = {"off": off, "dtype": "bfloat16",
+                          "shape": [int(k), int(n)]}
+            off += k * n * 2
+        return ({"qdtype": dtype.name if dtype in LAYOUTS else "BF16",
+                 "k": int(k), "n": int(n), "planes": pmeta}, off)
 
     def _layer_meta(self, i: int) -> dict:
         """Layer metadata (plane offsets/shapes) from tensor infos alone —
         no weight data touched, so offsets for the whole file are known
         before any layer is materialized."""
         pre = f"blk.{i}."
+        moe = pre + "ffn_gate_inp.weight" in self.reader
         off = 0
         tensors = {}
         for key, suffix in LAYER_TENSORS.items():
+            if pre + suffix not in self.reader:
+                continue  # pure-MoE layers carry no dense FFN matrices
             info = self.reader.info(pre + suffix)
-            n, k = info.shape
-            dtype = self._effective_dtype(info)
-            pmeta = {}
-            if dtype in LAYOUTS:
-                for spec in LAYOUTS[dtype]:
-                    rows = k // spec.rows_div
-                    pmeta[spec.name] = {"off": off, "dtype": spec.np_dtype,
-                                        "shape": [rows, int(n)]}
-                    off += rows * n * np.dtype(spec.np_dtype).itemsize
-            else:
-                # float tensors stream as bf16 (2 B/elem) — r1 stored f32
-                # and doubled an F16 model's streamed bytes, contradicting
-                # the file-equal-bpw design claim (r1 verdict weak #9)
-                pmeta["w"] = {"off": off, "dtype": "bfloat16",
-                              "shape": [int(k), int(n)]}
-                off += k * n * 2
-            tensors[key] = {"qdtype": dtype.name if dtype in LAYOUTS else "BF16",
-                            "k": int(k), "n": int(n), "planes": pmeta}
+            tensors[key], off = self._tensor_meta(info, off)
+        if moe:
+            info = self.reader.info(pre + "ffn_gate_inp.weight")
+            tensors["ffn_gate_inp"], off = self._tensor_meta(info, off)
         norms = {}
         for key, suffix in LAYER_NORMS.items():
             info = self.reader.info(pre + suffix)
@@ -120,31 +134,53 @@ class PackWriter:
             n_elems = int(np.prod(info.shape))
             norms[key] = {"off": off, "dtype": "float32", "shape": [n_elems]}
             off += n_elems * 4
-        return {"tensors": tensors, "norms": norms, "size": off}
+        meta = {"tensors": tensors, "norms": norms}
+        if moe:
+            # per-expert sub-ranges, each 4096-aligned so a single expert
+            # is independently O_DIRECT-readable (the (layer, expert)
+            # streaming unit); experts of one layer are contiguous
+            e_count = int(self.reader.info(pre + "ffn_gate_exps.weight")
+                          .shape[0])
+            experts = []
+            for e in range(e_count):
+                off = _align(off)
+                e0 = off
+                emeta = {"off": e0, "tensors": {}}
+                for key, suffix in (("w_gate", "ffn_gate_exps.weight"),
+                                    ("w_up", "ffn_up_exps.weight"),
+                                    ("w_down", "ffn_down_exps.weight")):
+                    info = self.reader.info(pre + suffix)
+                    emeta["tensors"][key], off = self._tensor_meta(info, off)
+                emeta["size"] = off - e0
+                experts.append(emeta)
+            meta["experts"] = experts
+        meta["size"] = off
+        return meta
+
+    def _tensor_chunks(self, raw, info, n: int, k: int) -> list[bytes]:
+        dtype = self._effective_dtype(info)
+        if dtype != info.dtype:
+            w = dequantize(raw, info.dtype, n, k)
+            raw = np.frombuffer(quantize(w, dtype), np.uint8)
+        if dtype in LAYOUTS:
+            planes = relayout(raw, dtype, n, k)
+            return [np.ascontiguousarray(planes[spec.name]).tobytes()
+                    for spec in LAYOUTS[dtype]]  # deterministic plane order
+        import ml_dtypes
+        return [np.ascontiguousarray(dequantize(raw, dtype, n, k).T)
+                .astype(ml_dtypes.bfloat16).tobytes()]
 
     def _layer_blob(self, i: int, meta: dict) -> bytes:
         """Materialize layer i's blob matching _layer_meta's layout."""
         from ..models.loader import load_norm
         pre = f"blk.{i}."
         chunks: list[bytes] = []
-        for key, suffix in LAYER_TENSORS.items():
+        for key in meta["tensors"]:
+            suffix = LAYER_TENSORS.get(key, "ffn_gate_inp.weight")
             info = self.reader.info(pre + suffix)
             n, k = info.shape
-            raw = self.reader.raw_bytes(pre + suffix)
-            dtype = self._effective_dtype(info)
-            if dtype != info.dtype:
-                w = dequantize(raw, info.dtype, n, k)
-                raw = np.frombuffer(quantize(w, dtype), np.uint8)
-            if dtype in LAYOUTS:
-                planes = relayout(raw, dtype, n, k)
-                for spec in LAYOUTS[dtype]:  # deterministic plane order
-                    chunks.append(np.ascontiguousarray(
-                        planes[spec.name]).tobytes())
-            else:
-                import ml_dtypes
-                chunks.append(np.ascontiguousarray(
-                    dequantize(raw, dtype, n, k).T)
-                    .astype(ml_dtypes.bfloat16).tobytes())
+            chunks += self._tensor_chunks(self.reader.raw_bytes(pre + suffix),
+                                          info, n, k)
         for key, suffix in LAYER_NORMS.items():
             chunks.append(load_norm(self.reader, pre + suffix)
                           .astype(np.float32).tobytes())
@@ -152,9 +188,21 @@ class PackWriter:
             if pre + suffix in self.reader:
                 chunks.append(load_norm(self.reader, pre + suffix)
                               .astype(np.float32).tobytes())
-        blob = b"".join(chunks)
-        assert len(blob) == meta["size"], (len(blob), meta["size"])
-        return blob
+        out = bytearray(b"".join(chunks))
+        for e, emeta in enumerate(meta.get("experts", ())):
+            out += b"\0" * (emeta["off"] - len(out))  # 4096 alignment
+            for key, suffix in (("w_gate", "ffn_gate_exps.weight"),
+                                ("w_up", "ffn_up_exps.weight"),
+                                ("w_down", "ffn_down_exps.weight")):
+                info = self.reader.info(pre + suffix)
+                _, n, k = info.shape
+                raw = np.frombuffer(bytes(self.reader.raw_bytes(pre + suffix)),
+                                    np.uint8)
+                per = raw.size // info.shape[0]
+                out += b"".join(self._tensor_chunks(
+                    raw[e * per: (e + 1) * per], info, n, k))
+        assert len(out) == meta["size"], (len(out), meta["size"])
+        return bytes(out)
 
     def write(self, path: str, layers: range | None = None,
               progress=None, src_key: str | None = None) -> "PackReader":
@@ -257,7 +305,62 @@ class PackReader:
             fields[key] = QLinear(dt, t["k"], t["n"], planes)
         for key, m in meta["norms"].items():
             fields[key] = view(m)
+        for key in LAYER_TENSORS:  # pure-MoE layers: no dense FFN matrices
+            fields.setdefault(key, None)
         return LayerWeights(**fields)
+
+    # -- MoE per-expert access (pack v5; models/tiered_moe.py) ---------------
+    def n_experts(self, j: int) -> int:
+        return len(self.layer_meta(j).get("experts", ()))
+
+    def expert_meta(self, j: int, e: int) -> dict:
+        return self.layer_meta(j)["experts"][e]
+
+    def expert_nbytes(self, j: int, e: int) -> int:
+        return self.expert_meta(j, e)["size"]
+
+    def read_expert(self, j: int, e: int,
+                    out: np.ndarray | None = None) -> np.ndarray:
+        """Read ONE expert's bytes (its 4096-aligned sub-range of the
+        layer blob) — the tier-C on-demand / prefetch unit."""
+        lmeta = self.layer_meta(j)
+        emeta = lmeta["experts"][e]
+        size = emeta["size"]
+        if out is None:
+            out = np.empty(size, np.uint8)
+        with open(self.path, "rb") as f:
+            f.seek(lmeta["offset"] + emeta["off"])
+            got = f.readinto(memoryview(out)[:size])
+            assert got == size, f"short read: {got} != {size}"
+        return out
+
+    def expert_weights(self, j: int, e: int, blob: np.ndarray,
+                       whole_layer: bool = True) -> dict:
+        """{w_gate, w_up, w_down} QLinears viewing `blob`: the whole layer
+        blob (RAM tier) or a single expert's bytes (read_expert)."""
+        emeta = self.expert_meta(j, e)
+        return _expert_views(emeta, blob,
+                             base=0 if whole_layer else emeta["off"])
+
+
+def _expert_views(emeta: dict, blob: np.ndarray, base: int = 0) -> dict:
+    """{w_gate, w_up, w_down} QLinears viewing `blob`. base: subtract from
+    plane offsets (pass emeta["off"] when blob holds ONLY this expert's
+    bytes — the per-expert disk-read path)."""
+    def view(m):
+        off = m["off"] - base
+        arr = blob[off: off + int(np.prod(m["shape"]))
+                   * np.dtype(m["dtype"]).itemsize]
+        return arr.view(m["dtype"]).reshape(m["shape"])
+
+    out = {}
+    for key, t in emeta["tensors"].items():
+        planes = {p: view(pm) for p, pm in t["planes"].items()}
+        dt = DType[t["qdtype"]]
+        if dt not in LAYOUTS and dt not in (DType.F32, DType.BF16):
+            dt = DType.F32
+        out[key] = QLinear(dt, t["k"], t["n"], planes)
+    return out
 
 
 def requant_layer_meta(meta: dict, target: DType) -> dict:

@@ -240,8 +240,9 @@ class LayerStreamer:
             else:
                 host_lw = self.pack.layer_weights(layer, blob, meta=meta)
                 if self.shardings is not None:
-                    slot.device = jax.tree.map(jax.device_put, host_lw,
-                                               self.shardings)
+                    slot.device = jax.tree.map(
+                        jax.device_put, host_lw,
+                        self._shardings_for(layer, host_lw))
                 else:
                     slot.device = jax.tree.map(jax.device_put, host_lw)
         slot.layer = layer
@@ -249,6 +250,31 @@ class LayerStreamer:
             slot.staging_consumer = slot.device
         if self.synchronous:
             _hard_fence(jax.tree.leaves(slot.device))
+
+    def _shardings_for(self, layer: int, host_lw: LayerWeights):
+        """Shardings matching `host_lw`'s ACTUAL pytree structure. The
+        template shardings were built from the pack's layout; a runtime-
+        requanted RAM layer has different plane names (Q6_K's ql/qh vs
+        Q4_K's qs/mn) but the SAME per-matrix placement (every plane of a
+        matrix shards on the same axis), so the requanted tree reuses each
+        matrix's sharding across its new plane set (requant_ram x TP,
+        r4 verdict item 7)."""
+        if layer not in self.ram_meta:
+            return self.shardings
+        if not hasattr(self, "_requant_shardings"):
+            from ..ops.linear import QLinear
+            fields = {}
+            for f in host_lw.__dataclass_fields__:
+                v = getattr(host_lw, f)
+                t = getattr(self.shardings, f)
+                if isinstance(v, QLinear) and t is not None:
+                    sh = next(iter(t.planes.values()))
+                    fields[f] = QLinear(v.dtype, v.k, v.n,
+                                        {nm: sh for nm in v.planes})
+                else:
+                    fields[f] = t
+            self._requant_shardings = LayerWeights(**fields)
+        return self._requant_shardings
 
     def get_weights(self, slot_id: int) -> LayerWeights:
         """Device LayerWeights for the slot (arrays may still be filling;

@@ -389,6 +389,44 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
     layers here with layer=None, but SWA parity and gemma3's dual rope
     table still need the real depth position (r4 verdict item 4).
     """
+    x, kv_k, kv_v = attn_block(arch, x, lw, kv_k, kv_v, pos, cos_t, sin_t,
+                               n_valid, tp_axis, layer, cp_axis, abs_layer)
+
+    def norm_w(w):
+        if layer is not None:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+        return w if arch.norm_bias == 0.0 else w + arch.norm_bias
+
+    T = x.shape[0]
+    hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
+    if arch.n_experts:
+        assert tp_axis is None, \
+            "MoE × tensor parallelism not supported — shard experts (EP)"
+        dn = moe_ffn(arch, hf, lw, layer, ep_axis=ep_axis)
+    else:
+        if lw.w_gate_up is not None:
+            gu = qmatmul(hf, lw.w_gate_up, layer=layer)
+            it = gu.shape[-1] // 2
+            g, u = gu[:, :it], gu[:, it:]
+        else:
+            g = qmatmul(hf, lw.w_gate, layer=layer)
+            u = qmatmul(hf, lw.w_up, layer=layer)
+        dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
+                     layer=layer)
+        if tp_axis is not None:
+            dn = jax.lax.psum(dn, tp_axis)
+    if arch.post_norms:
+        dn = rms_norm(dn, norm_w(lw.ffn_post_norm), arch.norm_eps)
+    x = x + dn
+    return x, kv_k, kv_v
+
+
+def attn_block(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t,
+               sin_t, n_valid=None, tp_axis: str | None = None, layer=None,
+               cp_axis: str | None = None, abs_layer=None):
+    """The attention half of layer_step (through its residual add) —
+    shared by the dense step and the MoE-tiered step, which runs the
+    router + streamed experts itself (models/tiered_moe.py)."""
     T = x.shape[0]
     Hq, Hkv, D = arch.n_heads, arch.n_kv_heads, arch.head_dim
     q_scale = arch.query_scale if arch.query_scale else 1.0 / math.sqrt(D)
@@ -515,26 +553,6 @@ def layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos, cos_t, sin_t,
         # (after the psum under TP — the norm must see the full sum)
         o = rms_norm(o, norm_w(lw.attn_post_norm), arch.norm_eps)
     x = x + o
-    hf = rms_norm(x, norm_w(lw.ffn_norm), arch.norm_eps).astype(jnp.bfloat16)
-    if arch.n_experts:
-        assert tp_axis is None, \
-            "MoE × tensor parallelism not supported — shard experts (EP)"
-        dn = moe_ffn(arch, hf, lw, layer, ep_axis=ep_axis)
-    else:
-        if lw.w_gate_up is not None:
-            gu = qmatmul(hf, lw.w_gate_up, layer=layer)
-            it = gu.shape[-1] // 2
-            g, u = gu[:, :it], gu[:, it:]
-        else:
-            g = qmatmul(hf, lw.w_gate, layer=layer)
-            u = qmatmul(hf, lw.w_up, layer=layer)
-        dn = qmatmul(swiglu(g, u, arch.act).astype(jnp.bfloat16), lw.w_down,
-                     layer=layer)
-        if tp_axis is not None:
-            dn = jax.lax.psum(dn, tp_axis)
-    if arch.post_norms:
-        dn = rms_norm(dn, norm_w(lw.ffn_post_norm), arch.norm_eps)
-    x = x + dn
     return x, kv_k, kv_v
 
 

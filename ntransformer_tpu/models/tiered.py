@@ -212,9 +212,27 @@ class _TPFns:
                            donate_argnums=(2, 3))
         return self._get(("res", has_nv, has_sel, wc), build)
 
-    def stream_step_fn(self, has_nv, wc, has_abs: bool = False):
+    @staticmethod
+    def _lw_structure_key(lw: LayerWeights | None):
+        """Hashable structure signature of a single-layer LayerWeights —
+        runtime-requanted RAM layers carry DIFFERENT plane sets than the
+        pack template (Q6_K ql/qh vs Q4_K qs/mn), and the shard_map specs
+        must match the actual pytree (requant_ram x TP)."""
+        if lw is None:
+            return None
+        key = []
+        for f in lw.__dataclass_fields__:
+            v = getattr(lw, f)
+            if isinstance(v, QLinear):
+                key.append((f, v.dtype.name, tuple(sorted(v.planes))))
+        return tuple(key)
+
+    def stream_step_fn(self, has_nv, wc, has_abs: bool = False,
+                       lw_template: LayerWeights | None = None):
         P = self._P
         rep2 = P(None, None)
+        specs = (self.lw_spec_single if lw_template is None
+                 else self._lw_specs(lw_template, stacked=False))
 
         def build():
             def body(lw, x, kk, vv, idx, pos, cos_t, sin_t, *opt):
@@ -225,7 +243,7 @@ class _TPFns:
                 return _stream_step.__wrapped__(
                     self.arch_l, lw, x, kk, vv, idx, pos, cos_t, sin_t,
                     nv, wc, tp_axis=self.tp_axis, abs_layer=abs_layer)
-            in_specs = [self.lw_spec_single, rep2, self.kv_spec,
+            in_specs = [specs, rep2, self.kv_spec,
                         self.kv_spec, P(), P(), rep2, rep2]
             if has_nv:
                 in_specs.append(P())
@@ -236,7 +254,8 @@ class _TPFns:
                                      in_specs=tuple(in_specs),
                                      out_specs=out_specs, check_rep=False),
                            donate_argnums=(2, 3))
-        return self._get(("stream", has_nv, wc, has_abs), build)
+        return self._get(("stream", has_nv, wc, has_abs,
+                          self._lw_structure_key(lw_template)), build)
 
     def head_fn(self, resident_specs, has_nv, all_logits):
         P = self._P
@@ -341,6 +360,12 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
     (docs/OPTIMIZATIONS.md:185-199), preserved as a capability. Costs one
     1-float D2H per late layer while enabled.
     """
+    from .tiered_moe import TieredMoEModel, forward_tiered_moe
+    if isinstance(tm, TieredMoEModel):
+        return forward_tiered_moe(
+            tm, kv, tokens, pos, n_valid=n_valid, all_logits=all_logits,
+            with_cosine=with_cosine, skip=skip, draft_only=draft_only,
+            early_exit_threshold=early_exit_threshold)
     arch = tm.arch
     tpf = tm.tp
     if tpf is None:
@@ -425,7 +450,8 @@ def forward_tiered(tm: TieredModel, kv: TieredKV, tokens, pos, *,
                         n_valid, want_cos, abs_layer=abs_layer)
                 else:
                     fn = tpf.stream_step_fn(n_valid is not None, want_cos,
-                                            abs_layer is not None)
+                                            abs_layer is not None,
+                                            lw_template=lw)
                     args = [lw, x, kk, vv, idx, pos, cos_t, sin_t]
                     if n_valid is not None:
                         args.append(jnp.asarray(n_valid, jnp.int32))
@@ -516,10 +542,19 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
             "gemma3 (dual rope tables) x TP tiered streaming is not "
             "supported yet — run tiered single-chip, or resident TP")
     if arch.n_experts:
-        raise NotImplementedError(
-            "mixture-of-experts models are not supported on the tiered/"
-            "streamed path yet — load resident (Engine.load), optionally "
-            "sharded over experts (parallel/ep.py)")
+        # MoE models stream (layer, expert) sets, not whole layers — the
+        # routed scheduler the r4 cost model designed (tiered_moe.py).
+        # EP (parallel/ep.py) remains the recommended MoE deployment;
+        # this is the capacity escape hatch.
+        if mesh is not None or requant is not None or requant_ram is not None:
+            raise NotImplementedError(
+                "tiered MoE does not compose with TP meshes or requant yet "
+                "— drop those flags, or serve resident/EP")
+        from .tiered_moe import load_model_tiered_moe
+        return load_model_tiered_moe(
+            path, max_seq_len=max_seq_len, ram_bytes=ram_bytes,
+            with_tokenizer=with_tokenizer, n_stage_threads=n_stage_threads,
+            kv_quant=kv_quant)
 
     pack = ensure_pack(reader, path, requant)
 
@@ -554,15 +589,10 @@ def load_model_tiered(path: str, *, max_seq_len: int | None = None,
             requant_ram = DType[env.upper()]
     ram_layer_bytes = None
     if requant_ram is not None:
-        if mesh is not None:
-            raise NotImplementedError(
-                "requant_ram x TP is not supported — per-shard RAM blobs "
-                "take per-plane slices of the pack's layout; requantize "
-                "the pack offline instead (requant=/--requant-q4k)")
         from ..memory.pack import requant_layer_meta
         ram_layer_bytes = requant_layer_meta(
-            pack.layer_meta(0), requant_ram)["size"]
-        if ram_layer_bytes == pack.layer_meta(0)["size"]:
+            pack.layer_meta(0), requant_ram)["size"] // tp_ways
+        if ram_layer_bytes == pack.layer_meta(0)["size"] // tp_ways:
             print("requant_ram: no Q6_K tensors to requantize — ignored",
                   file=sys.stderr)
             requant_ram = ram_layer_bytes = None

@@ -331,7 +331,11 @@ def _pick_tiles(dtype: DType, k: int, n: int) -> tuple[int, int]:
         kcands = ((k,) if k <= 14336 else ()) + (8192, 6144, 4096, 2048,
                                                  1024, 512, 256)
     else:
-        kcands = (4096, 2048, 1024, 512, 256, 128, 64, 32)
+        kcands = (4096, 2048, 1024, 512, 256, 128)
+    # the activation tile's LANE dim is tk (tk/2 split): it must be
+    # 128-divisible or the whole K — small odd dims (tiny-model inter=192)
+    # fall back to one whole-K block
+    kcands = tuple(c for c in kcands if c % 128 == 0) + (k,)
     return tn, _largest_tile(k, kcands)
 
 

@@ -236,10 +236,18 @@ def test_moe_ep_matches_single_device(moe_q8_path):
 
 
 def test_moe_refused_on_unsupported_paths(moe_q8_path):
+    # r5: MoE now STREAMS via the (layer, expert) scheduler — the tiered
+    # load routes to tiered_moe (full coverage in tests/test_tiered_moe.py);
+    # only requant/TP-mesh composition still refuses
+    from ntransformer_tpu.core.dtypes import DType
     from ntransformer_tpu.models.tiered import load_model_tiered
-    with pytest.raises(NotImplementedError, match="tiered"):
-        load_model_tiered(moe_q8_path, max_hbm_layers=1, max_ram_layers=1,
-                          hbm_bytes=8 << 30, ram_bytes=16 << 30)
+    from ntransformer_tpu.models.tiered_moe import TieredMoEModel
+    tm = load_model_tiered(moe_q8_path, max_hbm_layers=1, max_ram_layers=1,
+                           hbm_bytes=8 << 30, ram_bytes=16 << 30)
+    assert isinstance(tm, TieredMoEModel)
+    tm.estreamer.close()
+    with pytest.raises(NotImplementedError, match="requant"):
+        load_model_tiered(moe_q8_path, requant=DType.Q4_K)
 
     from jax.sharding import Mesh
     from ntransformer_tpu.parallel.tp import TP_AXIS, shard_model
