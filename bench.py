@@ -17,6 +17,18 @@ Metrics (NT_BENCH_SET=full, the default):
     This is the rig-independent tiered number: the host link here is a
     0.01-0.12 GB/s tunnel so absolute tiered tok/s measures the tunnel, not
     the pipeline; extras record resident/tiered tok/s and the ratio.
+  - spec_serve_breakeven_b8 — speculative price sheet (plain/draft/verify
+    dispatch costs at B=1/8, break-even acceptance, full-accept ceiling).
+  - spec_repolm_acceptance — serving-path self-spec acceptance on LEARNED
+    weights (repolm512, trained on this repo's text).
+  - config5_tiered_skip_selfspec — BASELINE config #5 as one measured
+    composition (tiered + layer-skip + self-spec on the 1B Q4_K_M).
+  - real_gguf_decode / real_gguf_quality — the real-weights hook:
+    NT_REAL_GGUF (or a well-known drop dir, else the committed repolm)
+    through the full load chain + tools/quality_gate.py.
+
+    Decode metrics dispatch with the server's s_live fill bucket (r5);
+    NT_ATTN_BUCKETS=0 reverts to the r4 full-S methodology.
 
 NT_BENCH_SET=flagship runs only the Q8_0 decode (the r1-r3 behavior);
 NT_BENCH_SET=a,b,c selects metrics by key. NT_BENCH_DTYPE=<dt> (with
@@ -66,10 +78,25 @@ def _free(*objs):
 
 # ---------------------------------------------------------------- decode
 
+def _bucket_live(S: int, needed: int) -> int | None:
+    """The server's s_live bucket policy (serve.BatchServer._bucket_live,
+    4-rung ladder): the bench dispatches exactly as production serving
+    does — attention neither reads nor visits KV blocks past the batch's
+    fill bucket (r5)."""
+    if os.environ.get("NT_ATTN_BUCKETS", "4") == "0":
+        return None
+    for i in (1, 2, 3):
+        b = (S * i) // 4
+        if b >= 256 and b >= needed:
+            return b
+    return None
+
+
 def bench_decode(dtype: str) -> dict:
     """Single-stream decode at B=1 through the batched serving step —
     deferred-write kernels (stacked-cache flash attention + one bulk
-    in-place KV append), host-chained exactly as the server dispatches it.
+    in-place KV append), host-chained exactly as the server dispatches it
+    (incl. the r5 s_live fill bucket).
     NOTE: sync via a real D2H readback (np.asarray) — on the axon tunnel
     platform block_until_ready returns before device execution finishes."""
     from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
@@ -89,10 +116,11 @@ def bench_decode(dtype: str) -> dict:
 
     def run(n, base):
         nonlocal bkv, tokens
+        sl = _bucket_live(arch.max_seq_len, base + n + 1)
         for i in range(n):
             logits, bkv = batched_decode_step(
                 arch, weights, bkv, tokens,
-                jnp.full(1, base + i, jnp.int32), active)
+                jnp.full(1, base + i, jnp.int32), active, s_live=sl)
             tokens = jnp.argmax(logits, -1).astype(jnp.int32)
         np.asarray(tokens)  # true fence
 
@@ -133,10 +161,11 @@ def bench_b32_int8() -> dict:
 
     def run(n, base):
         nonlocal bkv, tokens
+        sl = _bucket_live(ctx, base + n + 1)
         for i in range(n):
             logits, bkv = batched_decode_step(
                 arch, weights, bkv, tokens,
-                jnp.full(B, base + i, jnp.int32), active)
+                jnp.full(B, base + i, jnp.int32), active, s_live=sl)
             tokens = jnp.argmax(logits, -1).astype(jnp.int32)
         np.asarray(tokens)
 
@@ -156,7 +185,8 @@ def bench_b32_int8() -> dict:
     return {"metric": "llama8b_q8_0_b32_int8_aggregate",
             "value": round(agg, 1), "unit": "tok/s",
             "vs_baseline": round(agg / BASELINE_8B_Q8_DECODE, 3),
-            "ms_per_step": round(dt * 1e3, 2)}
+            "ms_per_step": round(dt * 1e3, 2),
+            "s_live_bucket": _bucket_live(ctx, ctx // 2 + 64 + 3 * iters + 1)}
 
 
 # -------------------------------------------------------------- prefill
@@ -310,6 +340,263 @@ def bench_tiered() -> dict:
             "streamed_mb_per_tok": round(streamed_bytes / 1e6, 1)}
 
 
+# ------------------------------------------------ speculative price sheet
+
+def bench_spec_serve() -> dict:
+    """Speculative-serving price sheet (r5 verdict item 2): per-dispatch
+    cost of the three programs a spec round uses — plain decode, resident-
+    prefix DRAFT (L/2 layers), and the [anchor + K drafts] KERNEL verify
+    window — at B=1 and B=8, K=3; derived break-even acceptance and the
+    full-acceptance tok/s ceiling. Same methodology as
+    experiments/spec_serve_probe.py, on the driver scorecard."""
+    from ntransformer_tpu.models.batched import (BatchedKV,
+                                                 batched_decode_step,
+                                                 batched_verify_step)
+    from ntransformer_tpu.models.synth import synth_model
+
+    K, ctx = 3, 1024
+    cfg, arch, w = synth_model("8b", "q8_0", max_seq_len=ctx)
+    nd = arch.n_layers // 2
+    rows = []
+
+    def time_fn(fn, iters):
+        fn(3)
+        t0 = time.perf_counter(); fn(iters); t1 = time.perf_counter()
+        fn(3 * iters); t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (2 * iters)
+
+    for B in (1, 8):
+        bkv = BatchedKV.create(arch, B)
+        toks = jnp.arange(B, dtype=jnp.int32) + 3
+        act = jnp.ones(B, bool)
+        base = ctx // 2
+        state = {"bkv": bkv, "p": 0}
+
+        def step(n, fn):
+            for i in range(n):
+                lg, state["bkv"] = fn((state["p"] + i) % 128)
+            np.asarray(jnp.argmax(lg, -1))
+            state["p"] += n
+
+        def plain(n):
+            step(n, lambda i: batched_decode_step(
+                arch, w, state["bkv"], toks,
+                jnp.full(B, base + i, jnp.int32), act))
+
+        def draft(n):
+            step(n, lambda i: batched_decode_step(
+                arch, w, state["bkv"], toks,
+                jnp.full(B, base + i, jnp.int32), act, n_layers=nd))
+
+        vt = jnp.tile(toks[:, None], (1, K + 1))
+
+        def verify(n):
+            step(n, lambda i: batched_verify_step(
+                arch, w, state["bkv"], vt,
+                jnp.full(B, base + i, jnp.int32), act))
+
+        t_plain = time_fn(plain, 12)
+        t_draft = time_fn(draft, 12)
+        t_verify = time_fn(verify, 6)
+        round_cost = K * t_draft + t_verify
+        breakeven = max(0.0, (round_cost / t_plain - 1) / K)
+        ceiling = B * (1 + K) / round_cost
+        rows.append({"B": B, "ms_plain": round(t_plain * 1e3, 2),
+                     "ms_draft": round(t_draft * 1e3, 2),
+                     "ms_verify": round(t_verify * 1e3, 2),
+                     "breakeven_acceptance": round(breakeven, 3),
+                     "full_accept_tok_s": round(ceiling, 1),
+                     "speedup_at_full_accept": round(
+                         ceiling * t_plain / B, 2)})
+        log(f"spec B={B}: plain {rows[-1]['ms_plain']} draft "
+            f"{rows[-1]['ms_draft']} verify {rows[-1]['ms_verify']} ms -> "
+            f"break-even {breakeven:.3f}, ceiling x"
+            f"{rows[-1]['speedup_at_full_accept']}")
+        del bkv, state
+        gc.collect()
+    _free(w)
+    b8 = rows[-1]
+    return {"metric": "spec_serve_breakeven_b8",
+            "value": b8["breakeven_acceptance"],
+            "unit": "acceptance-fraction",
+            "vs_baseline": None, "K": K, "rows": rows}
+
+
+# --------------------------------------------- learned-weights acceptance
+
+def _repolm_path() -> str:
+    return os.path.join(_REPO, "models", "repolm512_q8.gguf")
+
+
+def bench_spec_repolm() -> dict:
+    """Serving-path speculative acceptance on LEARNED weights (r5 verdict
+    item 3's standing metric): repolm512 (trained on this repo's text),
+    BatchServer spec_k=3 greedy vs plain — acceptance % and steps saved."""
+    from ntransformer_tpu.inference.sampler import SamplerConfig
+    from ntransformer_tpu.inference.serve import BatchServer, Request
+    from ntransformer_tpu.models.loader import load_model
+
+    path = _repolm_path()
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no learned-weights model at {path}")
+    prompts = ["def forward(", "import jax\nimport jax.numpy as jnp\n",
+               "the reference's warp-per-row quantized GEMV family",
+               "## Performance notes"]
+    model = load_model(path)
+
+    def serve(spec_k):
+        srv = BatchServer(model, batch_size=4, spec_k=spec_k,
+                          sampler_cfg=SamplerConfig(temperature=0.0))
+        t0 = time.perf_counter()
+        stats = srv.run([Request(prompt=p, max_tokens=64)
+                         for p in prompts])
+        return stats, time.perf_counter() - t0
+
+    st0, dt0 = serve(0)
+    st1, dt1 = serve(3)
+    acc = 100.0 * st1.spec_accepted / max(st1.spec_drafted, 1)
+    log(f"repolm spec_k=3: acceptance {acc:.1f}% "
+        f"({st1.spec_accepted}/{st1.spec_drafted}), steps {st1.steps} vs "
+        f"plain {st0.steps}")
+    _free(model)
+    return {"metric": "spec_repolm_acceptance", "value": round(acc, 1),
+            "unit": "percent", "vs_baseline": round(acc / 44.0, 3),
+            # reference's measured acceptance: 44% (OPTIMIZATIONS.md:44-57)
+            "steps_spec": st1.steps, "steps_plain": st0.steps,
+            "steps_saved_ratio": round(1 - st1.steps / max(st0.steps, 1),
+                                       3),
+            "tokens": st1.tokens}
+
+
+# --------------------------------------------------- config #5 composition
+
+def bench_config5() -> dict:
+    """BASELINE config #5 as one measured composition (r5 verdict item 2):
+    tiered streaming + layer-skip calibration + self-speculative draft-k=3
+    on the 1B Q4_K_M GGUF. Synthetic cosines don't cross the spec'd 0.98
+    (recorded honestly since r4), so the skip threshold calibrates at the
+    profile's p75 — every mechanism (SLEP, skip-driven I/O elision,
+    resident-prefix draft, streamed verify) is exercised and measured."""
+    from ntransformer_tpu.inference.engine import GenerateConfig, TieredEngine
+    from tools.make_test_gguf import write_model
+
+    gguf = os.path.join(os.environ.get("NT_BENCH_PACK_DIR", "/root/models_1b"),
+                        "llama1b_q4km.gguf")
+    if not os.path.exists(gguf):
+        os.makedirs(os.path.dirname(gguf), exist_ok=True)
+        write_model(gguf, "1b", "q4_k_m", seed=1)
+    n_tok = int(os.environ.get("NT_BENCH_CONFIG5_TOKENS", "6"))
+    n_hbm = int(os.environ.get("NT_BENCH_CONFIG5_HBM", "12"))
+    eng = TieredEngine.load(gguf, max_hbm_layers=n_hbm,
+                            max_ram_layers=16 - n_hbm)
+    tiers = eng.tm.tiers
+    layer_b = eng.tm.pack.max_layer_nbytes
+    prompt = "The capital of France is"
+    gcfg = GenerateConfig(max_tokens=4, temperature=0.0,
+                          repeat_penalty=1.0, skip_threshold=0.98)
+    _, st = eng.generate(prompt, gcfg)
+    skipped = list(eng.skip)
+    thr = "0.98"
+    if not skipped:
+        from ntransformer_tpu.models.tiered import forward_tiered
+        kv = eng._make_kv()
+        ids = eng._encode(prompt)
+        _, _, cos = forward_tiered(eng.tm, kv, jnp.asarray(ids, jnp.int32),
+                                   0, with_cosine=True)
+        cos = np.asarray(cos)
+        n = eng.arch.n_layers
+        mid = cos[n // 4: (3 * n) // 4]
+        t = float(np.quantile(mid, 0.75))
+        eng.layer_sel = None
+        skipped = eng._calibrate(cos, t)
+        thr = f"p75={t:.3f} (0.98 skips 0 on synthetic cosines, "\
+              f"max {float(mid.max()):.3f})"
+    eng.skip = frozenset(skipped)
+    streamed_skipped = [l for l in skipped if l >= tiers.n_hbm]
+    t0 = time.perf_counter()
+    _, st = eng.generate_self_speculative(prompt, GenerateConfig(
+        max_tokens=n_tok, temperature=0.0, repeat_penalty=1.0, draft_k=3))
+    wall = time.perf_counter() - t0
+    tps = st.decode_tokens / (st.decode_ms / 1e3)
+    acc = 100.0 * st.accepted / max(st.drafted, 1)
+    log(f"config5: {tps:.3f} tok/s, acceptance {acc:.1f}%, "
+        f"{len(skipped)} skipped ({len(streamed_skipped)} streamed), "
+        f"wall {wall:.0f}s")
+    eng.tm.streamer.close()
+    _free(eng)
+    return {"metric": "config5_tiered_skip_selfspec",
+            "value": round(tps, 3), "unit": "tok/s", "vs_baseline": None,
+            "skip_threshold": thr, "layers_skipped": len(skipped),
+            "streamed_layers_skipped": len(streamed_skipped),
+            "io_saved_mb_per_token": round(
+                len(streamed_skipped) * layer_b / 1e6, 1),
+            "acceptance_pct": round(acc, 1),
+            "tiers": {"hbm": tiers.n_hbm, "ram": tiers.n_ram}}
+
+
+# ------------------------------------------------------ real-GGUF hook
+
+def _real_gguf() -> str | None:
+    """Real-weights day is zero-effort (r5 verdict item 8): NT_REAL_GGUF,
+    else the first GGUF in the well-known drop dirs, else the committed
+    repolm (learned weights, exercises the full hook)."""
+    p = os.environ.get("NT_REAL_GGUF")
+    if p and os.path.exists(p):
+        return p
+    for d in ("/root/models", "/root/gguf"):
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".gguf"):
+                    return os.path.join(d, f)
+    p = _repolm_path()
+    return p if os.path.exists(p) else None
+
+
+def bench_real_decode() -> dict:
+    """Greedy decode tok/s on the detected real GGUF through the full
+    chain: parse -> planar relayout -> upload -> Engine.generate."""
+    from ntransformer_tpu.inference.engine import Engine, GenerateConfig
+
+    path = _real_gguf()
+    if path is None:
+        raise FileNotFoundError("no real GGUF found (set NT_REAL_GGUF)")
+    eng = Engine.load(path)
+    cfg = GenerateConfig(max_tokens=96, temperature=0.0, repeat_penalty=1.0)
+    eng.generate("The", cfg)  # compile + warm
+    _, st = eng.generate("def forward(", cfg)
+    tps = st.decode_tokens / (st.decode_ms / 1e3)
+    log(f"real GGUF {os.path.basename(path)}: {tps:.1f} tok/s decode")
+    _free(eng)
+    return {"metric": "real_gguf_decode", "value": round(tps, 2),
+            "unit": "tok/s", "vs_baseline": None,
+            "model": os.path.basename(path)}
+
+
+def bench_real_quality() -> dict:
+    """tools/quality_gate.py on the detected real GGUF: tokenizer
+    conformance, greedy goldens (quant kernels vs bf16 dequant), per-dtype
+    PPL deltas vs fixture budgets. value = 1.0 iff the gate passes."""
+    from tools.quality_gate import run_gate
+
+    path = _real_gguf()
+    if path is None:
+        raise FileNotFoundError("no real GGUF found (set NT_REAL_GGUF)")
+    corpus = os.environ.get("NT_REAL_CORPUS",
+                            os.path.join(_REPO, "README.md"))
+    dtypes = os.environ.get("NT_REAL_DTYPES", "q4_k_m,w4a8").split(",")
+    res = run_gate(path, corpus, dtypes, None, update=False,
+                   ctx=256, windows=4, golden_tokens=16)
+    deltas = res["checks"].get("ppl", {}).get("deltas", {})
+    log(f"quality gate on {os.path.basename(path)}: "
+        f"{'PASS' if res['pass'] else 'FAIL'} deltas={deltas}")
+    return {"metric": "real_gguf_quality",
+            "value": 1.0 if res["pass"] else 0.0, "unit": "gate-pass",
+            "vs_baseline": None, "model": res["model"],
+            "ppl_deltas": deltas,
+            "logit_rel_err": res["checks"].get("goldens", {}).get(
+                "logit_rel_err")}
+
+
 # ----------------------------------------------------------------- main
 
 BENCHES = {
@@ -324,6 +611,14 @@ BENCHES = {
     "llama8b_q8_0_b32_int8_aggregate": bench_b32_int8,
     "llama8b_q8_0_prefill_t2048": bench_prefill,
     "tiered_1b_overlap_efficiency": bench_tiered,
+    # r5 additions (verdict items 2, 3, 8): the speculative price sheet,
+    # learned-weights acceptance, the config-#5 composition, and the
+    # real-GGUF hook (decode + quality gate)
+    "spec_serve_breakeven_b8": bench_spec_serve,
+    "spec_repolm_acceptance": bench_spec_repolm,
+    "config5_tiered_skip_selfspec": bench_config5,
+    "real_gguf_decode": bench_real_decode,
+    "real_gguf_quality": bench_real_quality,
 }
 
 

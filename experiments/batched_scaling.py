@@ -49,13 +49,21 @@ def bench_batch(arch, weights, B: int, quant: bool, iters=24) -> float:
     bkv = BatchedKV.create(arch, B, quant=quant)
     tokens = jnp.arange(B, dtype=jnp.int32) + 3
     active = jnp.ones(B, bool)
+    # the server's s_live fill bucket (4-rung ladder, r5): mid-context
+    # positions land in the 3/4 rung — the dispatch production serving
+    # would use (NT_ATTN_BUCKETS=0 reverts to the r4 full-S methodology)
+    sl = None
+    if os.environ.get("NT_ATTN_BUCKETS", "4") != "0":
+        need = CTX // 2 + 16 + 3 * iters + 1
+        sl = next((b for b in (CTX // 4, CTX // 2, 3 * CTX // 4)
+                   if b >= 256 and b >= need), None)
 
     def run(n, pos_base):
         nonlocal bkv, tokens
         for i in range(n):
             logits, bkv = batched_decode_step(
                 arch, weights, bkv, tokens,
-                jnp.full(B, pos_base + i, jnp.int32), active)
+                jnp.full(B, pos_base + i, jnp.int32), active, s_live=sl)
             tokens = jnp.argmax(logits, -1).astype(jnp.int32)
         np.asarray(tokens)  # true fence
 

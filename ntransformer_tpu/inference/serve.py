@@ -23,6 +23,7 @@ it). All jax work stays on the serving thread either way.
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -177,7 +178,20 @@ class BatchServer:
                  sampler_cfg: SamplerConfig | None = None,
                  kv_quant: bool = False, admit_chunk: int | None = None,
                  mesh=None, fuse: bool = False, prefix_cache: int = 0,
-                 spec_k: int = 0, spec_draft_layers: int | None = None):
+                 spec_k: int = 0, spec_draft_layers: int | None = None,
+                 attn_buckets: int | None = None):
+        # attn_buckets (single-chip path): dispatch the decode/draft/
+        # verify programs with a STATIC live-prefix bound s_live — the
+        # smallest ladder bucket covering max(pos) across slots — so
+        # attention neither reads nor visits KV blocks past the batch's
+        # fill level (r5: the per-grid-step ~1.5 us floor makes
+        # per-sequence block elision net-negative; a static bucket cuts
+        # DMA and steps together). N ladder rungs = N extra compiles per
+        # program at warmup; default 4 (0 disables; NT_ATTN_BUCKETS
+        # overrides). Worth ~2x on attention at half-fill.
+        if attn_buckets is None:
+            attn_buckets = int(os.environ.get("NT_ATTN_BUCKETS", "4"))
+        self.attn_buckets = attn_buckets
         self._fuse = fuse  # sharded path: interleaved fused QKV/gate-up
         # spec_k > 0: SELF-SPECULATIVE serving — every loop iteration runs
         # K lock-step draft steps through the model's resident-prefix
@@ -225,12 +239,22 @@ class BatchServer:
             self.model = dataclasses.replace(model, weights=None)
         else:
             self.weights = model.weights
-            self._step = lambda w, bkv, t, p, a: batched_decode_step(
-                self.arch, w, bkv, t, p, a)
-            self._draft = lambda w, bkv, t, p, a: batched_decode_step(
-                self.arch, w, bkv, t, p, a, n_layers=self.spec_draft)
-            self._verify = lambda w, bkv, t, p, a: batched_verify_step(
-                self.arch, w, bkv, t, p, a)
+            self._step = lambda w, bkv, t, p, a, sl=None: \
+                batched_decode_step(self.arch, w, bkv, t, p, a, s_live=sl)
+            self._draft = lambda w, bkv, t, p, a, sl=None: \
+                batched_decode_step(self.arch, w, bkv, t, p, a,
+                                    n_layers=self.spec_draft, s_live=sl)
+            self._verify = lambda w, bkv, t, p, a, sl=None: \
+                batched_verify_step(self.arch, w, bkv, t, p, a, s_live=sl)
+            S = model.arch.max_seq_len
+            # the s_live ladder: attn_buckets rungs at S/N granularity
+            # (min 256 — tiny buckets only add compiles); full S is the
+            # implicit last rung (s_live=None)
+            self._attn_ladder = sorted({
+                b for b in ((S * i) // max(self.attn_buckets, 1)
+                            for i in range(1, max(self.attn_buckets, 1)))
+                if 256 <= b < S and b % 8 == 0}) if self.attn_buckets \
+                else []
             self._insert = lambda bkv, kv, slot: bkv.insert(slot, kv)
             self._vec = jnp.asarray
             self._vec2 = jnp.asarray
@@ -247,6 +271,14 @@ class BatchServer:
                                         n_valid=n_valid)
                 return logits, kv
             self._prefill = _prefill
+
+    def _bucket_live(self, needed: int):
+        """Smallest s_live ladder rung covering `needed` (the max cache
+        position any slot may attend this dispatch, +1); None = full S."""
+        for b in self._attn_ladder:
+            if b >= needed:
+                return b
+        return None
 
     def _prefix_lookup(self, ids: list[int]):
         """(kv_copy, start) for the cached entry sharing the longest
@@ -318,16 +350,25 @@ class BatchServer:
                                              quant=self.kv_quant,
                                              with_kv=False)
         _, bkv_spec, has_tp = _specs(mesh, template, quant=self.kv_quant)
-        self._step = make_batched_decode_sharded(mesh, arch, template,
-                                                 quant=self.kv_quant)
+        # sharded path: no s_live ladder (the shard_map'd programs are
+        # built once; bucketing them would multiply the sharded compile
+        # set) — callers pass sl and these wrappers drop it
+        self._attn_ladder = []
+        _sstep = make_batched_decode_sharded(mesh, arch, template,
+                                             quant=self.kv_quant)
+        self._step = lambda w, bkv, t, p, a, sl=None: _sstep(w, bkv, t, p, a)
         if self.spec_k:
             from ..parallel.dp import (make_batched_draft_sharded,
                                        make_batched_verify_sharded)
-            self._draft = make_batched_draft_sharded(
+            _sdraft = make_batched_draft_sharded(
                 mesh, arch, template, quant=self.kv_quant,
                 n_layers=self.spec_draft)
-            self._verify = make_batched_verify_sharded(
+            _sverify = make_batched_verify_sharded(
                 mesh, arch, template, quant=self.kv_quant)
+            self._draft = lambda w, bkv, t, p, a, sl=None: \
+                _sdraft(w, bkv, t, p, a)
+            self._verify = lambda w, bkv, t, p, a, sl=None: \
+                _sverify(w, bkv, t, p, a)
         vec_sh = NamedSharding(
             mesh, P(DP_AXIS) if DP_AXIS in mesh.axis_names else P(None))
         dp_ax = DP_AXIS if DP_AXIS in mesh.axis_names else None
@@ -407,14 +448,20 @@ class BatchServer:
         toks = self._vec(np.zeros(self.B, np.int32))
         pos = self._vec(np.zeros(self.B, np.int32))
         act = self._vec(np.zeros(self.B, bool))
-        logits, bkv = self._step(self.weights, bkv, toks, pos, act)
-        self._fetch(jnp.argmax(logits, axis=-1))
+        # warm the full-S programs AND every s_live ladder rung — a rung
+        # first crossed mid-serve would otherwise be a cold in-clock
+        # compile (same reasoning as the prefill bucket ladder below)
+        for sl in [None] + self._attn_ladder:
+            logits, bkv = self._step(self.weights, bkv, toks, pos, act, sl)
+            self._fetch(jnp.argmax(logits, axis=-1))
+            if self.spec_k:
+                dl, bkv = self._draft(self.weights, bkv, toks, pos, act, sl)
+                self._fetch(jnp.argmax(dl, axis=-1))
+                vt = self._vec2(np.zeros((self.B, self.spec_k + 1),
+                                         np.int32))
+                vl, bkv = self._verify(self.weights, bkv, vt, pos, act, sl)
+                self._fetch(jnp.argmax(vl, axis=-1))
         if self.spec_k:
-            dl, bkv = self._draft(self.weights, bkv, toks, pos, act)
-            self._fetch(jnp.argmax(dl, axis=-1))
-            vt = self._vec2(np.zeros((self.B, self.spec_k + 1), np.int32))
-            vl, bkv = self._verify(self.weights, bkv, vt, pos, act)
-            self._fetch(jnp.argmax(vl, axis=-1))
             if not self.scfg.greedy:
                 # compile the sampled-spec accept round too
                 bs0 = BatchedSampler(self.scfg, arch.vocab_size, self.B,
@@ -661,6 +708,9 @@ class BatchServer:
             r.done(self.tokenizer.decode(r.output_ids))
             slot_req[slot] = None
             active[slot] = False
+            # a retired slot's stale pos would pin the s_live bucket high;
+            # inactive slots' outputs are discarded, so 0 is safe
+            pos[slot] = 0
 
         def spec_round():
             """K lock-step drafts through the resident prefix + one verify
@@ -674,15 +724,18 @@ class BatchServer:
             drafts = np.zeros((B, K), np.int32)
             dtok = tokens.copy()
             act = self._vec(active)
+            # one bucket for the whole round: the verify window's frozen
+            # rows reach pos + K, so cover max(pos) + K + 1
+            sl = self._bucket_live(int(pos.max()) + K + 1)
             for j in range(K):
                 dl, bkv = self._draft(self.weights, bkv, self._vec(dtok),
-                                      self._vec(pos + j), act)
+                                      self._vec(pos + j), act, sl)
                 dtok = self._fetch(jnp.argmax(dl, axis=-1)).astype(np.int32)
                 drafts[:, j] = dtok
             stats.draft_steps += K
             vt = np.concatenate([tokens[:, None], drafts], axis=1)
             vlogits, bkv = self._verify(self.weights, bkv, self._vec2(vt),
-                                        self._vec(pos), act)
+                                        self._vec(pos), act, sl)
             stats.steps += 1
             if self.scfg.greedy:
                 targets = self._fetch(jnp.argmax(vlogits, axis=-1))
@@ -735,7 +788,8 @@ class BatchServer:
                 else:
                     logits, bkv = self._step(
                         self.weights, bkv,
-                        self._vec(tokens), self._vec(pos), self._vec(active))
+                        self._vec(tokens), self._vec(pos), self._vec(active),
+                        self._bucket_live(int(pos.max()) + 1))
                     stats.steps += 1
                     if self.scfg.greedy:
                         toks_np = self._fetch(jnp.argmax(logits, axis=-1))

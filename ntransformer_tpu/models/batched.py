@@ -282,7 +282,8 @@ def _batched_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
 
 def _batched_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
                                  active, cos_t, sin_t, layer,
-                                 tp_axis: str | None = None):
+                                 tp_axis: str | None = None,
+                                 s_live: int | None = None):
     """KERNEL-path layer step: the flash kernel reads the STACKED cache
     (layer via scalar prefetch) plus the current token's row as a virtual
     block; NO cache write happens here — the new rows are returned for
@@ -298,13 +299,14 @@ def _batched_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
         att = flash_decode_batched(
             q.reshape(B, Hq, D), (bkv.k, bkv.ks), (bkv.v, bkv.vs),
             (kq, ks_new), (vq, vs_new), pos, scale, layer=layer,
-            active=active, window=window, softcap=arch.attn_softcap)
+            active=active, window=window, softcap=arch.attn_softcap,
+            s_live=s_live)
         rows = (kq, ks_new, vq, vs_new)
     else:
         att = flash_decode_batched(
             q.reshape(B, Hq, D), bkv.k, bkv.v, k_t, v_t, pos, scale,
             layer=layer, active=active, window=window,
-            softcap=arch.attn_softcap)
+            softcap=arch.attn_softcap, s_live=s_live)
         rows = (k_t, v_t)
     x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
     return x, rows
@@ -349,7 +351,8 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         active: jnp.ndarray, tp_axis: str | None = None,
                         impl: str | None = None,
                         kv_append: str | None = None,
-                        n_layers: int | None = None):
+                        n_layers: int | None = None,
+                        s_live: int | None = None):
     """One decode step for B sequences.
 
     tokens [B] int32; pos [B] int32 (per-sequence write offset);
@@ -359,12 +362,17 @@ def batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     "dus" | None (NT_KV_APPEND; default dus at B=1, kernel at B>1).
     n_layers: run only the first n layers (the speculative DRAFT through
     the resident prefix — reference engine.cpp:357-545's tier-A draft);
-    KV rows are written for those layers only. Returns (logits [B, V]
-    f32, BatchedKV).
+    KV rows are written for those layers only. s_live (STATIC): the
+    live-prefix bucket — caller guarantees max(pos) < s_live (inactive
+    slots stay <= s_live - 1 incl. their frozen row); attention then
+    neither reads nor visits cache blocks past it (serving dispatches
+    per-bucket variants as contexts fill). Returns (logits [B, V] f32,
+    BatchedKV).
     """
     impl, kv_append = _resolve_impl(impl, kv_append, tokens.shape[0])
     return _batched_decode_step(arch, weights, kv, tokens, pos, active,
-                                tp_axis, impl, kv_append, n_layers)
+                                tp_axis, impl, kv_append, n_layers,
+                                s_live)
 
 
 def batched_decode_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
@@ -392,21 +400,23 @@ def batched_verify_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
 
 
 @partial(jax.jit, static_argnames=("arch", "tp_axis", "impl", "kv_append",
-                                   "n_layers"),
+                                   "n_layers", "s_live"),
          donate_argnames=("kv",))
 def _batched_decode_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                          tokens: jnp.ndarray, pos: jnp.ndarray,
                          active: jnp.ndarray, tp_axis: str | None,
                          impl: str, kv_append: str,
-                         n_layers: int | None = None):
+                         n_layers: int | None = None,
+                         s_live: int | None = None):
     return _step_body(arch, weights, kv, tokens, pos, active, tp_axis,
-                      impl, kv_append, n_layers)
+                      impl, kv_append, n_layers, s_live)
 
 
 def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                tokens: jnp.ndarray, pos: jnp.ndarray,
                active: jnp.ndarray, tp_axis: str | None,
-               impl: str, kv_append: str, n_layers: int | None = None):
+               impl: str, kv_append: str, n_layers: int | None = None,
+               s_live: int | None = None):
     B = tokens.shape[0]
     x = embed_lookup(weights.embed, tokens, out_dtype=jnp.float32,
                      tp_axis=tp_axis)              # [B, H]
@@ -453,7 +463,7 @@ def _step_body(arch: Arch, weights: ModelWeights, kv: BatchedKV,
             x = carry
             x, rows = _batched_layer_step_deferred(
                 arch, x, weights.layers, kv, pos, active, cos_t, sin_t,
-                layer=li, tp_axis=tp_axis)
+                layer=li, tp_axis=tp_axis, s_live=s_live)
             return x, rows
         x, rows = jax.lax.scan(body, x, indices)   # rows: [L, B, Hkv, 1, Dc]
         if kv.quantized:
@@ -565,7 +575,8 @@ def _verify_layer_step(arch: Arch, x, lw: LayerWeights, kv_k, kv_v, pos,
 
 def _verify_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
                                 active, cos_t, sin_t, layer,
-                                tp_axis: str | None = None):
+                                tp_axis: str | None = None,
+                                s_live: int | None = None):
     """KERNEL-path verify layer: the flash kernel reads the STACKED cache
     (layer via scalar prefetch) plus the window's T k/v rows as a CAUSAL
     virtual block; no cache write happens here — rows are returned for the
@@ -581,12 +592,14 @@ def _verify_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
         att = flash_verify_batched(
             q, (bkv.k, bkv.ks), (bkv.v, bkv.vs),
             (kq, ks_new), (vq, vs_new), pos, scale, layer=layer,
-            active=active, window=window, softcap=arch.attn_softcap)
+            active=active, window=window, softcap=arch.attn_softcap,
+            s_live=s_live)
         rows = (kq, ks_new, vq, vs_new)
     else:
         att = flash_verify_batched(
             q, bkv.k, bkv.v, k_t, v_t, pos, scale, layer=layer,
-            active=active, window=window, softcap=arch.attn_softcap)
+            active=active, window=window, softcap=arch.attn_softcap,
+            s_live=s_live)
         rows = (k_t, v_t)
     x = _ffn_tail(arch, x, att, lw, layer, tp_axis)
     return x, rows
@@ -595,7 +608,8 @@ def _verify_layer_step_deferred(arch: Arch, x, lw: LayerWeights, bkv, pos,
 def batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                         tokens: jnp.ndarray, pos: jnp.ndarray,
                         active: jnp.ndarray, tp_axis: str | None = None,
-                        impl: str | None = None):
+                        impl: str | None = None,
+                        s_live: int | None = None):
     """Speculative VERIFY over the whole batch: tokens [B, T] =
     [anchor, draft_0..draft_{T-2}] per sequence, written/attended at
     positions [pos, pos+T). Returns (logits [B, T, V] f32, BatchedKV).
@@ -611,15 +625,15 @@ def batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
     """
     impl, _ = _resolve_impl(impl, "dus", tokens.shape[0])
     return _batched_verify_step(arch, weights, kv, tokens, pos, active,
-                                tp_axis, impl)
+                                tp_axis, impl, s_live)
 
 
-@partial(jax.jit, static_argnames=("arch", "tp_axis", "impl"),
+@partial(jax.jit, static_argnames=("arch", "tp_axis", "impl", "s_live"),
          donate_argnames=("kv",))
 def _batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
                          tokens: jnp.ndarray, pos: jnp.ndarray,
                          active: jnp.ndarray, tp_axis: str | None,
-                         impl: str):
+                         impl: str, s_live: int | None = None):
     B, T = tokens.shape
     x = embed_lookup(weights.embed, tokens.reshape(-1),
                      out_dtype=jnp.float32, tp_axis=tp_axis)
@@ -652,7 +666,7 @@ def _batched_verify_step(arch: Arch, weights: ModelWeights, kv: BatchedKV,
             x = carry
             x, rows = _verify_layer_step_deferred(
                 arch, x, weights.layers, kv, pos, active, cos_t, sin_t,
-                layer=li, tp_axis=tp_axis)
+                layer=li, tp_axis=tp_axis, s_live=s_live)
             return x, rows
 
         # rows: [L, B, Hkv, T, Dc] (+[L, B, Hkv, T, 1] scales) — ONE

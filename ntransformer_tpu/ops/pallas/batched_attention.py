@@ -47,13 +47,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
+I8 = jnp.int8
+I32 = jnp.int32
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _pick_block_s(s: int, per_pos_bytes: int, target_bytes: int = 1 << 21) -> int:
+def _attn_dot_default() -> str:
+    """Cache-dot implementation for the int8 cache (read at TRACE time):
+
+      "f32"  — dequantize tiles on the VPU, f32 MXU dots (exact given the
+               int8 cache; bit-matches the jnp path).
+      "int8" — dot the int8 CODES on the MXU: q quantized per row for the
+               score dot, p (with the v scales folded in) quantized per row
+               for the output dot; the softmax max/denominator stay exact
+               f32. Removes the per-tile int8->f32 cast — the measured
+               VPU bottleneck at large B (experiments/b64_bisect.py: the
+               cast is ~3 us/grid-step, attention 7.4 of the 22.8 ms B=64
+               step). Adds ~0.4% relative error on the attention output —
+               the same order as the int8 cache quantization itself.
+    """
+    import os
+    return os.environ.get("NT_ATTN_DOT", "f32")
+
+
+def _pick_block_s(s: int, per_pos_bytes: int, target_bytes: int | None = None) -> int:
     """Largest power-of-two divisor of S whose K tile stays ~target_bytes
     (bigger blocks amortize grid overhead; smaller blocks skip more dead
-    positions — 2 MB balances both at the measured ~1.5 us/step cost)."""
+    positions via the index-map clamp's DMA elision). Read at TRACE time;
+    NT_ATTN_BLOCK_TARGET (bytes) overrides for A/B sweeps."""
+    if target_bytes is None:
+        import os
+        target_bytes = int(os.environ.get("NT_ATTN_BLOCK_TARGET", 1 << 21))
+    if s * per_pos_bytes <= target_bytes:
+        return s  # one whole-prefix block (s_live buckets need not be 2^n)
     best = None
     c = 8
     while c <= s:
@@ -66,12 +92,26 @@ def _pick_block_s(s: int, per_pos_bytes: int, target_bytes: int = 1 << 21) -> in
 
 
 def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
-            softcap, n_virtual=1):
+            softcap, n_virtual=1, dot_impl="f32"):
     """n_virtual = T new (not-yet-written) rows per sequence. T=1 is the
     decode step; T>1 is the speculative VERIFY window: query rows are
     token-major ([T*group] per head), row r belongs to window token
     r // group (at position pos + r//group), and virtual row i is visible
-    to window tokens >= i (causal within the window)."""
+    to window tokens >= i (causal within the window).
+
+    ALL Hkv heads are processed in ONE dot pair per grid step: q rows of
+    every head stack into [Hkv*rows, D], the K/V tiles flatten into
+    [Hkv*block_s, D] (leading-dim merges — free in VMEM), and a
+    block-diagonal head-match mask drives the cross-head score columns to
+    exp(NEG_INF)=0, so one [R, Hkv*block_s] score dot and one
+    [R, Hkv*block_s]x[Hkv*block_s, D] output dot replace 2*Hkv small
+    dots. The cross-head MXU work is ~Hkv x but decode dots are tiny
+    (~0.3 us/step at 8 heads); what it buys is ~8x fewer VPU ops and
+    full-sublane [32+, lanes] vectors instead of [4, lanes] — the
+    per-grid-step fixed cost was the measured bottleneck at serving batch
+    sizes (experiments/attn_variants.py: 5.5 ms for a 4.4 GB B=64 scan =
+    803 GB/s, DMA-bound only at whole-S blocks; smaller blocks were
+    step-overhead-bound, killing the dead-position DMA elision)."""
     if quant:
         (q_ref, k_ref, v_ref, ks_ref, vs_ref, kn_ref, vn_ref, kns_ref,
          vns_ref, o_ref, m_ref, l_ref, acc_ref) = refs
@@ -79,17 +119,21 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
         q_ref, k_ref, v_ref, kn_ref, vn_ref, o_ref, m_ref, l_ref, acc_ref = refs
         ks_ref = vs_ref = kns_ref = vns_ref = None
     rows = group * n_virtual
+    R = hkv * rows
+    C = hkv * block_s
     b = pl.program_id(0)
     j = pl.program_id(1)
+    d = q_ref.shape[-1]
 
-    def at(ref, h):
-        """Head h's tile — stacked caches carry an extra leading dim."""
-        return ref[0, 0, h] if len(ref.shape) == 5 else ref[0, h]
+    def flat_kv(ref):
+        """[.., hkv, block_s, D] tile -> [hkv*block_s, D] (leading merge)."""
+        return ref[0, 0].reshape(C, d) if len(ref.shape) == 5 \
+            else ref[0].reshape(C, d)
 
-    def at_sc(ref, h):
-        """Head h's scale row [1, lanes] — scale refs are one rank lower
-        (S-minor, no positions axis pair)."""
-        return ref[0, 0, h:h + 1] if len(ref.shape) == 4 else ref[0, h:h + 1]
+    def flat_sc(ref):
+        """[.., hkv, block_s] scale tile -> [1, hkv*block_s]."""
+        return ref[0, 0].reshape(1, C) if len(ref.shape) == 4 \
+            else ref[0].reshape(1, C)
 
     @pl.when(j == 0)
     def _init():
@@ -114,85 +158,130 @@ def _kernel(scal_ref, *refs, scale, block_s, n_blocks, hkv, group, quant,
     @pl.when((j * block_s <= last)
              & ((j + 1) * block_s - 1 >= pos - win + 1))
     def _block():
+        # column c = head (c // block_s), key position (c % block_s);
+        # row r = head (r // rows), window token ((r % rows) // group)
         kpos = j * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, block_s), 1)
-        qpos = pos + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, block_s), 0) // group  # each row's position
+            jnp.int32, (R, C), 1) % block_s
+        qtok = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) % rows) \
+            // group
+        qpos = pos + qtok
+        hmatch = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) // rows
+                  == jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+                  // block_s)
         # active rows never attend cache keys >= pos (those arrive as
         # virtual rows); inactive (frozen) rows attend [0, qpos]
         live = (kpos <= jnp.where(act == 1, pos - 1, qpos)) \
-            & (kpos > qpos - win)
-        for h in range(hkv):
-            q = q_ref[0, h].astype(F32)          # [rows, D]
-            k = at(k_ref, h).astype(F32)         # [block_s, D]
-            v = at(v_ref, h).astype(F32)
+            & (kpos > qpos - win) & hmatch
+        int8_s = quant and dot_impl in ("int8", "int8_s")
+        int8_v = quant and dot_impl in ("int8", "int8_v")
+        cast_dt = jnp.bfloat16 if dot_impl == "bf16" else F32
+        q = q_ref[0].reshape(R, d).astype(F32)           # [R, D]
+        if int8_s:
+            # MXU eats the int8 K codes directly: quantize q per row,
+            # dot int8 x int8 -> i32, fix up with (q row scale * k
+            # position scale). Removes the [C, D] VPU cast.
+            qm = jnp.max(jnp.abs(q), -1, keepdims=True) + 1e-30
+            q_i8 = jnp.round(q * (127.0 / qm)).astype(I8)
             s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32) * scale      # [rows, block_s]
+                q_i8, flat_kv(k_ref), (((1,), (1,)), ((), ())),
+                preferred_element_type=I32).astype(F32)
+            s = s * (qm * (scale / 127.0))               # [R, 1] bcast
+            s = s * flat_sc(ks_ref).astype(F32)          # [1, C] bcast
+        else:
+            k = flat_kv(k_ref).astype(cast_dt)           # [C, D]
+            s = jax.lax.dot_general(
+                q.astype(cast_dt), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32) * scale      # [R, C]
             if quant:
-                s = s * at_sc(ks_ref, h).astype(F32)     # [1, block_s] bcast
-            if softcap:
-                # after the int8 scale fold — tanh needs TRUE score values
-                s = softcap * jnp.tanh(s * (1.0 / softcap))
-            s = jnp.where(live, s, NEG_INF)
-            m_prev = m_ref[h][:, :1]                     # [rows, 1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_ref[h] = jnp.broadcast_to(
-                alpha * l_ref[h][:, :1] + jnp.sum(p, -1, keepdims=True),
-                l_ref.shape[1:])
+                s = s * flat_sc(ks_ref).astype(F32)
+        if softcap:
+            # after the int8 scale fold — tanh needs TRUE score values
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        s = jnp.where(live, s, NEG_INF)
+        m_prev = m_ref[:, :1]                            # [R, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            alpha * l_ref[:, :1] + jnp.sum(p, -1, keepdims=True),
+            l_ref.shape)
+        if int8_v:
+            # fold the per-position v scales into p, quantize p per row
+            # (p <= 1 after the online-softmax shift), dot codes on the
+            # MXU. The denominator above used EXACT f32 p.
+            pv = p * flat_sc(vs_ref).astype(F32)
+            pm = jnp.max(pv, -1, keepdims=True) + 1e-30
+            p_i8 = jnp.round(pv * (127.0 / pm)).astype(I8)
+            o = jax.lax.dot_general(
+                p_i8, flat_kv(v_ref), (((1,), (0,)), ((), ())),
+                preferred_element_type=I32).astype(F32)
+            acc_ref[:] = acc_ref[:] * alpha + o * (pm * (1.0 / 127.0))
+        else:
             if quant:
-                p = p * at_sc(vs_ref, h).astype(F32)
-            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())), preferred_element_type=F32)
-            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+                p = p * flat_sc(vs_ref).astype(F32)
+            v = flat_kv(v_ref).astype(cast_dt)
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(cast_dt), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(j == n_blocks - 1)
     def _finish():
         # virtual block: the T new tokens' k/v rows (not yet written to
         # the cache; row i sits at pos+i, visible to window tokens >= i),
-        # then normalize.
-        vcol = jax.lax.broadcasted_iota(jnp.int32, (rows, n_virtual), 1)
-        t_r = jax.lax.broadcasted_iota(
-            jnp.int32, (rows, n_virtual), 0) // group
-        vis = (act == 1) & (vcol <= t_r) & (vcol > t_r - win)
-        for h in range(hkv):
-            q = q_ref[0, h].astype(F32)              # [rows, D]
-            kn = kn_ref[0, h].astype(F32)            # [T, D]
-            vn = vn_ref[0, h].astype(F32)
-            s = jax.lax.dot_general(
-                q, kn, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32) * scale  # [rows, T]
-            if quant:
-                s = s * kns_ref[0, h:h + 1].astype(F32)  # [1, T]
-            if softcap:
-                s = softcap * jnp.tanh(s * (1.0 / softcap))
-            s = jnp.where(vis, s, NEG_INF)
-            m_prev = m_ref[h][:, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, -1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)                   # [rows, T]
-            l = alpha * l_ref[h][:, :1] + jnp.sum(p, -1, keepdims=True)
-            if quant:
-                p = p * vns_ref[0, h:h + 1].astype(F32)
-            acc = acc_ref[h] * alpha + jax.lax.dot_general(
-                p, vn, (((1,), (0,)), ((), ())), preferred_element_type=F32)
-            o_ref[0, h] = (acc / l).astype(o_ref.dtype)
+        # then normalize. Same head-merged one-dot layout, C_v = hkv*T.
+        Cv = hkv * n_virtual
+        vcol = jax.lax.broadcasted_iota(jnp.int32, (R, Cv), 1) % n_virtual
+        t_r = (jax.lax.broadcasted_iota(jnp.int32, (R, Cv), 0) % rows) \
+            // group
+        hmatch = (jax.lax.broadcasted_iota(jnp.int32, (R, Cv), 0) // rows
+                  == jax.lax.broadcasted_iota(jnp.int32, (R, Cv), 1)
+                  // n_virtual)
+        vis = (act == 1) & (vcol <= t_r) & (vcol > t_r - win) & hmatch
+        q = q_ref[0].reshape(R, d).astype(F32)           # [R, D]
+        kn = kn_ref[0].reshape(Cv, d).astype(F32)        # [Cv, D]
+        vn = vn_ref[0].reshape(Cv, d).astype(F32)
+        s = jax.lax.dot_general(
+            q, kn, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32) * scale          # [R, Cv]
+        if quant:
+            s = s * kns_ref[0].astype(F32)               # [1, Cv]
+        if softcap:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        s = jnp.where(vis, s, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, -1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                           # [R, Cv]
+        l = alpha * l_ref[:, :1] + jnp.sum(p, -1, keepdims=True)
+        if quant:
+            p = p * vns_ref[0].astype(F32)               # [1, Cv]
+        acc = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, vn, (((1,), (0,)), ((), ())), preferred_element_type=F32)
+        o_ref[0] = (acc / l).reshape(hkv, rows, d).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "quant", "stacked", "interpret",
-                                    "softcap", "n_virtual"))
+                                    "softcap", "n_virtual", "dot_impl",
+                                    "s_live"))
 def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
-          interpret, softcap=0.0, n_virtual=1):
+          interpret, softcap=0.0, n_virtual=1, dot_impl="f32",
+          s_live=None):
     b, hkv, rows, d = q.shape
     group = rows // n_virtual
     s = k.shape[-2]
+    # s_live (static): the live-prefix bucket — every attended key sits in
+    # [0, s_live), so the grid only VISITS blocks below it: at half-fill
+    # this halves both the cache DMA and the grid steps (the per-step
+    # ~1.5 us floor made per-sequence index-map elision net-negative —
+    # measured, experiments/attn_variants.py).
+    if s_live is None or s_live > s:
+        s_live = s
     itemsize = 1 if quant else k.dtype.itemsize
-    block_s = _pick_block_s(s, hkv * d * itemsize)
-    n_blocks = s // block_s
+    block_s = _pick_block_s(s_live, hkv * d * itemsize)
+    n_blocks = s_live // block_s
     grid = (b, n_blocks)
 
     # index maps: scal[0,0] = layer (stacked caches), scal[1,:] = pos,
@@ -231,17 +320,21 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
     q_sp = pl.BlockSpec((1, hkv, rows, d), b_map, memory_space=pltpu.VMEM)
     row_sp = pl.BlockSpec((1, hkv, n_virtual, d), b_map,
                           memory_space=pltpu.VMEM)
-    rsc_sp = pl.BlockSpec((1, hkv, n_virtual), b3_map,
+    # virtual-row scales arrive PRE-FLATTENED [B, 1, hkv*n_virtual]: the
+    # [hkv, T] -> [1, hkv*T] sublane->lane merge does not lower in-kernel
+    rsc_sp = pl.BlockSpec((1, 1, hkv * n_virtual), b3_map,
                           memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, scale=scale, block_s=block_s,
                                n_blocks=n_blocks, hkv=hkv, group=group,
                                quant=quant, softcap=softcap,
-                               n_virtual=n_virtual)
+                               n_virtual=n_virtual, dot_impl=dot_impl)
     if quant:
         in_specs = [q_sp, kv_sp, kv_sp, sc_sp, sc_sp, row_sp, row_sp,
                     rsc_sp, rsc_sp]
-        inputs = [q, k, v, ks, vs, kn, vn, kns, vns]
+        inputs = [q, k, v, ks, vs, kn, vn,
+                  kns.reshape(b, 1, hkv * n_virtual),
+                  vns.reshape(b, 1, hkv * n_virtual)]
     else:
         in_specs = [q_sp, kv_sp, kv_sp, row_sp, row_sp]
         inputs = [q, k, v, kn, vn]
@@ -251,9 +344,9 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
         out_specs=pl.BlockSpec((1, hkv, rows, d), b_map,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((hkv, rows, 128), F32),   # running max
-            pltpu.VMEM((hkv, rows, 128), F32),   # running denom
-            pltpu.VMEM((hkv, rows, d), F32),     # output accumulator
+            pltpu.VMEM((hkv * rows, 128), F32),  # running max
+            pltpu.VMEM((hkv * rows, 128), F32),  # running denom
+            pltpu.VMEM((hkv * rows, d), F32),    # output accumulator
         ])
     return pl.pallas_call(
         kernel,
@@ -267,9 +360,17 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
                          pos: jnp.ndarray, scale: float, *,
                          layer=None, active=None,
                          window=None, softcap: float = 0.0,
-                         interpret: bool | None = None) -> jnp.ndarray:
+                         interpret: bool | None = None,
+                         dot_impl: str | None = None,
+                         s_live: int | None = None) -> jnp.ndarray:
     """Batched decode attention over per-sequence caches plus the CURRENT
     token's (not-yet-written) k/v row.
+
+    s_live (STATIC int, default whole cache): the live-prefix bucket —
+    the caller guarantees max(pos) < s_live (inactive slots:
+    max(pos)+T <= s_live); the kernel then neither reads nor visits
+    cache blocks past it. Serving dispatches per-bucket compiled
+    variants as the batch's contexts fill.
 
     q [B, Hq, D]; pos [B] = each sequence's current position (cache keys
     [0, pos-1] are live; the new row logically sits at pos and is passed
@@ -325,9 +426,13 @@ def flash_decode_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
            else jnp.asarray(active, jnp.int32))
     win = jnp.full((b,), 2**30 if window is None else window, jnp.int32)
     scal = jnp.stack([li, jnp.asarray(pos, jnp.int32), act, win])
+    if dot_impl is None:
+        dot_impl = _attn_dot_default()
+    if interpret:
+        dot_impl = "f32"  # the int8 path is a TPU-Mosaic trade
     out = _impl(qr, k, v, ks, vs, kn, vn, kns, vns, scal, scale=scale,
                 quant=quant, stacked=stacked, interpret=interpret,
-                softcap=softcap)
+                softcap=softcap, dot_impl=dot_impl, s_live=s_live)
     return out.reshape(b, hq, d)
 
 
@@ -335,7 +440,9 @@ def flash_verify_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
                          pos: jnp.ndarray, scale: float, *,
                          layer=None, active=None,
                          window=None, softcap: float = 0.0,
-                         interpret: bool | None = None) -> jnp.ndarray:
+                         interpret: bool | None = None,
+                         dot_impl: str | None = None,
+                         s_live: int | None = None) -> jnp.ndarray:
     """Speculative VERIFY window attention: T new tokens per sequence over
     per-sequence caches, the T new k/v rows riding in as a causal virtual
     block (deferred write — the same protocol as flash_decode_batched,
@@ -384,9 +491,14 @@ def flash_verify_batched(q: jnp.ndarray, k_cache, v_cache, k_new, v_new,
            else jnp.asarray(active, jnp.int32))
     win = jnp.full((b,), 2**30 if window is None else window, jnp.int32)
     scal = jnp.stack([li, jnp.asarray(pos, jnp.int32), act, win])
+    if dot_impl is None:
+        dot_impl = _attn_dot_default()
+    if interpret:
+        dot_impl = "f32"  # the int8 path is a TPU-Mosaic trade
     out = _impl(qr, k, v, ks, vs, kn, vn, kns, vns, scal, scale=scale,
                 quant=quant, stacked=stacked, interpret=interpret,
-                softcap=softcap, n_virtual=t)
+                softcap=softcap, n_virtual=t, dot_impl=dot_impl,
+                s_live=s_live)
     return (out.reshape(b, hkv, t, group, d)
                .transpose(0, 2, 1, 3, 4)
                .reshape(b, t, hq, d))

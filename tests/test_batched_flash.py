@@ -483,3 +483,52 @@ def test_deferred_verify_step_matches_jnp_step(tmp_path, quant):
         np.testing.assert_array_equal(
             np.asarray(kv_n.v).astype(np.float32),
             np.asarray(kv_j.v).astype(np.float32))
+
+
+def test_flash_decode_s_live_bucket():
+    """s_live (the static live-prefix bucket) must be output-identical to
+    the full-S dispatch when every attended key fits the bucket — the
+    serving loop's bucketed dispatch contract, including a non-2^n rung
+    and the inactive-slot frozen-row reach (pos + 1 <= s_live)."""
+    B, Hkv, S, D = 3, 2, 512, 32
+    group = 2
+    Hq = Hkv * group
+    q, k, v, kn, vn = _mk(B, Hq, Hkv, S, D, seed=3)
+    pos = np.array([0, 101, 183], np.int32)
+    scale = 1.0 / math.sqrt(D)
+    active = jnp.asarray([True, True, False])
+    args = (jnp.asarray(q), jnp.asarray(k, jnp.bfloat16),
+            jnp.asarray(v, jnp.bfloat16), jnp.asarray(kn), jnp.asarray(vn),
+            jnp.asarray(pos))
+    full = np.asarray(flash_decode_batched(
+        *args, scale, active=active, interpret=True))
+    for s_live in (192, 256, 384):   # 192/384: non-power-of-two rungs
+        got = np.asarray(flash_decode_batched(
+            *args, scale, active=active, interpret=True, s_live=s_live))
+        np.testing.assert_allclose(got, full, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"s_live={s_live}")
+
+
+def test_decode_step_s_live_parity(tmp_path):
+    """Production decode step with an s_live bucket ≡ unbucketed, logits
+    and caches, int8 KV, over a chained run (the B-scaling fix's
+    correctness contract)."""
+    from ntransformer_tpu.models.batched import (BatchedKV,
+                                                 batched_decode_step)
+    from ntransformer_tpu.models.synth import synth_model
+
+    cfg, arch, w = synth_model("tiny", "q8_0", max_seq_len=512)
+    B = 2
+    kv_a = BatchedKV.create(arch, B, quant=True)
+    kv_b = BatchedKV.create(arch, B, quant=True)
+    toks = jnp.asarray([3, 7], jnp.int32)
+    act = jnp.ones(B, bool)
+    for p in range(3):
+        pv = jnp.full((B,), 40 + p, jnp.int32)
+        la, kv_a = batched_decode_step(arch, w, kv_a, toks, pv, act,
+                                       impl="kernel")
+        lb, kv_b = batched_decode_step(arch, w, kv_b, toks, pv, act,
+                                       impl="kernel", s_live=128)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(kv_a.k), np.asarray(kv_b.k))
+    np.testing.assert_array_equal(np.asarray(kv_a.ks), np.asarray(kv_b.ks))

@@ -439,3 +439,40 @@ def test_compiled_w4a8_t_gt_1_tile_parity():
     got = np.asarray(quant_matmul_pallas(
         jax.device_put(jnp.asarray(x), dev), ql, interpret=False))
     _assert_rel_rms(got, x @ wd)
+
+
+def test_compiled_s_live_bucket_parity():
+    """Mosaic-compiled s_live buckets (incl. a NON-dividing rung: block
+    192 over S=256) must match the full-S dispatch exactly — the serving
+    loop's bucketed-attention contract on real hardware."""
+    from ntransformer_tpu.ops.pallas.batched_attention import (
+        flash_decode_batched)
+
+    B, Hq, Hkv, D, S = 4, 8, 2, 128, 256
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((B, Hq, D)).astype(np.float32) * 0.3
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.3
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32) * 0.3
+    pos = np.array([0, 7, 63, 126], np.int32)
+    active = np.array([True, True, False, True])
+    scale = 1.0 / np.sqrt(D)
+    bidx = np.arange(B)
+    dev = TPU[0]
+    put = lambda a, dt=None: jax.device_put(
+        jnp.asarray(a, dt) if dt else jnp.asarray(a), dev)
+    ks = np.abs(k).max(-1, keepdims=True) / 127.0 + 1e-9
+    vs = np.abs(v).max(-1, keepdims=True) / 127.0 + 1e-9
+    kc = np.round(k / ks).astype(np.int8)
+    vc = np.round(v / vs).astype(np.int8)
+    kv_k = (put(kc), put(ks.astype(np.float32)))
+    kv_v = (put(vc), put(vs.astype(np.float32)))
+    k_new = (put(kc[bidx, :, pos]), put(ks[bidx, :, pos].astype(np.float32)))
+    v_new = (put(vc[bidx, :, pos]), put(vs[bidx, :, pos].astype(np.float32)))
+    full = np.asarray(flash_decode_batched(
+        put(q), kv_k, kv_v, k_new, v_new, put(pos), scale,
+        active=put(active), interpret=False))
+    for s_live in (128, 192):
+        got = np.asarray(flash_decode_batched(
+            put(q), kv_k, kv_v, k_new, v_new, put(pos), scale,
+            active=put(active), interpret=False, s_live=s_live))
+        np.testing.assert_array_equal(got, full)
