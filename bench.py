@@ -145,15 +145,17 @@ def bench_decode(dtype: str) -> dict:
 
 # ---------------------------------------------------------- B=32 serving
 
-def bench_b32_int8() -> dict:
+def bench_b32_int8(dtype: str = "q8_0") -> dict:
     """Continuous-batching step at B=32 with int8 KV (bf16 B=32 KV does not
     fit HBM next to the weights — int8 is the B=32 configuration by design).
-    Host-chained steps, mid-context positions, delta-timed rounds."""
+    Host-chained steps, mid-context positions, delta-timed rounds.
+    dtype "w8a8": the r5 int8-MXU serving format (one full-rate int8 dot
+    per matmul, 8.03 bits/weight — quality priced by quality_gate.py)."""
     from ntransformer_tpu.models.batched import BatchedKV, batched_decode_step
     from ntransformer_tpu.models.synth import model_nbytes, synth_model
 
     B, ctx = 32, 1024
-    cfg, arch, weights = synth_model("8b", "q8_0", max_seq_len=ctx)
+    cfg, arch, weights = synth_model("8b", dtype, max_seq_len=ctx)
     nbytes = model_nbytes(weights)
     bkv = BatchedKV.create(arch, B, quant=True)
     tokens = jnp.arange(B, dtype=jnp.int32) + 3
@@ -180,9 +182,9 @@ def bench_b32_int8() -> dict:
     t2 = time.perf_counter()
     dt = ((t2 - t1) - (t1 - t0)) / (2 * iters)  # constant fence cost cancels
     agg = B / dt
-    log(f"B=32 int8: {dt*1e3:.2f} ms/step, {agg:.0f} tok/s aggregate")
+    log(f"B=32 int8 {dtype}: {dt*1e3:.2f} ms/step, {agg:.0f} tok/s aggregate")
     _free(weights, bkv)
-    return {"metric": "llama8b_q8_0_b32_int8_aggregate",
+    return {"metric": f"llama8b_{dtype}_b32_int8_aggregate",
             "value": round(agg, 1), "unit": "tok/s",
             "vs_baseline": round(agg / BASELINE_8B_Q8_DECODE, 3),
             "ms_per_step": round(dt * 1e3, 2),
@@ -583,7 +585,7 @@ def bench_real_quality() -> dict:
         raise FileNotFoundError("no real GGUF found (set NT_REAL_GGUF)")
     corpus = os.environ.get("NT_REAL_CORPUS",
                             os.path.join(_REPO, "README.md"))
-    dtypes = os.environ.get("NT_REAL_DTYPES", "q4_k_m,w4a8").split(",")
+    dtypes = os.environ.get("NT_REAL_DTYPES", "q4_k_m,w4a8,w8a8").split(",")
     res = run_gate(path, corpus, dtypes, None, update=False,
                    ctx=256, windows=4, golden_tokens=16)
     deltas = res["checks"].get("ppl", {}).get("deltas", {})
@@ -608,7 +610,12 @@ BENCHES = {
     # Q4_K_M/Q6_K file serves at with --w4a8 (quality priced per source
     # dtype by tools/quality_gate.py)
     "llama8b_w4a8_resident_decode": lambda: bench_decode("w4a8"),
+    # w8a8 (r5): the serving-format twin — per-column int8 weights, one
+    # full-rate int8 MXU dot at any batch; quality priced per source
+    # dtype by tools/quality_gate.py
+    "llama8b_w8a8_resident_decode": lambda: bench_decode("w8a8"),
     "llama8b_q8_0_b32_int8_aggregate": bench_b32_int8,
+    "llama8b_w8a8_b32_int8_aggregate": lambda: bench_b32_int8("w8a8"),
     "llama8b_q8_0_prefill_t2048": bench_prefill,
     "tiered_1b_overlap_efficiency": bench_tiered,
     # r5 additions (verdict items 2, 3, 8): the speculative price sheet,

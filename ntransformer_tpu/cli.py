@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "format at load: int8-MXU decode kernel, ~20%% "
                         "faster than exact K-quant dequant. CHANGES "
                         "NUMERICS — price it with tools/quality_gate.py")
+    p.add_argument("--w8a8", action="store_true",
+                   help="requantize weights to the W8A8 serving format "
+                        "at load: per-column int8 + one full-rate int8 "
+                        "MXU dot at ANY batch size (decode, verify, "
+                        "prefill). CHANGES NUMERICS — price it with "
+                        "tools/quality_gate.py")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -177,14 +183,15 @@ def main(argv=None) -> int:
         # Under TP the server itself fuses with the per-shard INTERLEAVED
         # lane order (fuse_layer_weights(tp=...)), so column sharding
         # keeps each shard's q|k|v slices together.
-        if args.w4a8 and mesh is not None:
-            log.error("--w4a8 does not compose with --tp/--dp serving yet "
-                      "(convert-then-shard lands with a parity test)")
+        if (args.w4a8 or args.w8a8) and mesh is not None:
+            log.error("--w4a8/--w8a8 do not compose with --tp/--dp "
+                      "serving yet (convert-then-shard lands with a "
+                      "parity test)")
             return 2
         model = load_model(args.model, max_seq_len=args.ctx_size,
                            device=mesh is None,
                            fuse=mesh is None and not args.no_fuse,
-                           w4a8=args.w4a8)
+                           w4a8=args.w4a8, w8a8=args.w8a8)
         srv = BatchServer(model, batch_size=args.batch_size,
                           fuse=not args.no_fuse,
                           prefix_cache=args.prefix_cache,
@@ -221,12 +228,18 @@ def main(argv=None) -> int:
         return 2
 
     stream = should_stream(args.model, args.ctx_size, args)
-    if args.w4a8 and (stream or args.tp or args.cp or args.ep):
-        log.error("--w4a8 is a resident single-chip mode for now: the "
-                  "tiered pack streams SOURCE-dtype planes, and the "
+    if args.w4a8 and args.w8a8:
+        log.error("--w4a8 and --w8a8 are mutually exclusive (pick the "
+                  "decode-optimized or the serving format)")
+        return 2
+    if (args.w4a8 or args.w8a8) and (stream or args.tp or args.cp
+                                     or args.ep):
+        log.error("--w4a8/--w8a8 are resident single-chip modes for now: "
+                  "the tiered pack streams SOURCE-dtype planes, and the "
                   "parallel engines shard source planes (convert-then-"
                   "shard lands with a parity test before it is enabled). "
-                  "Drop the parallel/streaming flags, or drop --w4a8.")
+                  "Drop the parallel/streaming flags, or drop the "
+                  "requant flag.")
         return 2
     if args.draft_model and (args.cp or args.tp or args.ep):
         log.error("--draft-model pairs with the single-chip resident or "
@@ -313,7 +326,7 @@ def main(argv=None) -> int:
                              max_seq_len=args.ctx_size,
                              kv_quant=args.kv_int8,
                              fuse=not args.no_fuse,
-                             w4a8=args.w4a8)
+                             w4a8=args.w4a8, w8a8=args.w8a8)
 
     if args.chat:
         engine.chat(cfg)

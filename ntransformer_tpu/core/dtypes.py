@@ -34,6 +34,12 @@ class DType(enum.Enum):
     # quantized-activation decode kernel (core/w4a8.py). Produced by
     # load-time requant from any source dtype; opt-in via --w4a8.
     W4A8 = "w4a8"
+    # Engine-native SERVING format (r5): per-column symmetric int8 weight
+    # codes + [1, N] f32 column scales, dotted against per-row int8
+    # activations in ONE full-rate int8 MXU dot (any row count — batched
+    # decode, verify windows, prefill). Produced by load-time requant;
+    # opt-in via --w8a8 (core/w8a8.py).
+    W8A8 = "w8a8"
 
 
 @dataclass(frozen=True)
@@ -58,6 +64,8 @@ _BLOCK_INFO = {
     DType.Q2_K: BlockInfo(256, 84),
     # w4a8: per 512 elems, 256 code bytes + 4 f32 plane entries = 4.25 bpw
     DType.W4A8: BlockInfo(512, 272),
+    # w8a8: int8 codes; the [1, N] column-scale plane amortizes to ~0
+    DType.W8A8: BlockInfo(1, 1),
 }
 
 

@@ -113,6 +113,13 @@ LAYOUTS: dict[DType, tuple[PlaneSpec, ...]] = {
         PlaneSpec("m_lo", "float32", 512),
         PlaneSpec("m_hi", "float32", 512),
     ),
+    # Engine-native w8a8 (core/w8a8.py) — load-time requant only.
+    # rows_div=0 is the "fixed 1 row" sentinel: the column-scale plane is
+    # [1, N] regardless of K (per-column, K-independent).
+    DType.W8A8: (
+        PlaneSpec("q", "int8", 1),
+        PlaneSpec("s", "float32", 0),
+    ),
 }
 
 
@@ -217,6 +224,9 @@ def dequant_planes(planes: dict[str, np.ndarray], dtype: DType,
     if dtype == DType.W4A8:
         from .w4a8 import dequant_w4a8
         return dequant_w4a8(planes, k, n, xp=np)
+    if dtype == DType.W8A8:
+        from .w8a8 import dequant_w8a8
+        return dequant_w8a8(planes, k, n, xp=np)
 
     if dtype == DType.Q8_0:
         d = planes["d"].view(np.float16).astype(np.float32)

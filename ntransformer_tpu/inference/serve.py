@@ -250,10 +250,12 @@ class BatchServer:
             # the s_live ladder: attn_buckets rungs at S/N granularity
             # (min 256 — tiny buckets only add compiles); full S is the
             # implicit last rung (s_live=None)
+            # rungs must be 128-multiples: block_s lands on the LANE axis
+            # of the S-minor int8 scale tiles (Mosaic divisibility)
             self._attn_ladder = sorted({
                 b for b in ((S * i) // max(self.attn_buckets, 1)
                             for i in range(1, max(self.attn_buckets, 1)))
-                if 256 <= b < S and b % 8 == 0}) if self.attn_buckets \
+                if 256 <= b < S and b % 128 == 0}) if self.attn_buckets \
                 else []
             self._insert = lambda bkv, kv, slot: bkv.insert(slot, kv)
             self._vec = jnp.asarray

@@ -175,6 +175,42 @@ def convert_weights_w4a8(weights: ModelWeights) -> ModelWeights:
     return dataclasses.replace(weights, layers=layers, lm_head=lm_head)
 
 
+def convert_layer_w8a8(lw: LayerWeights) -> LayerWeights:
+    """Requantize every eligible weight matrix of one layer to W8A8
+    (core/w8a8.py: per-column int8 + column scales, one full-rate int8
+    MXU dot at any row count; opt-in, changes numerics — priced by
+    tools/quality_gate.py). Matrices whose N is not 128-divisible (tiny
+    MoE routers) keep their source dtype; qmatmul dispatches
+    per-QLinear, so mixing is free."""
+    import dataclasses
+
+    from ..ops.linear import convert_qlinear_w8a8
+
+    def conv(v):
+        if not isinstance(v, QLinear) or v.dtype == DType.W8A8:
+            return v
+        if v.n % 128:
+            return v
+        return convert_qlinear_w8a8(v)
+
+    return dataclasses.replace(lw, **{
+        f: conv(getattr(lw, f)) for f in lw.__dataclass_fields__
+        if isinstance(getattr(lw, f), QLinear)})
+
+
+def convert_weights_w8a8(weights: ModelWeights) -> ModelWeights:
+    """W8A8-convert a fully-built ModelWeights (synth/bench path). Same
+    embedding/tied-head policy as convert_weights_w4a8."""
+    import dataclasses
+
+    from ..ops.linear import convert_qlinear_w8a8
+    layers = convert_layer_w8a8(weights.layers)
+    lm_head = weights.lm_head
+    if lm_head.n % 128 == 0:
+        lm_head = convert_qlinear_w8a8(lm_head)
+    return dataclasses.replace(weights, layers=layers, lm_head=lm_head)
+
+
 @dataclass
 class LoadedModel:
     config: ModelConfig
@@ -192,7 +228,8 @@ class LoadedModel:
 def load_model(path: str, *, max_seq_len: int | None = None,
                compute: str = "quant", n_layers: int | None = None,
                with_tokenizer: bool = True, device: bool = True,
-               fuse: bool = False, w4a8: bool = False) -> LoadedModel:
+               fuse: bool = False, w4a8: bool = False,
+               w8a8: bool = False) -> LoadedModel:
     """Load a GGUF model fully resident in device memory.
 
     compute: "quant" keeps quantized planes (Pallas kernels dequant on the
@@ -204,8 +241,11 @@ def load_model(path: str, *, max_seq_len: int | None = None,
     decode; incompatible with TP column sharding).
     w4a8=True requantizes eligible matrices to the engine-native W4A8
     format on host before placement (int8-MXU decode kernel; CHANGES
-    NUMERICS — price with tools/quality_gate.py).
+    NUMERICS — price with tools/quality_gate.py). w8a8=True likewise for
+    the W8A8 serving format (per-column int8, any-row int8 MXU dots —
+    the batched/serving analogue). Mutually exclusive.
     """
+    assert not (w4a8 and w8a8), "--w4a8 and --w8a8 are mutually exclusive"
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata, max_seq_len)
     if n_layers is not None:
@@ -224,6 +264,8 @@ def load_model(path: str, *, max_seq_len: int | None = None,
         lw = load_layer_host(reader, i, compute)
         if w4a8:
             lw = convert_layer_w4a8(lw)  # on host, pre-placement
+        elif w8a8:
+            lw = convert_layer_w8a8(lw)
         layers.append(put_layer(lw))
     stacked = jax.tree.map(lambda *xs: stack(xs), *layers)
     if fuse:
@@ -238,6 +280,9 @@ def load_model(path: str, *, max_seq_len: int | None = None,
         if w4a8 and lm_head.k % 512 == 0 and lm_head.n % 128 == 0:
             from ..ops.linear import convert_qlinear_w4a8
             lm_head = convert_qlinear_w4a8(lm_head)
+        elif w8a8 and lm_head.n % 128 == 0:
+            from ..ops.linear import convert_qlinear_w8a8
+            lm_head = convert_qlinear_w8a8(lm_head)
         if device:
             lm_head = _to_device(lm_head)
     else:
@@ -247,6 +292,9 @@ def load_model(path: str, *, max_seq_len: int | None = None,
             # keeps its source dtype (embedding lookup is not a matmul)
             from ..ops.linear import convert_qlinear_w4a8
             lm_head = convert_qlinear_w4a8(lm_head)
+        elif w8a8 and lm_head.n % 128 == 0:
+            from ..ops.linear import convert_qlinear_w8a8
+            lm_head = convert_qlinear_w8a8(lm_head)
     import os
     from ..core.dtypes import DType as _DT
     # default-on for K-quant heads: their superblock kernels lose ~2x on

@@ -34,7 +34,7 @@ def synth_qlinear(n: int, k: int, dtype: DType, lead: int | None = None) -> QLin
     weight-value-independent; zeros are opaque runtime values to XLA)."""
     planes = {}
     for spec in LAYOUTS[dtype]:
-        rows = k // spec.rows_div
+        rows = 1 if spec.rows_div == 0 else k // spec.rows_div
         shape = (rows, n) if lead is None else (lead, rows, n)
         if spec.np_dtype == "uint16":
             arr = jnp.full(shape, np.uint16(_F16_SMALL), dtype=jnp.uint16)

@@ -85,4 +85,8 @@ def dequant_planes_jnp(planes: dict, dtype: DType, k: int, n: int,
         from ..core.w4a8 import dequant_w4a8
         return dequant_w4a8(planes, k, n, xp=jnp).astype(out_dtype)
 
+    if dtype == DType.W8A8:
+        from ..core.w8a8 import dequant_w8a8
+        return dequant_w8a8(planes, k, n, xp=jnp).astype(out_dtype)
+
     raise ValueError(f"no jnp plane dequant for {dtype}")

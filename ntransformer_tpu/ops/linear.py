@@ -126,8 +126,18 @@ def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
             from .pallas.w4a8 import w4a8_decode_pallas
             return w4a8_decode_pallas(x, ql, out_dtype=out_dtype,
                                       layer=layer)
-        from .pallas.matmul import quant_matmul_pallas
-        return quant_matmul_pallas(x, ql, out_dtype=out_dtype, layer=layer)
+        if ql.dtype == DType.W8A8:
+            from .pallas.w8a8 import MAX_ROWS, w8a8_matmul_pallas
+            if x.shape[0] <= MAX_ROWS:
+                # one full-rate int8 MXU dot — decode at any batch size,
+                # verify windows, AND chunked prefill (uniform numerics);
+                # only an oversize T falls to the jnp dequant tail below
+                return w8a8_matmul_pallas(x, ql, out_dtype=out_dtype,
+                                          layer=layer)
+        else:
+            from .pallas.matmul import quant_matmul_pallas
+            return quant_matmul_pallas(x, ql, out_dtype=out_dtype,
+                                       layer=layer)
     planes = ql.planes
     if layer is not None:
         planes = {nm: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
@@ -139,6 +149,13 @@ def qmatmul(x: jnp.ndarray, ql: QLinear, *, use_kernel: bool | None = None,
         from ..core.w4a8 import w4a8_matmul_golden
         return w4a8_matmul_golden(x.astype(jnp.float32), planes, k, n,
                                   xp=jnp).astype(out_dtype)
+    if ql.dtype == DType.W8A8:
+        from .pallas.w8a8 import MAX_ROWS
+        if x.shape[0] <= MAX_ROWS:
+            # CPU fallback mirrors the serving kernel's semantics
+            from ..core.w8a8 import w8a8_matmul_golden
+            return w8a8_matmul_golden(x.astype(jnp.float32), planes, k, n,
+                                      xp=jnp).astype(out_dtype)
     w = dequant_planes_jnp(planes, ql.dtype, k, n, out_dtype=jnp.bfloat16)
     return jnp.dot(x.astype(jnp.bfloat16), w,
                    preferred_element_type=jnp.float32).astype(out_dtype)
@@ -152,7 +169,19 @@ def convert_qlinear_w4a8(ql: QLinear) -> QLinear:
     numpy planes stay numpy (host load path); jnp planes stay on device
     (synth/bench path). CHANGES NUMERICS — callers gate with --w4a8."""
     from ..core.w4a8 import requant_w4a8
-    if ql.dtype == DType.W4A8:
+    return _convert_qlinear(ql, DType.W4A8, requant_w4a8)
+
+
+def convert_qlinear_w8a8(ql: QLinear) -> QLinear:
+    """Requantize any QLinear to W8A8 (core/w8a8.py: per-column symmetric
+    int8 + [1, N] scales) — the int8-MXU serving format. CHANGES
+    NUMERICS — callers gate with --w8a8."""
+    from ..core.w8a8 import requant_w8a8
+    return _convert_qlinear(ql, DType.W8A8, requant_w8a8)
+
+
+def _convert_qlinear(ql: QLinear, target: DType, requant_fn) -> QLinear:
+    if ql.dtype == target:
         return ql
     names = QLinear.plane_names(ql.dtype)
     first = ql.planes[names[0]]
@@ -174,14 +203,14 @@ def convert_qlinear_w4a8(ql: QLinear) -> QLinear:
                 w = dequant_planes(sl, ql.dtype, k, n)
             else:
                 w = dequant_planes_jnp(sl, ql.dtype, k, n)
-        outs.append(requant_w4a8(w, xp))
+        outs.append(requant_fn(w, xp))
     stacked = {nm: xp.stack([o[nm] for o in outs]) for nm in outs[0]}
     if lead:
         planes = {nm: v.reshape(lead + v.shape[1:])
                   for nm, v in stacked.items()}
     else:
         planes = {nm: v[0] for nm, v in stacked.items()}
-    return QLinear(DType.W4A8, ql.k, ql.n, planes)
+    return QLinear(target, ql.k, ql.n, planes)
 
 
 def gather_columns(ql: QLinear, ids: jnp.ndarray) -> QLinear:

@@ -276,9 +276,13 @@ def _impl(q, k, v, ks, vs, kn, vn, kns, vns, scal, *, scale, quant, stacked,
     # [0, s_live), so the grid only VISITS blocks below it: at half-fill
     # this halves both the cache DMA and the grid steps (the per-step
     # ~1.5 us floor made per-sequence index-map elision net-negative —
-    # measured, experiments/attn_variants.py).
+    # measured, experiments/attn_variants.py). Rounded up to a 128
+    # multiple: block_s lands on the LANE axis of the S-minor scale
+    # tiles, where Mosaic requires 128-divisibility.
     if s_live is None or s_live > s:
         s_live = s
+    else:
+        s_live = min(s, (s_live + 127) // 128 * 128)
     itemsize = 1 if quant else k.dtype.itemsize
     block_s = _pick_block_s(s_live, hkv * d * itemsize)
     n_blocks = s_live // block_s

@@ -476,3 +476,36 @@ def test_compiled_s_live_bucket_parity():
             put(q), kv_k, kv_v, k_new, v_new, put(pos), scale,
             active=put(active), interpret=False, s_live=s_live))
         np.testing.assert_array_equal(got, full)
+
+
+def test_compiled_w8a8_serving_parity():
+    """Mosaic-compiled w8a8 serving kernel (one int8 MXU dot, any rows)
+    == golden math, T in {1, 32}, flat and stacked-layer-select."""
+    from ntransformer_tpu.core.dtypes import DType
+    from ntransformer_tpu.core.w8a8 import requant_w8a8, w8a8_matmul_golden
+    from ntransformer_tpu.ops.linear import QLinear
+    from ntransformer_tpu.ops.pallas.w8a8 import w8a8_matmul_pallas
+
+    K, N, L = 512, 256, 3
+    rng = np.random.default_rng(11)
+    ws = [rng.normal(size=(K, N)).astype(np.float32) * 0.02
+          for _ in range(L)]
+    plane_list = [requant_w8a8(w) for w in ws]
+    dev = TPU[0]
+    put = lambda a: jax.device_put(jnp.asarray(a), dev)
+    flat = QLinear(DType.W8A8, K, N,
+                   {k: put(v) for k, v in plane_list[0].items()})
+    stacked = QLinear(DType.W8A8, K, N,
+                      {k: put(np.stack([p[k] for p in plane_list]))
+                       for k in plane_list[0]})
+    for t in (1, 32):
+        x = rng.normal(size=(t, K)).astype(np.float32)
+        got = np.asarray(w8a8_matmul_pallas(put(x), flat, interpret=False))
+        want = w8a8_matmul_golden(x, plane_list[0], K, N)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    x = rng.normal(size=(4, K)).astype(np.float32)
+    for li in range(L):
+        got = np.asarray(w8a8_matmul_pallas(
+            put(x), stacked, interpret=False, layer=jnp.int32(li)))
+        want = w8a8_matmul_golden(x, plane_list[li], K, N)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -60,7 +60,12 @@ GOLDEN_PROMPTS = ["def ", "The ", "import ", "# "]
 # T=1 stepping — the path whose numerics w4a8 changes); their deltas are
 # measured against a decode-mode base NLL.
 PPL_BUDGET = {"q8_0": 0.02, "q6_k": 0.05, "q4_k_m": 0.15, "q4_0": 0.25,
-              "w4a8": 0.25, "q6_k+w4a8": 0.3, "q4_k_m+w4a8": 0.35}
+              "w4a8": 0.25, "q6_k+w4a8": 0.3, "q4_k_m+w4a8": 0.35,
+              # w8a8 (r5 serving format): per-column int8 weights + int8
+              # activations — typically tiny deltas; the budget catches a
+              # broken scale/fixup chain, not honest quant noise
+              "w8a8": 0.1, "q8_0+w8a8": 0.1, "q6_k+w8a8": 0.15,
+              "q4_k_m+w8a8": 0.25}
 
 
 def log(msg):
@@ -114,10 +119,10 @@ def _goldens(path: str, n_tokens: int) -> dict:
 
 
 def _ppl(path: str, ids, ctx: int, w4a8: bool = False,
-         mode: str = "prefill") -> float:
+         mode: str = "prefill", w8a8: bool = False) -> float:
     from ntransformer_tpu.models.loader import load_model
     from tools.perplexity import perplexity
-    model = load_model(path, w4a8=w4a8)
+    model = load_model(path, w4a8=w4a8, w8a8=w8a8)
     r = perplexity(model, ids, ctx, mode=mode)
     return float(r["nll_per_token"])
 
@@ -210,10 +215,13 @@ def run_gate(model_path: str, corpus: str, dtypes: list[str],
     tmpdir = tempfile.mkdtemp(prefix="qgate_")
     for dt in dtypes:
         w4a8 = dt == "w4a8" or dt.endswith("+w4a8")
-        base_dt = dt.removesuffix("+w4a8") if dt != "w4a8" else None
-        if base_dt is None:
+        w8a8 = dt == "w8a8" or dt.endswith("+w8a8")
+        base_dt = dt.removesuffix("+w4a8").removesuffix("+w8a8")
+        if base_dt in ("w4a8", "w8a8"):
+            # bare runtime format: convert the model file itself
             path_dt = model_path
-        else:
+        elif base_dt == dt and not (w4a8 or w8a8):
+            # plain dtype row: requant the FILE, exact compute
             target = DType[base_dt.upper().replace("Q4_K_M", "Q4_K")] \
                 if base_dt != "q4_k_m" else DType.Q4_K
             path_dt = os.path.join(tmpdir, f"requant_{base_dt}.gguf")
@@ -222,7 +230,20 @@ def run_gate(model_path: str, corpus: str, dtypes: list[str],
             except Exception as e:
                 fail("ppl", f"requant to {dt} failed: {e}")
                 continue
-        nll = _ppl(path_dt, ids, ctx, w4a8=w4a8,
+        else:
+            # "<dtype>+w4a8/+w8a8": requant the file to <dtype>, then the
+            # runtime conversion on top — the full double-quant chain
+            target = DType[base_dt.upper().replace("Q4_K_M", "Q4_K")] \
+                if base_dt != "q4_k_m" else DType.Q4_K
+            path_dt = os.path.join(tmpdir, f"requant_{base_dt}.gguf")
+            try:
+                requant(model_path, path_dt, target)
+            except Exception as e:
+                fail("ppl", f"requant to {dt} failed: {e}")
+                continue
+        # w4a8 rows step decode-mode (T=1, the path w4a8 changes); w8a8's
+        # kernel covers prefill too, so its rows measure prefill windows
+        nll = _ppl(path_dt, ids, ctx, w4a8=w4a8, w8a8=w8a8,
                    mode="decode" if w4a8 else "prefill")
         delta = nll - (nll0_dec if w4a8 else nll0)
         results["checks"]["ppl"]["deltas"][dt] = round(delta, 5)
